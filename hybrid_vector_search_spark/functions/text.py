@@ -1,0 +1,48 @@
+"""Text tokenization and n-gram column expressions.
+
+The reference's analyzer is Lucene's standard analyzer inside the Atlas
+full-text index (reference indexes.py:73-86). Our engine pins an explicit,
+oracle-reproducible definition: lowercase, split on runs of
+non-alphanumerics, drop empties. Both the Spark side (``F.split``) and the
+DuckDB oracle (``string_split_regex``) evaluate the identical regex, so BM25
+corpus statistics hash-match across engines (SURVEY.md §7.5.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens(text: Column) -> Column:
+    """array<string> of lowercase tokens, empties removed."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (token shingles joined by a space).
+
+    Built with the ``transform`` / ``slice`` higher-order functions — stays in
+    codegen, no UDF. Documents shorter than *n* tokens produce no shingles.
+    """
+    toks = tokens(text)
+    k = F.size(toks) - F.lit(n - 1)
+    # sequence(1, 0) would count DOWN ([1, 0]); guard the short-doc case.
+    idx = F.when(k >= F.lit(1), F.sequence(F.lit(1), k)).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.array_distinct(grams)
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of the lowercased text (dedup shingling)."""
+    s = F.lower(text)
+    k = F.length(s) - F.lit(n - 1)
+    idx = F.when(k >= F.lit(1), F.sequence(F.lit(1), k)).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.substring(s, i, F.lit(n)))
+    return F.array_distinct(grams)

@@ -1,0 +1,129 @@
+"""Exact K-nearest-neighbour search ($vectorSearch semantics).
+
+Reference behavior being reproduced (all executed inside Atlas there):
+- ``$vectorSearch{index, path, queryVector, limit, numCandidates, filter}``
+  (reference backend/api.py:168-202, local-test.py:144-166)
+- pre-filter evaluated BEFORE top-k selection (reference backend/api.py:178-180,
+  filter fields declared in indexes.py:66-68) — exact pre-filtered KNN
+- results ordered by score descending (Atlas contract), ties broken by id
+  ascending for cross-engine determinism (SURVEY.md §5.2)
+- score is the Atlas-rescaled similarity (functions.vector.atlas_score)
+
+Physical plan notes (what Catalyst produces and why it scales):
+- ``where`` before scoring → predicate pushdown to the parquet scan
+  (row-group skipping); the score expression never runs on filtered-out rows.
+- ``orderBy(...).limit(k)`` → ``TakeOrderedAndProject``: per-partition top-k
+  heaps + single driver merge of k·num_partitions rows. No global sort, no
+  shuffle of the corpus — this is the property that survives a 100× scale-up.
+- The whole score pipeline is one WholeStageCodegen span (zip_with/aggregate
+  are codegen'd); nothing crosses into Python.
+
+For 100 TB: the exact path is a full scan — bounded by scan bandwidth, which
+Spark parallelizes linearly. When sub-scan latency is needed, layer
+``operators.ivf`` (partition-pruned probing) in front; this module is also the
+re-ranker those approximate probes feed.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import atlas_score
+
+DEFAULT_LIMIT = 5
+MAX_LIMIT = 25
+
+
+def clamp_limit(k: int | None) -> int:
+    """Reference limit clamping: default 5, clamped to [1, 25]
+    (reference backend/api.py:115-119)."""
+    if k is None:
+        return DEFAULT_LIMIT
+    return max(1, min(int(k), MAX_LIMIT))
+
+
+def knn(
+    df: DataFrame,
+    query_vector: Sequence[float] | Column,
+    k: int = DEFAULT_LIMIT,
+    *,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+    pre_filter: Column | None = None,
+    score_col: str = "score",
+    round_dp: int | None = 6,
+    clamp: bool = True,
+) -> DataFrame:
+    """Exact top-k nearest rows to ``query_vector``.
+
+    Returns ``df``'s columns minus the vector column, plus ``score_col``,
+    ordered (score DESC, id ASC), truncated to ``k`` rows. ``pre_filter`` is
+    applied before scoring/top-k — the reference's $vectorSearch.filter
+    semantics, which is *stronger* than post-filtering (always k results when
+    k matches exist).
+    """
+    if clamp:
+        k = clamp_limit(k)
+    if pre_filter is not None:
+        df = df.where(pre_filter)
+    score = atlas_score(F.col(vector_col), query_vector, metric)
+    if round_dp is not None:
+        score = F.round(score, round_dp)
+    out_cols = [c for c in df.columns if c != vector_col]
+    return (
+        df.withColumn(score_col, score)
+        .select(*out_cols, score_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    query_vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    corpus_vector_col: str = "embedding",
+    corpus_id_col: str = "vec_id",
+    metric: str = "cosine",
+    score_col: str = "score",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Bulk similarity search: top-k corpus neighbours for EVERY query row.
+
+    The batch analog of serving many $vectorSearch requests at once — the
+    shape a training-data pipeline needs (e.g. retrieval-augmented labeling).
+
+    Plan: broadcast the query side (queries ≪ corpus, the realistic regime) →
+    broadcast-nested-loop scoring, partitioned by corpus → per-query top-k via
+    window rank over (query_id), which shuffles only (query_id, corpus_id,
+    score) triples — never the vectors. At 100 TB corpus this is
+    scan-bound and embarrassingly parallel; the shuffle payload is
+    |queries|·|corpus_partition_topk| rows, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(query_vector_col).alias("__qvec")
+    )
+    score = atlas_score(F.col(corpus_vector_col), F.col("__qvec"), metric)
+    if round_dp is not None:
+        score = F.round(score, round_dp)
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .withColumn(score_col, score)
+        .drop("__qvec", corpus_vector_col)
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col(score_col).desc(), F.col(corpus_id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+        .withColumnRenamed("__qid", query_id_col)
+    )
