@@ -16,6 +16,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hybrid_vector_search_spark.operators import bm25 as bm25_op
+from hybrid_vector_search_spark.operators import fusion as fusion_op
 from hybrid_vector_search_spark.operators import knn as knn_op
 from hybrid_vector_search_spark.sources import load_table
 
@@ -73,12 +75,78 @@ def q_knn_cosine_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", "score").orderBy(F.desc("score"), F.asc("vec_id"))
 
 
+# ----------------------------------------------------------- fulltext mode
+
+FT_QUERY = "spark fast table value"
+
+
+def q_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_op.fulltext(docs, FT_QUERY, k=10, id_col="doc_id", text_col="text")
+    return out.select("doc_id", "score")
+
+
+def q_fulltext_bm25_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual $match AFTER scoring — corpus stats stay corpus-global
+    (reference backend/api.py:265-266; SURVEY.md §4.2 ordering pin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_op.fulltext(
+        docs,
+        FT_QUERY,
+        k=10,
+        id_col="doc_id",
+        text_col="text",
+        residual_filter=F.col("n_chars") > 200,
+    )
+    return out.select("doc_id", "score")
+
+
+# ------------------------------------------------------------- hybrid mode
+
+
+def q_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$scoreFusion: 10·σ(vector) + 1·σ(bm25), full-outer aligned on id
+    (vec_id ≡ doc_id in the testdata), fuse-then-top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    q = _query_vector_df(spark, sf_dir)
+    vec_branch = knn_op.knn_join(q, emb, k=25, metric="cosine").select(
+        F.col("vec_id").alias("id"), "score"
+    )
+    stats = bm25_op.build_text_stats(docs, "doc_id", "text")
+    txt_branch = bm25_op.bm25_scores(stats, FT_QUERY.split())
+    fused = fusion_op.score_fusion(
+        {"vector": vec_branch, "text": txt_branch},
+        {"vector": fusion_op.VECTOR_WEIGHT, "text": fusion_op.TEXT_WEIGHT},
+    )
+    return fused.orderBy(F.desc("score"), F.asc("id")).limit(10)
+
+
+# ------------------------------------------------- distinct-values endpoint
+
+
+def q_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The /api/restaurants pipeline: $group → $match _id≠null → $sort
+    (reference backend/api.py:84-95) over documents.source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("source").alias("value"))
+        .where(F.col("value").isNotNull())
+        .distinct()
+        .orderBy(F.asc("value"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
         "knn_dot": q_knn_dot,
         "knn_euclidean": q_knn_euclidean,
         "knn_cosine_prefilter": q_knn_cosine_prefilter,
+        "fulltext_bm25": q_fulltext_bm25,
+        "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
+        "hybrid_fusion": q_hybrid_fusion,
+        "distinct_values": q_distinct_values,
     }
 
 
@@ -96,6 +164,82 @@ _DOT = "(1.0 + list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])) / 2.0"
 _EUC = "1.0 / (1.0 + sqrt(list_dot_product(list_transform(list_zip(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), p -> p[1] - p[2]), list_transform(list_zip(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), p -> p[1] - p[2]))))"
 
 
+# BM25 corpus statistics over the FULL documents table; same tokenizer
+# (lower + split on non-alphanumerics) as functions.text.tokens.
+_FT_TERMS = "('fast', 'spark', 'table', 'value')"
+
+_BM25_SCORES = f"""
+toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+doclen AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclen),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN {_FT_TERMS} GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+  WHERE term IN {_FT_TERMS} GROUP BY term
+),
+bm25 AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN corpus
+  GROUP BY tf.doc_id
+)
+"""
+
+_FT_ORACLE = f"""
+WITH {_BM25_SCORES}
+SELECT doc_id, score FROM bm25
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+_FT_POSTFILTER_ORACLE = f"""
+WITH {_BM25_SCORES}
+SELECT b.doc_id, b.score
+FROM bm25 b JOIN documents d USING (doc_id)
+WHERE d.n_chars > 200
+ORDER BY b.score DESC, b.doc_id ASC
+LIMIT 10
+"""
+
+_HYBRID_ORACLE = f"""
+WITH {_BM25_SCORES},
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT e.vec_id AS id, round({_COS}, 6) AS vscore
+  FROM embeddings e, q
+  ORDER BY vscore DESC, e.vec_id ASC
+  LIMIT 25
+),
+fused AS (
+  SELECT coalesce(vec.id, bm25.doc_id) AS id,
+         round(10.0 * coalesce(1.0 / (1.0 + exp(-vec.vscore)), 0.0)
+               + 1.0 * coalesce(1.0 / (1.0 + exp(-bm25.score)), 0.0), 6) AS score
+  FROM vec FULL OUTER JOIN bm25 ON vec.id = bm25.doc_id
+)
+SELECT id, score FROM fused
+ORDER BY score DESC, id ASC
+LIMIT 10
+"""
+
+_DISTINCT_ORACLE = """
+SELECT DISTINCT source AS value FROM documents
+WHERE source IS NOT NULL
+ORDER BY value ASC
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),
@@ -104,4 +248,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_prefilter": _KNN_ORACLE.format(
             score_expr=_COS, where="e.vec_id <> 0 AND e.label % 2 = 0"
         ),
+        "fulltext_bm25": _FT_ORACLE,
+        "fulltext_bm25_postfilter": _FT_POSTFILTER_ORACLE,
+        "hybrid_fusion": _HYBRID_ORACLE,
+        "distinct_values": _DISTINCT_ORACLE,
     }

@@ -1,0 +1,141 @@
+"""BM25 full-text relevance ($search semantics) as a DataFrame program.
+
+The reference delegates text scoring to the Atlas Lucene index
+(``$search{text: {query, path: title}}``, reference backend/api.py:255-281;
+index definition indexes.py:73-86 — single field, static mapping, default
+analyzer). Spark has no text index, so this module implements the published
+BM25 ranking function (Robertson & Zaragoza 2009; Lucene's variant) natively:
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    norm(d) = k1 * (1 - b + b * dl/avgdl)
+    score   = Σ_t idf(t) * tf * (k1 + 1) / (tf + norm(d))      k1=1.2, b=0.75
+
+Analyzer: functions.text.tokens — lowercase, split on non-alphanumerics. This
+is a *pinned, engine-reproducible* definition rather than bug-for-bug Lucene
+(which float-quantizes doc lengths); the DuckDB oracle implements the same
+formula so correctness is checked end-to-end.
+
+Ordering constraint (SURVEY.md §4.2): corpus statistics (N, avgdl, df) are
+always computed over the FULL table, never a filtered subset — matching the
+reference, where the Lucene index stats are corpus-global and the residual
+``$match`` runs after scoring (backend/api.py:265-266). ``fulltext()`` takes
+the residual filter as an argument and applies it post-scoring.
+
+Scale design:
+- ``build_text_stats`` is the "index build" (mirrors the reference's separate
+  indexes.py step): one explode + two groupBys over the corpus, written once
+  and reused by every query. At 100 TB this is the only corpus-sized shuffle,
+  and it is amortized across all queries.
+- Query-time work is proportional to |postings of query terms|, not corpus
+  size: the postings table is filtered to the query's terms FIRST (predicate
+  pushdown into the postings scan when stats are persisted as parquet
+  partitioned/bucketed by term), then joined with the tiny per-term df table
+  (broadcast) and the per-doc length table.
+- No Python UDFs anywhere — the whole scorer is codegen'd expressions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class TextStats:
+    """The 'full-text index': three DataFrames of corpus statistics."""
+
+    postings: DataFrame  # (id, term, tf)
+    doc_len: DataFrame  # (id, dl)
+    doc_freq: DataFrame  # (term, df)
+    corpus: DataFrame  # (n, avgdl) — single row
+
+    def persist(self) -> "TextStats":
+        return TextStats(
+            self.postings.cache(), self.doc_len.cache(), self.doc_freq.cache(), self.corpus.cache()
+        )
+
+
+def build_text_stats(df: DataFrame, id_col: str, text_col: str) -> TextStats:
+    """Index build: tokenise once, derive postings + lengths + frequencies."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    postings = toks.groupBy("id", "term").agg(F.count("*").cast("double").alias("tf"))
+    doc_len = toks.groupBy("id").agg(F.count("*").cast("double").alias("dl"))
+    doc_freq = postings.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    corpus = doc_len.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    return TextStats(postings, doc_len, doc_freq, corpus)
+
+
+def bm25_scores(
+    stats: TextStats,
+    query_terms: list[str],
+    *,
+    k1: float = K1,
+    b: float = B,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """(id, score) for every document matching ≥1 query term.
+
+    Per Lucene semantics, duplicate query terms contribute once (the query is
+    a term *set*); unmatched documents are absent (score has no 0 rows).
+    """
+    terms = sorted(set(query_terms))
+    qt = F.col("term").isin(terms)
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        stats.postings.where(qt)
+        .join(F.broadcast(stats.doc_freq.where(qt)), "term")
+        .join(stats.doc_len, "id")
+        .crossJoin(F.broadcast(stats.corpus))
+        .groupBy("id")
+        .agg(F.sum(idf * tf_part).alias("_score"))
+    )
+    out = F.col("_score") if round_dp is None else F.round(F.col("_score"), round_dp)
+    return scored.select("id", out.alias("score"))
+
+
+def fulltext(
+    df: DataFrame,
+    query: str,
+    k: int,
+    *,
+    id_col: str,
+    text_col: str,
+    stats: TextStats | None = None,
+    residual_filter: Column | None = None,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """The reference's fulltext mode: score → residual $match → top-k.
+
+    ``stats`` should be a prebuilt (persisted) index in any real deployment;
+    when omitted it is derived from ``df`` on the fly — over the FULL df,
+    before any filter, preserving corpus-global statistics (§4.2).
+    """
+    if stats is None:
+        stats = build_text_stats(df, id_col, text_col)
+    q_terms = [t for t in _py_tokens(query)]
+    scores = bm25_scores(stats, q_terms, round_dp=round_dp)
+    out = df.join(scores, F.col(id_col) == F.col("id"), "inner").drop("id")
+    if residual_filter is not None:
+        out = out.where(residual_filter)
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _py_tokens(s: str) -> list[str]:
+    """Driver-side tokenizer — the same definition as functions.text.tokens."""
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
