@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from hybrid_vector_search_spark.operators import bm25 as bm25_op
 from hybrid_vector_search_spark.operators import fusion as fusion_op
 from hybrid_vector_search_spark.operators import knn as knn_op
+from hybrid_vector_search_spark.plans import relational
 from hybrid_vector_search_spark.sources import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -147,6 +148,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
         "hybrid_fusion": q_hybrid_fusion,
         "distinct_values": q_distinct_values,
+        "pricing_summary": relational.pricing_summary,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "top_orders_per_segment": relational.top_orders_per_segment,
+        "rollup_revenue": relational.rollup_revenue,
+        "order_priority_counts": relational.order_priority_counts,
+        "flatten_roundtrip": relational.flatten_roundtrip,
     }
 
 
@@ -239,6 +246,69 @@ WHERE source IS NOT NULL
 ORDER BY value ASC
 """
 
+# Relational plans: SUMs go through DECIMAL (exact, order-independent) then
+# back to DOUBLE, mirroring plans/relational.py.
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+       sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS sum_disc_price,
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+_REVENUE_NATION_ORACLE = """
+SELECT n_name,
+       sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+_TOP_SEGMENT_ORACLE = """
+SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rank <= 3
+ORDER BY c_mktsegment, rank
+"""
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+_PRIORITY_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_quantity > 45
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_FLATTEN_ORACLE = """
+SELECT o_orderkey AS "catalogId", o_orderstatus, o_totalprice,
+       l_linenumber AS line_id, l_partkey, l_quantity
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -252,4 +322,10 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_postfilter": _FT_POSTFILTER_ORACLE,
         "hybrid_fusion": _HYBRID_ORACLE,
         "distinct_values": _DISTINCT_ORACLE,
+        "pricing_summary": _PRICING_ORACLE,
+        "revenue_by_nation": _REVENUE_NATION_ORACLE,
+        "top_orders_per_segment": _TOP_SEGMENT_ORACLE,
+        "rollup_revenue": _ROLLUP_ORACLE,
+        "order_priority_counts": _PRIORITY_ORACLE,
+        "flatten_roundtrip": _FLATTEN_ORACLE,
     }

@@ -1,0 +1,65 @@
+"""Physical-plan regression tests: the plans that make queries scale must
+stay the plans Catalyst actually produces. These assertions are the 100 TB
+design contract (SURVEY.md §4) pinned against regressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_knn_topk_no_global_sort(spark):
+    from hybrid_vector_search_spark.operators.knn import knn
+    from hybrid_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    plan = _plan(knn(emb, [0.1] * 64, 5, pre_filter=F.col("label") % 2 == 0))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, f"top-k must not shuffle the corpus:\n{plan}"
+
+
+def test_knn_prefilter_pushdown(spark):
+    from hybrid_vector_search_spark.operators.knn import knn
+    from hybrid_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    plan = _plan(knn(emb, [0.1] * 64, 5, pre_filter=F.col("vec_id") > 100))
+    assert "PushedFilters: [IsNotNull(vec_id), GreaterThan(vec_id,100)]" in plan, plan
+
+
+def test_dimension_joins_broadcast(spark):
+    from hybrid_vector_search_spark.plans.relational import revenue_by_nation
+
+    plan = _plan(revenue_by_nation(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_bm25_stats_joins_broadcast(spark):
+    from hybrid_vector_search_spark.operators.bm25 import build_text_stats, bm25_scores
+    from hybrid_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    stats = build_text_stats(docs, "doc_id", "text")
+    plan = _plan(bm25_scores(stats, ["spark", "fast"]))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pricing_summary_partial_agg(spark):
+    from hybrid_vector_search_spark.plans.relational import pricing_summary
+
+    plan = _plan(pricing_summary(spark, SF_SMALL))
+    # map-side combine: a partial HashAggregate must appear below the exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    from hybrid_vector_search_spark.sources import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(li)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, plan
