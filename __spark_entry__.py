@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 from hybrid_vector_search_spark.operators import bm25 as bm25_op
 from hybrid_vector_search_spark.operators import fusion as fusion_op
 from hybrid_vector_search_spark.operators import knn as knn_op
-from hybrid_vector_search_spark.plans import relational
+from hybrid_vector_search_spark.plans import pipeline, relational
+from hybrid_vector_search_spark.plans.oracles import PIPELINE_ORACLES
 from hybrid_vector_search_spark.sources import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -154,6 +155,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": relational.rollup_revenue,
         "order_priority_counts": relational.order_priority_counts,
         "flatten_roundtrip": relational.flatten_roundtrip,
+        "dedup_exact": pipeline.dedup_exact,
+        "dedup_minhash_lsh": pipeline.dedup_minhash_lsh,
+        "ngram_jaccard_pairs": pipeline.ngram_jaccard_pairs,
+        "dedup_simhash": pipeline.dedup_simhash,
+        "dedup_embedding_cosine": pipeline.dedup_embedding_cosine,
+        "token_stats": pipeline.token_stats,
+        "language_id": pipeline.language_id,
+        "quality_score": pipeline.quality_score,
+        "doc_fingerprints": pipeline.doc_fingerprints,
     }
 
 
@@ -328,4 +338,5 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": _ROLLUP_ORACLE,
         "order_priority_counts": _PRIORITY_ORACLE,
         "flatten_roundtrip": _FLATTEN_ORACLE,
+        **PIPELINE_ORACLES,
     }

@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines.
+
+Extensions beyond the reference surface (BASELINE.json north-star): the
+per-document statistics an LLM-data pipeline computes at corpus scale —
+language ID, quality scoring, token counting, fingerprinting. All are
+single-pass, per-row column expressions (no shuffle at all except where a
+groupBy is the semantics), so they scale with scan bandwidth.
+
+Definitions are pinned (and mirrored in the DuckDB oracle):
+- tokens: functions.text.tokens (lower, split non-alphanumeric runs)
+- stopword ratio: |distinct(tokens) ∩ stoplist| / |distinct(tokens)|
+- language ID: argmax over per-language stopword ratios, alphabetical
+  tie-break, 'und' when the best ratio < MIN_LANG_RATIO
+- quality score: bounded combination of length, type-token ratio, alnum
+  ratio, and stopword presence (each term a ratio of integers — exact and
+  engine-independent before the final rounding)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_ngrams, tokens
+
+# Tiny pinned stopword lists (public, frequency-derived). Enough for a
+# deterministic heuristic; swap for real lists (spaCy/NLTK) in production.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+    "fr": ("le", "la", "de", "et", "un", "est", "pas", "pour", "que", "dans"),
+}
+MIN_LANG_RATIO = 0.05
+
+
+def _stop_ratio(distinct_toks: Column, lang: str) -> Column:
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(distinct_toks, stop)).cast("double") / F.greatest(
+        F.size(distinct_toks), F.lit(1)
+    ).cast("double")
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting: regex tokens, whitespace tokens, distinct tokens,
+    total/mean token length — all via higher-order functions, zero shuffle."""
+    toks = tokens(F.col(text_col))
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        tok_chars.cast("long").alias("n_token_chars"),
+        F.round(
+            tok_chars.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double"), 6
+        ).alias("mean_token_len"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-overlap language ID with deterministic tie-break."""
+    distinct_toks = F.array_distinct(tokens(F.col(text_col)))
+    out = df.select(F.col(id_col), distinct_toks.alias("_dt"))
+    for lang in sorted(STOPWORDS):
+        out = out.withColumn(f"ratio_{lang}", F.round(_stop_ratio(F.col("_dt"), lang), 6))
+    langs = sorted(STOPWORDS)
+    # argmax with alphabetical tie-break: strict > against all earlier langs
+    best_lang = None
+    best_ratio = None
+    for lang in langs:
+        r = F.col(f"ratio_{lang}")
+        if best_lang is None:
+            best_lang, best_ratio = F.lit(lang), r
+        else:
+            cond = r > best_ratio
+            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+            best_ratio = F.when(cond, r).otherwise(best_ratio)
+    pred = F.when(best_ratio >= F.lit(MIN_LANG_RATIO), best_lang).otherwise(F.lit("und"))
+    return out.select(
+        F.col(id_col), *[F.col(f"ratio_{lang}") for lang in langs], pred.alias("pred_lang")
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite quality in [0,1]: length saturation × lexical diversity ×
+    alnum density, boosted by English stopword presence. Every component is
+    a ratio of exact integers; only the final product is floating."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    len_sat = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
+    ttr = nd.cast("double") / F.greatest(n, F.lit(1)).cast("double")
+    alnum = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", "")).cast("double")
+    alnum_ratio = alnum / F.greatest(F.length(text), F.lit(1)).cast("double")
+    stop_en = _stop_ratio(F.array_distinct(toks), "en")
+    score = len_sat * (F.lit(0.5) + F.lit(0.5) * ttr) * alnum_ratio * (
+        F.lit(0.8) + F.lit(0.2) * F.least(stop_en * 10.0, F.lit(1.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(alnum_ratio, 6).alias("alnum_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, id_col: str, text_col: str, *, ngram: int = 5
+) -> DataFrame:
+    """Document fingerprinting: exact content hash (normalized) + min-hash of
+    character n-grams (winnowing-style representative hash — equal for texts
+    sharing their minimal n-gram, robust to trailing edits)."""
+    from .dedup import normalized_text
+
+    grams = char_ngrams(F.col(text_col), ngram)
+    min_gram = F.array_min(F.transform(grams, lambda g: F.md5(g)))
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized_text(F.col(text_col))).alias("content_hash"),
+        min_gram.alias("min_ngram_hash"),
+    )

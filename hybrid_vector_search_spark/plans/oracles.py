@@ -1,0 +1,209 @@
+"""DuckDB oracle SQL for the pipeline suite (plans/pipeline.py).
+
+Every statement mirrors the corresponding Spark operator definition EXACTLY —
+same tokenizer regex, same md5-based hash family, same rounding, same
+floating-point expression shapes — so the driver's order-insensitive
+value-hash comparison passes bit-for-bit. Generated programmatically where
+the operator is parameterized (MinHash seeds, SimHash bits) to keep the two
+sides structurally locked together.
+"""
+
+from __future__ import annotations
+
+from ..operators.textstats import MIN_LANG_RATIO, STOPWORDS
+
+# ---------------------------------------------------------------- shared CTEs
+
+# functions.text.tokens: lower, split on non-alphanumeric runs, drop empties
+TOKL = (
+    "tokl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+    "'[^a-z0-9]+'), t -> t <> '') AS ts FROM documents)"
+)
+
+# operators.dedup.shingle_table: distinct word 3-gram md5 per doc
+SHINGLES3 = (
+    "sh AS (SELECT DISTINCT doc_id AS id, md5(g) AS sh FROM ("
+    "SELECT doc_id, unnest([array_to_string(ts[i:i+2], ' ') "
+    "FOR i IN range(1, len(ts) - 1)]) AS g FROM tokl WHERE len(ts) >= 3))"
+)
+
+# operators.dedup.jaccard_pairs: inverted-index exact jaccard
+JACCARD = (
+    "sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id), "
+    "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i FROM sh a "
+    "JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2), "
+    "jac AS (SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS jaccard "
+    "FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)"
+)
+
+NORM_TEXT = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def _minhash_ctes(bands: int, rows_per_band: int) -> str:
+    h = bands * rows_per_band
+    sig_cols = ", ".join(f"min(md5('{i}#' || sh)) AS sig_{i}" for i in range(h))
+    band_rows = " UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({key}) AS key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    return (
+        f"sigs AS (SELECT id, {sig_cols} FROM sh GROUP BY id), "
+        f"banded AS ({band_rows}), "
+        "cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a "
+        "JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id)"
+    )
+
+
+DEDUP_EXACT = f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+),
+h AS (SELECT doc_id, md5({NORM_TEXT}) AS content_hash FROM u)
+SELECT doc_id, content_hash,
+       doc_id <> min(doc_id) OVER (PARTITION BY content_hash) AS is_duplicate
+FROM h
+"""
+
+DEDUP_MINHASH_LSH = f"""
+WITH {TOKL},
+{SHINGLES3},
+{_minhash_ctes(bands=4, rows_per_band=2)},
+{JACCARD}
+SELECT id_a AS doc_a, id_b AS doc_b, round(jaccard, 6) AS jaccard
+FROM jac
+WHERE jaccard >= 0.7
+  AND EXISTS (SELECT 1 FROM cands c WHERE c.id_a = jac.id_a AND c.id_b = jac.id_b)
+"""
+
+NGRAM_JACCARD = f"""
+WITH {TOKL},
+{SHINGLES3},
+{JACCARD}
+SELECT id_a AS doc_a, id_b AS doc_b, round(jaccard, 6) AS jaccard
+FROM jac
+WHERE jaccard >= 0.5
+"""
+
+
+def _simhash_sql(bits: int) -> str:
+    votes = ", ".join(
+        f"sum(tf * (2 * ((((instr('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1) >> {j % 4}) & 1)) - 1)) AS v_{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits))
+    return f"""
+WITH {TOKL},
+tok AS (SELECT doc_id AS id, unnest(ts) AS token FROM tokl),
+tf AS (SELECT id, token, count(*)::BIGINT AS tf FROM tok GROUP BY id, token),
+hh AS (SELECT id, tf, md5(token) AS h FROM tf),
+votes AS (SELECT id, {votes} FROM hh GROUP BY id)
+SELECT id AS doc_id, ({fp})::BIGINT AS simhash FROM votes
+"""
+
+
+DEDUP_SIMHASH = _simhash_sql(32)
+
+_COS_AB = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+DEDUP_EMBEDDING_COSINE = f"""
+SELECT vec_a, vec_b, cos FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({_COS_AB}, 6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+WHERE cos >= 0.45
+"""
+
+TOKEN_STATS = f"""
+WITH {TOKL},
+ws AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ws
+       FROM documents)
+SELECT d.doc_id,
+       len(ts)::BIGINT AS n_tokens,
+       len(ws)::BIGINT AS n_ws_tokens,
+       len(list_distinct(ts))::BIGINT AS n_distinct_tokens,
+       coalesce(list_sum(list_transform(ts, t -> length(t))), 0)::BIGINT AS n_token_chars,
+       round(coalesce(list_sum(list_transform(ts, t -> length(t))), 0)::DOUBLE
+             / greatest(len(ts), 1), 6) AS mean_token_len
+FROM documents d
+JOIN tokl USING (doc_id)
+JOIN ws USING (doc_id)
+"""
+
+
+def _stop_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _lang_sql() -> str:
+    langs = sorted(STOPWORDS)
+    ratios = ", ".join(
+        f"round(len(list_intersect(dt, {_stop_list(lg)}))::DOUBLE / greatest(len(dt), 1), 6) AS ratio_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"ratio_{lg}" for lg in langs) + ")"
+    case = f"CASE WHEN {best} < {MIN_LANG_RATIO} THEN 'und' "
+    for lg in langs[:-1]:
+        case += f"WHEN ratio_{lg} = {best} THEN '{lg}' "
+    case += f"ELSE '{langs[-1]}' END"
+    cols = ", ".join(f"ratio_{lg}" for lg in langs)
+    return f"""
+WITH {TOKL},
+dtt AS (SELECT doc_id, list_distinct(ts) AS dt FROM tokl),
+r AS (SELECT doc_id, {ratios} FROM dtt)
+SELECT doc_id, {cols}, {case} AS pred_lang FROM r
+"""
+
+
+LANGUAGE_ID = _lang_sql()
+
+QUALITY_SCORE = f"""
+WITH {TOKL},
+m AS (
+  SELECT d.doc_id,
+         len(ts) AS n,
+         len(list_distinct(ts)) AS nd,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE AS alnum,
+         length(text) AS tlen,
+         len(list_intersect(list_distinct(ts), {_stop_list("en")}))::DOUBLE
+           / greatest(len(list_distinct(ts)), 1) AS stop_en
+  FROM documents d JOIN tokl USING (doc_id)
+)
+SELECT doc_id,
+       n::BIGINT AS n_tokens,
+       round(nd::DOUBLE / greatest(n, 1), 6) AS ttr,
+       round(alnum / greatest(tlen, 1), 6) AS alnum_ratio,
+       round(least(n::DOUBLE / 50.0, 1.0)
+             * (0.5 + 0.5 * (nd::DOUBLE / greatest(n, 1)))
+             * (alnum / greatest(tlen, 1))
+             * (0.8 + 0.2 * least(stop_en * 10.0, 1.0)), 6) AS quality
+FROM m
+"""
+
+DOC_FINGERPRINTS = f"""
+SELECT doc_id,
+       md5({NORM_TEXT}) AS content_hash,
+       list_min([md5(substr(lower(text), i, 5)) FOR i IN range(1, length(text) - 3)])
+         AS min_ngram_hash
+FROM documents
+"""
+
+PIPELINE_ORACLES: dict[str, str] = {
+    "dedup_exact": DEDUP_EXACT,
+    "dedup_minhash_lsh": DEDUP_MINHASH_LSH,
+    "ngram_jaccard_pairs": NGRAM_JACCARD,
+    "dedup_simhash": DEDUP_SIMHASH,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE,
+    "token_stats": TOKEN_STATS,
+    "language_id": LANGUAGE_ID,
+    "quality_score": QUALITY_SCORE,
+    "doc_fingerprints": DOC_FINGERPRINTS,
+}

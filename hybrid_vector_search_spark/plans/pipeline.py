@@ -1,0 +1,91 @@
+"""Training-data pipeline query plans (dedup + text analysis suite).
+
+Query-shaped entry points over the testdata `documents`/`embeddings` tables
+for the operators in operators.dedup and operators.textstats, used by both
+the driver contract (__spark_entry__) and the benchmarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, textstats
+from ..sources import load_table
+
+# Exact-dedup demo corpus: documents plus planted duplicates (every 50th doc
+# re-inserted under a shifted id) — mirrors re-crawled content in a real
+# corpus. The oracle performs the identical union.
+PLANT_STEP = 50
+PLANT_OFFSET = 10_000
+
+
+def _with_planted_dupes(docs: DataFrame) -> DataFrame:
+    dupes = docs.where(F.col("doc_id") % PLANT_STEP == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionAll(dupes)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_planted_dupes(load_table(spark, sf_dir, "documents"))
+    out = dedup.exact_dedup(docs, "doc_id", "text")
+    return out.select("doc_id", "content_hash", "is_duplicate")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.minhash_near_dups(
+        docs, "doc_id", "text", min_jaccard=0.7, bands=4, rows_per_band=2, shingle_n=3
+    )
+    return out.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    out = dedup.jaccard_pairs(sh, min_jaccard=0.5)
+    return out.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text", bits=32).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_dups(emb, "vec_id", "embedding", threshold=0.45)
+    return out.select(
+        F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "cos"
+    )
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.token_stats(docs, "doc_id", "text")
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.language_id(docs, "doc_id", "text")
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.quality_score(docs, "doc_id", "text")
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.fingerprints(docs, "doc_id", "text", ngram=5)
