@@ -21,6 +21,7 @@ from hybrid_vector_search_spark.operators import fusion as fusion_op
 from hybrid_vector_search_spark.operators import knn as knn_op
 from hybrid_vector_search_spark.plans import pipeline, relational
 from hybrid_vector_search_spark.plans.oracles import PIPELINE_ORACLES
+from hybrid_vector_search_spark.streaming import events as events_op
 from hybrid_vector_search_spark.sources import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -124,6 +125,20 @@ def q_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("score"), F.asc("id")).limit(10)
 
 
+# ------------------------------------------------------- streaming (batch parity)
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch semantics of the streaming tumbling-window aggregate; the
+    streaming variant (availableNow) is pinned equal in tests/test_streaming."""
+    return events_op.hourly_rollup(load_table(spark, sf_dir, "events"))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = events_op.sessionize(load_table(spark, sf_dir, "events"))
+    return out.withColumn("session_seq", F.col("session_seq").cast("long"))
+
+
 # ------------------------------------------------- distinct-values endpoint
 
 
@@ -164,6 +179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": pipeline.language_id,
         "quality_score": pipeline.quality_score,
         "doc_fingerprints": pipeline.doc_fingerprints,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -319,6 +336,39 @@ SELECT o_orderkey AS "catalogId", o_orderstatus, o_totalprice,
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 """
 
+_EVENTS_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       sum(value::DECIMAL(18,4))::DOUBLE AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+_SESSIONIZE_ORACLE = """
+WITH g AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts)::BIGINT - epoch(lag(ts) OVER w)::BIGINT > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
+FROM s
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -339,4 +389,6 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_counts": _PRIORITY_ORACLE,
         "flatten_roundtrip": _FLATTEN_ORACLE,
         **PIPELINE_ORACLES,
+        "events_hourly_rollup": _EVENTS_HOURLY_ORACLE,
+        "events_sessionize": _SESSIONIZE_ORACLE,
     }

@@ -30,7 +30,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     so Catalyst can push query-specific filters/projections into the scan."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the file; with
+        # spark.sql.legacy.parquet.nanosAsLong it scans as epoch-nanos long.
+        # Convert to a proper timestamp (micros — matches DuckDB's precision).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

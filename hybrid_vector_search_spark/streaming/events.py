@@ -1,0 +1,192 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has NO streaming surface (SURVEY.md §2.10) — its offline
+pipeline is restartable batch scripts. A 100 TB engine needs the streaming
+variants of its aggregations, so this module provides:
+
+- ``hourly_rollup``          — batch tumbling-window aggregate (driver-checkable
+                               against SQL); the semantics shared by both paths
+- ``stream_hourly_rollup``   — the same aggregate as an incremental
+                               Structured Streaming query with a watermark
+- ``sessionize``             — batch gap-based sessionization (lag + running
+                               sum of session breaks)
+- ``stream_sessionize``      — stateful streaming sessionization via
+                               applyInPandasWithState with a session-gap
+                               timeout
+
+Batch/stream parity is pinned by tests/test_streaming.py: running the stream
+with ``trigger(availableNow=True)`` over the same parquet input must produce
+exactly the batch result (this is Spark's unified-semantics promise — the
+incremental plan maintains the same aggregation state the batch plan computes
+in one shot).
+
+Scale notes: the streaming aggregate is keyed by (window, event_type) — state
+size ∝ active windows × types, bounded by the watermark which expires state
+older than the allowed lateness. Sessionization state is per user_id with a
+processing-timeout eviction; on a real cluster back it with RocksDB state
+store (spark.sql.streaming.stateStore.providerClass).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_MIN = 30
+DEC = "decimal(18,4)"
+
+
+# ------------------------------------------------------------- hourly rollup
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window per event_type: count + exact value sum."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").start.alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def _event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Parquet file-source stream of events with the same ts normalization as
+    sources.loaders.load_table (TIMESTAMP(NANOS) scanned as long → micros)."""
+    schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def stream_hourly_rollup(
+    spark: SparkSession, source_dir: str, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming variant: parquet file source → watermark → windowed agg.
+
+    Returns a streaming DataFrame; callers pick the sink/trigger. With
+    ``availableNow`` it drains the directory and stops — the incremental
+    equivalent of the batch job (reference embed.py's --skip-existing
+    restartability, done properly by the engine).
+    """
+    stream = _event_stream(spark, source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").start.alias("hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+    )
+
+
+# ------------------------------------------------------------- sessionization
+
+
+def sessionize(events: DataFrame, *, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the time since
+    the previous event exceeds the gap. Pure window functions — one shuffle
+    on user_id; the running sum never leaves the per-user partition."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_break = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    with_session = events.withColumn(
+        "session_seq", F.sum(is_break).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_session.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def _session_state_fn(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user session accumulator for stream_sessionize.
+
+    State = (session_start_us, last_ts_us, n_events, sum_value) with epochs
+    as integer microseconds (exact; float seconds would ns-jitter the Arrow
+    timestamp conversion). A micro-batch's events are folded in event-time
+    order; sessions closed by the gap rule are emitted, the open session
+    stays in state and is emitted on timeout.
+    """
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    (user_id,) = key
+
+    def _row(start: int, last: int, n: int, sv: float) -> dict:
+        return {
+            "user_id": user_id,
+            "session_start": pd.Timestamp(start, unit="us", tz="UTC"),
+            "session_end": pd.Timestamp(last, unit="us", tz="UTC"),
+            "n_events": n,
+            "sum_value": sv,
+            "open": False,
+        }
+
+    if state.hasTimedOut:
+        if state.exists:
+            start, last, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame([_row(start, last, n, sv)])
+        return
+
+    rows = pd.concat(list(pdf_iter)).sort_values("ts")
+    closed: list[dict] = []
+    if state.exists:
+        start, last, n, sv = state.get
+    else:
+        start = last = None  # type: ignore[assignment]
+        n, sv = 0, 0.0
+    for _, r in rows.iterrows():
+        t = int(pd.Timestamp(r["ts"]).value // 1_000)  # ns → µs
+        if last is not None and t - last > gap_us:
+            closed.append(_row(start, last, n, sv))
+            start, n, sv = t, 0, 0.0
+        if start is None:
+            start = t
+        last = t
+        n += 1
+        sv += float(r["value"])
+    state.update((int(start), int(last), int(n), float(sv)))
+    state.setTimeoutDuration(SESSION_GAP_MIN * 60 * 1000)
+    if closed:
+        yield pd.DataFrame(closed)
+
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, sum_value double, open boolean"
+)
+
+
+def stream_sessionize(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState)."""
+    stream = _event_stream(spark, source_dir)
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_state_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType="start bigint, last bigint, n bigint, sv double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,95 @@
+"""Batch/stream parity: the streaming variants drained with availableNow must
+reproduce the batch aggregates over the same input (Spark's unified-semantics
+promise, pinned)."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """File-source streams read directories; stage events.parquet into one."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_SMALL}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _drain(stream_df, query_name: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_hourly_rollup_matches_batch(spark, events_dir):
+    from hybrid_vector_search_spark.sources import load_table
+    from hybrid_vector_search_spark.streaming.events import hourly_rollup, stream_hourly_rollup
+
+    name = f"rollup_{uuid.uuid4().hex[:8]}"
+    stream = stream_hourly_rollup(spark, events_dir)
+    _drain(stream, name)
+    got = (
+        spark.table(name)
+        .select("hour", "event_type", "n_events", "sum_value")
+        .orderBy("hour", "event_type")
+        .collect()
+    )
+    want = (
+        hourly_rollup(load_table(spark, SF_SMALL, "events"))
+        .select("hour", "event_type", "n_events", "sum_value")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
+
+
+def test_stream_sessionize_closed_sessions_match_batch(spark, events_dir):
+    """availableNow drains all events in one batch; sessions CLOSED by a
+    mid-stream gap must match the batch sessionization's non-final sessions
+    (the final session per user stays open in state)."""
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+    from hybrid_vector_search_spark.sources import load_table
+    from hybrid_vector_search_spark.streaming.events import sessionize, stream_sessionize
+
+    name = f"sess_{_uuid.uuid4().hex[:8]}"
+    stream = stream_sessionize(spark, events_dir)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.table(name)
+        .select("user_id", "session_start", "n_events")
+        .orderBy("user_id", "session_start")
+        .collect()
+    )
+
+    batch = sessionize(load_table(spark, SF_SMALL, "events"))
+    w = Window.partitionBy("user_id")
+    closed = (
+        batch.withColumn("max_seq", F.max("session_seq").over(w))
+        .where(F.col("session_seq") < F.col("max_seq"))
+        .select("user_id", "session_start", "n_events")
+        .orderBy("user_id", "session_start")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in closed]
+    assert len(got) > 0
