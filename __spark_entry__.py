@@ -125,6 +125,27 @@ def q_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("score"), F.asc("id")).limit(10)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via the IVF partition-pruned layout (nprobe=4 of 8).
+
+    No oracle entry: KMeans cluster assignment is not SQL-expressible; the
+    recall-vs-exact property is pinned in tests/test_ivf.py instead (the
+    exact-KNN queries above remain the strict correctness path).
+    """
+    import tempfile
+
+    from hybrid_vector_search_spark.operators import ivf as ivf_op
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="hvs_ivf_") + "/index"
+    index = ivf_op.build_ivf(spark, emb, path, n_clusters=8)
+    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in row.embedding]
+    return ivf_op.ivf_search(spark, index, qv, 10, nprobe=4).select(
+        "vec_id", "label", "score"
+    )
+
+
 # ------------------------------------------------------- streaming (batch parity)
 
 
@@ -181,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": pipeline.doc_fingerprints,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_sessionize": q_events_sessionize,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 

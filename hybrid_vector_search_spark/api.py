@@ -1,0 +1,228 @@
+"""Public query API — the reference's /api/search and /api/restaurants
+endpoints re-expressed over Spark DataFrames.
+
+Validation/clamping/response contract mirrors reference backend/api.py:98-291
+exactly:
+
+- mode: lowered, default "vector", else 400 (api.py:102-104)
+- description required (post-strip) for vector/hybrid (api.py:109-110)
+- title required (post-strip) for hybrid/fulltext (api.py:112-113)
+- limit: int parse failure silently → 5; clamp [1, 25] (api.py:115-119)
+- available: bool() coercion when present (api.py:122-124)
+- maxPrice: float parse failure → 400 (api.py:126-131); filter is STRICT <
+  (api.py:37-38)
+- restaurant: blank after strip ⇒ no filter (api.py:133-137)
+- vector mode: filter applied INSIDE the ANN stage (pre-filter, api.py:178-180)
+- hybrid: filter pre-applied to the vector branch only + residual re-filter
+  AFTER fusion (api.py:238-239); text branch runs unfiltered
+- fulltext: residual filter AFTER scoring (api.py:265-266)
+- hybrid projects scoreDetails (not a bare score), vector/fulltext project
+  score (api.py:192-199, 242-250, 269-277)
+- response: {"mode": mode, "results": [sanitized docs]} (api.py:291)
+
+The engine is storage-agnostic: a SearchConfig names which columns play the
+roles of id/title/embedding/filter fields, so the same facade serves the
+reference's product_detail schema or any corpus with an embedding column.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .operators import bm25 as bm25_op
+from .operators import fusion as fusion_op
+from .operators.embed import HashingEmbedder, query_vector
+from .operators.knn import clamp_limit, knn
+
+MODES = {"vector", "hybrid", "fulltext"}
+
+
+class ApiError(Exception):
+    """Maps to the reference's 4xx/5xx JSON error responses."""
+
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+        self.message = message
+
+
+@dataclass
+class SearchConfig:
+    id_col: str = "_id"
+    title_col: str = "title"
+    text_col: str = "description"  # the embedded text (reference: product.description)
+    emb_col: str = "emb_description"
+    available_col: str | None = None  # reference: product.available
+    price_col: str | None = None  # reference: product.price.amount
+    restaurant_col: str | None = None  # reference: restaurantName
+    metric: str = "cosine"
+    extra_project: tuple[str, ...] = field(default_factory=tuple)
+
+
+class SearchEngine:
+    """DataFrame-backed search engine with the reference's query surface."""
+
+    def __init__(self, df: DataFrame, config: SearchConfig, *, embedder=None):
+        self.df = df
+        self.cfg = config
+        self.embedder = embedder or HashingEmbedder()
+        # "index build": corpus-global text statistics over the FULL table,
+        # computed once and reused by every query (reference indexes.py is
+        # likewise a separate build step; see SURVEY.md §4.2 for why stats
+        # must never see a filtered corpus).
+        self._stats = bm25_op.build_text_stats(df, config.id_col, config.title_col).persist()
+
+    # ---------------------------------------------------------- endpoints
+
+    def restaurants(self) -> list[str]:
+        """GET /api/restaurants: distinct non-null values, ascending
+        (reference backend/api.py:84-95)."""
+        if not self.cfg.restaurant_col:
+            return []
+        rows = (
+            self.df.select(F.col(self.cfg.restaurant_col).alias("v"))
+            .where(F.col("v").isNotNull())
+            .distinct()
+            .orderBy(F.asc("v"))
+            .collect()
+        )
+        return [r.v for r in rows]
+
+    def search(self, payload: dict[str, Any] | None) -> dict[str, Any]:
+        """POST /api/search."""
+        payload = payload or {}
+        mode = (payload.get("mode") or "vector").lower()
+        if mode not in MODES:
+            raise ApiError(400, "Modo de búsqueda no válido.")
+
+        description = (payload.get("description") or "").strip()
+        title_value = (payload.get("title") or "").strip()
+        if mode in {"vector", "hybrid"} and not description:
+            raise ApiError(400, "La descripción es obligatoria para la búsqueda seleccionada.")
+        if mode in {"hybrid", "fulltext"} and not title_value:
+            raise ApiError(400, "El título es obligatorio para la búsqueda seleccionada.")
+
+        try:
+            limit = int(payload.get("limit", 5))
+        except (TypeError, ValueError):
+            limit = 5
+        limit = clamp_limit(limit)
+
+        available = payload.get("available")
+        if available is not None:
+            available = bool(available)
+        max_price = payload.get("maxPrice")
+        if max_price is not None:
+            try:
+                max_price = float(max_price)
+            except (TypeError, ValueError):
+                raise ApiError(400, "El formato del precio máximo no es válido.")
+        restaurant = payload.get("restaurant")
+        if restaurant is not None:
+            restaurant = restaurant.strip() or None
+
+        pre_filter = self._filter(available, max_price, restaurant)
+
+        if mode == "vector":
+            out = self._vector(description, limit, pre_filter)
+        elif mode == "hybrid":
+            out = self._hybrid(description, title_value, limit, pre_filter)
+        else:
+            out = self._fulltext(title_value, limit, residual=pre_filter)
+        return {"mode": mode, "results": [self._sanitize(r.asDict(True)) for r in out.collect()]}
+
+    # ------------------------------------------------------------ internals
+
+    def _filter(self, available, max_price, restaurant) -> Column | None:
+        """Reference build_filter_components (backend/api.py:29-50):
+        equality on available/restaurant, strict < on price, AND-combined."""
+        conds: list[Column] = []
+        if available is not None and self.cfg.available_col:
+            conds.append(F.col(self.cfg.available_col) == available)
+        if max_price is not None and self.cfg.price_col:
+            conds.append(F.col(self.cfg.price_col) < max_price)
+        if restaurant is not None and self.cfg.restaurant_col:
+            conds.append(F.col(self.cfg.restaurant_col) == restaurant)
+        if not conds:
+            return None
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    def _project_cols(self) -> list[str]:
+        cols = [self.cfg.id_col, self.cfg.title_col, *self.cfg.extra_project]
+        if self.cfg.restaurant_col:
+            cols.append(self.cfg.restaurant_col)
+        return cols
+
+    def _vector(self, description: str, limit: int, pre_filter: Column | None) -> DataFrame:
+        qv = query_vector(description, embedder=self.embedder)
+        out = knn(
+            self.df,
+            qv,
+            limit,
+            vector_col=self.cfg.emb_col,
+            id_col=self.cfg.id_col,
+            metric=self.cfg.metric,
+            pre_filter=pre_filter,
+        )
+        return out.select(*self._project_cols(), "score")
+
+    def _fulltext(self, title_value: str, limit: int, *, residual: Column | None) -> DataFrame:
+        out = bm25_op.fulltext(
+            self.df,
+            title_value,
+            limit,
+            id_col=self.cfg.id_col,
+            text_col=self.cfg.title_col,
+            stats=self._stats,
+            residual_filter=residual,
+        )
+        return out.select(*self._project_cols(), "score")
+
+    def _hybrid(
+        self, description: str, title_value: str, limit: int, pre_filter: Column | None
+    ) -> DataFrame:
+        id_col = self.cfg.id_col
+        qv = query_vector(description, embedder=self.embedder)
+        vec_branch = knn(
+            self.df,
+            qv,
+            limit,
+            vector_col=self.cfg.emb_col,
+            id_col=id_col,
+            metric=self.cfg.metric,
+            pre_filter=pre_filter,  # vector branch only (api.py:178-180)
+        ).select(F.col(id_col).alias("id"), "score")
+        txt_branch = bm25_op.bm25_scores(self._stats, bm25_op._py_tokens(title_value))
+        fused = fusion_op.score_fusion(
+            {"vector": vec_branch, "text": txt_branch},
+            {"vector": fusion_op.VECTOR_WEIGHT, "text": fusion_op.TEXT_WEIGHT},
+            include_details=True,
+        )
+        out = fused.join(self.df, fused.id == F.col(id_col)).drop("id")
+        if pre_filter is not None:  # residual re-filter AFTER fusion (api.py:238-239)
+            out = out.where(pre_filter)
+        return (
+            out.orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(limit)
+            .select(*self._project_cols(), "score", "score_details")
+        )
+
+    def _sanitize(self, doc: dict[str, Any]) -> dict[str, Any]:
+        """Reference sanitize_result (backend/api.py:53-81): stringify ids,
+        floatify scores, JSON-encode score details."""
+        out = dict(doc)
+        if self.cfg.id_col in out and out[self.cfg.id_col] is not None:
+            out[self.cfg.id_col] = str(out[self.cfg.id_col])
+        if out.get("score") is not None:
+            out["score"] = float(out["score"])
+        if "score_details" in out and out["score_details"] is not None:
+            out["score_details"] = json.loads(json.dumps(out["score_details"], default=str))
+        return out

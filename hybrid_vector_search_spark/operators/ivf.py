@@ -1,0 +1,107 @@
+"""IVF-style approximate nearest-neighbour layout (the numCandidates dial).
+
+The reference's ANN quality/latency knob is ``numCandidates`` — how many HNSW
+candidates Atlas explores before returning top-k (reference
+backend/api.py:120,168-176; local-test.py:151). Spark has no ANN index; the
+idiomatic equivalent (SURVEY.md §4.3) is an IVF (inverted-file) layout
+(Jégou et al. 2011):
+
+- BUILD: KMeans (pyspark.ml) fits ``n_clusters`` centroids on the embedding
+  column; every row is assigned its nearest centroid; the corpus is written
+  as parquet PARTITIONED BY cluster_id.
+- QUERY: the query vector is compared to the centroids driver-side (tiny),
+  the ``nprobe`` nearest clusters are selected, and the scan reads ONLY those
+  partitions (partition pruning — visible as a PartitionFilters entry in the
+  scan node). Exact KNN then reranks within the probed subset.
+
+``nprobe`` ≡ numCandidates: recall rises toward 1.0 as nprobe → n_clusters,
+at proportional scan cost. Recall is measured, not assumed
+(tests/test_ivf.py), and the exact path stays the correctness default.
+
+Scale: at 100 TB the build is one KMeans over a sample + one partitioned
+write; queries read nprobe/n_clusters of the data. Skewed clusters (natural
+in real embeddings) can be split by capping partition size at write
+(maxRecordsPerFile) without changing query semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .knn import knn
+
+
+@dataclass
+class IVFIndex:
+    path: str
+    centroids: np.ndarray  # (n_clusters, dim), float64
+    id_col: str
+    vector_col: str
+    metric: str
+
+    def nearest_clusters(self, query_vector: list[float], nprobe: int) -> list[int]:
+        q = np.asarray(query_vector, dtype=np.float64)
+        c = self.centroids
+        if self.metric == "euclidean":
+            d = np.linalg.norm(c - q, axis=1)
+            order = np.argsort(d)
+        else:  # cosine / dotProduct both rank by direction for probing
+            sims = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q) + 1e-12)
+            order = np.argsort(-sims)
+        return [int(i) for i in order[:nprobe]]
+
+
+def build_ivf(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    n_clusters: int = 16,
+    metric: str = "cosine",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> IVFIndex:
+    """Fit centroids, assign rows, write the partitioned layout."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.withColumn("_features", array_to_vector(F.col(vector_col).cast("array<double>")))
+    km = KMeans(k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="_features",
+                predictionCol="cluster_id")
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("_features")
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()], dtype=np.float64)
+    return IVFIndex(path=path, centroids=centroids, id_col=id_col, vector_col=vector_col,
+                    metric=metric)
+
+
+def ivf_search(
+    spark: SparkSession,
+    index: IVFIndex,
+    query_vector: list[float],
+    k: int,
+    *,
+    nprobe: int = 4,
+    pre_filter=None,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Probe nprobe clusters (partition-pruned scan) + exact rerank within."""
+    clusters = index.nearest_clusters(query_vector, nprobe)
+    scan = spark.read.parquet(index.path).where(F.col("cluster_id").isin(clusters))
+    return knn(
+        scan.drop("cluster_id"),
+        query_vector,
+        k,
+        vector_col=index.vector_col,
+        id_col=index.id_col,
+        metric=index.metric,
+        pre_filter=pre_filter,
+        round_dp=round_dp,
+    )

@@ -1,0 +1,136 @@
+"""API facade contract tests — the reference's validation/clamping/response
+semantics (backend/api.py:98-291) against a corpus embedded with the
+deterministic HashingEmbedder."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    from hybrid_vector_search_spark.api import SearchConfig, SearchEngine
+    from hybrid_vector_search_spark.operators.embed import embed_documents
+    from hybrid_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    corpus = embed_documents(docs, "text", "emb").cache()
+    cfg = SearchConfig(
+        id_col="doc_id",
+        title_col="text",
+        emb_col="emb",
+        restaurant_col="source",
+        price_col="n_chars",
+    )
+    return SearchEngine(corpus, cfg)
+
+
+def test_invalid_mode_is_400(engine):
+    from hybrid_vector_search_spark.api import ApiError
+
+    with pytest.raises(ApiError) as e:
+        engine.search({"mode": "nope", "description": "x"})
+    assert e.value.status == 400
+
+
+def test_vector_requires_description(engine):
+    from hybrid_vector_search_spark.api import ApiError
+
+    with pytest.raises(ApiError) as e:
+        engine.search({"mode": "vector", "description": "   "})
+    assert e.value.status == 400
+
+
+def test_fulltext_requires_title(engine):
+    from hybrid_vector_search_spark.api import ApiError
+
+    with pytest.raises(ApiError) as e:
+        engine.search({"mode": "fulltext"})
+    assert e.value.status == 400
+
+
+def test_bad_maxprice_is_400_but_bad_limit_is_not(engine):
+    from hybrid_vector_search_spark.api import ApiError
+
+    with pytest.raises(ApiError):
+        engine.search({"description": "spark", "maxPrice": "not-a-number"})
+    # reference silently defaults an unparseable limit to 5 (api.py:115-118)
+    res = engine.search({"description": "spark fast table", "limit": "zzz"})
+    assert res["mode"] == "vector"
+    assert len(res["results"]) == 5
+
+
+def test_limit_clamped_to_25(engine):
+    res = engine.search({"description": "spark fast table", "limit": 999})
+    assert len(res["results"]) == 25
+
+
+def test_vector_search_finds_own_text(engine, spark):
+    """Self-consistency: querying with a document's own text ranks that
+    document first (deterministic embedder)."""
+    from hybrid_vector_search_spark.sources import load_table
+
+    row = load_table(spark, SF_SMALL, "documents").where(F.col("doc_id") == 7).head()
+    res = engine.search({"mode": "vector", "description": row.text, "limit": 3})
+    assert res["results"][0]["doc_id"] == "7"
+    assert res["results"][0]["score"] > res["results"][1]["score"]
+
+
+def test_vector_prefilter_restricts_results(engine):
+    res = engine.search(
+        {"mode": "vector", "description": "spark fast", "restaurant": "src3", "limit": 10}
+    )
+    assert len(res["results"]) == 10  # pre-filter: still k results when k exist
+    assert all(r["source"] == "src3" for r in res["results"])
+
+
+def test_blank_restaurant_means_no_filter(engine):
+    a = engine.search({"description": "spark fast", "restaurant": "   ", "limit": 5})
+    b = engine.search({"description": "spark fast", "limit": 5})
+    assert [r["doc_id"] for r in a["results"]] == [r["doc_id"] for r in b["results"]]
+
+
+def test_fulltext_and_hybrid_shapes(engine):
+    ft = engine.search({"mode": "fulltext", "title": "spark fast table", "limit": 5})
+    assert ft["results"] and "score" in ft["results"][0]
+    assert "score_details" not in ft["results"][0]
+    hy = engine.search(
+        {"mode": "hybrid", "description": "spark fast table", "title": "spark fast", "limit": 5}
+    )
+    assert hy["results"] and "score_details" in hy["results"][0]
+    det = hy["results"][0]["score_details"]
+    assert set(det) == {"vector", "text"} and "normalized" in det["vector"]
+
+
+def test_fusion_missing_branch_contributes_zero(spark):
+    """A doc found by only one branch still surfaces (full-outer alignment)
+    and the missing branch contributes 0 — coalesce(σ(s), 0), NOT σ(0)=0.5
+    (SURVEY.md §7.5.3)."""
+    import math
+
+    from hybrid_vector_search_spark.operators.fusion import score_fusion
+
+    vec = spark.createDataFrame([(1, 0.9), (2, 0.8)], "id long, score double")
+    txt = spark.createDataFrame([(2, 3.0), (3, 2.0)], "id long, score double")
+    out = {
+        r.id: r
+        for r in score_fusion(
+            {"vector": vec, "text": txt}, {"vector": 10.0, "text": 1.0},
+            include_details=True, round_dp=None,
+        ).collect()
+    }
+    sig = lambda s: 1.0 / (1.0 + math.exp(-s))
+    assert set(out) == {1, 2, 3}
+    assert out[1].score == pytest.approx(10 * sig(0.9))  # text missing → +0
+    assert out[2].score == pytest.approx(10 * sig(0.8) + sig(3.0))
+    assert out[3].score == pytest.approx(sig(2.0))  # vector missing → +0
+    assert out[3].score_details.vector.raw is None
+    assert out[3].score_details.vector.normalized == 0.0
+
+
+def test_restaurants_endpoint(engine):
+    vals = engine.restaurants()
+    assert vals == sorted(vals) and "src0" in vals

@@ -1,0 +1,65 @@
+"""IVF index properties: recall vs exact KNN, full-probe equivalence, and
+partition pruning actually reaching the scan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_MID
+
+N_CLUSTERS = 8
+
+
+@pytest.fixture(scope="module")
+def ivf(spark, tmp_path_factory):
+    from hybrid_vector_search_spark.operators.ivf import build_ivf
+    from hybrid_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, SF_MID, "embeddings")
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    return build_ivf(spark, emb, path, n_clusters=N_CLUSTERS)
+
+
+def _query_vec(spark):
+    from hybrid_vector_search_spark.sources import load_table
+
+    row = (
+        load_table(spark, SF_MID, "embeddings").where(F.col("vec_id") == 0).head()
+    )
+    return [float(x) for x in row.embedding]
+
+
+def test_full_probe_equals_exact(spark, ivf):
+    from hybrid_vector_search_spark.operators.ivf import ivf_search
+    from hybrid_vector_search_spark.operators.knn import knn
+    from hybrid_vector_search_spark.sources import load_table
+
+    qv = _query_vec(spark)
+    exact = knn(load_table(spark, SF_MID, "embeddings"), qv, 10).collect()
+    probed = ivf_search(spark, ivf, qv, 10, nprobe=N_CLUSTERS).collect()
+    assert [(r.vec_id, r.score) for r in probed] == [(r.vec_id, r.score) for r in exact]
+
+
+def test_recall_improves_with_nprobe(spark, ivf):
+    from hybrid_vector_search_spark.operators.ivf import ivf_search
+    from hybrid_vector_search_spark.operators.knn import knn
+    from hybrid_vector_search_spark.sources import load_table
+
+    qv = _query_vec(spark)
+    exact_ids = {r.vec_id for r in knn(load_table(spark, SF_MID, "embeddings"), qv, 10).collect()}
+    r1 = {r.vec_id for r in ivf_search(spark, ivf, qv, 10, nprobe=1).collect()}
+    r4 = {r.vec_id for r in ivf_search(spark, ivf, qv, 10, nprobe=4).collect()}
+    recall1 = len(r1 & exact_ids) / len(exact_ids)
+    recall4 = len(r4 & exact_ids) / len(exact_ids)
+    assert recall4 >= recall1
+    assert recall4 >= 0.5
+
+
+def test_partition_pruning_reaches_scan(spark, ivf):
+    from hybrid_vector_search_spark.operators.ivf import ivf_search
+
+    qv = _query_vec(spark)
+    df = ivf_search(spark, ivf, qv, 5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "cluster_id" in plan and ("PartitionFilters" in plan or "partition" in plan.lower())
