@@ -1,0 +1,48 @@
+"""Fast-path kernels must reproduce the pure-Catalyst baselines exactly
+(after 6-dp rounding): numpy KNN vs expression KNN, numpy near-dup matmul vs
+SQL self-join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMALL
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dotProduct", "euclidean"])
+def test_knn_numpy_kernel_matches_expr(spark, metric):
+    from hybrid_vector_search_spark.operators.knn import knn
+    from hybrid_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
+    a = knn(emb, qv, 10, metric=metric, kernel="expr").collect()
+    b = knn(emb, qv, 10, metric=metric, kernel="numpy").collect()
+    assert [(r.vec_id, r.score) for r in a] == [(r.vec_id, r.score) for r in b]
+
+
+def test_shingle_pandas_kernel_matches_sql(spark):
+    from hybrid_vector_search_spark.operators.dedup import shingle_table
+    from hybrid_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    a = set(map(tuple, shingle_table(docs, "doc_id", "text", kernel="sql").collect()))
+    b = set(map(tuple, shingle_table(docs, "doc_id", "text", kernel="pandas").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_near_dup_numpy_kernel_matches_sql(spark):
+    from hybrid_vector_search_spark.operators.dedup import embedding_near_dups
+    from hybrid_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    sql_pairs = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_near_dups(emb, "vec_id", "embedding", threshold=0.4, kernel="sql").collect()
+    }
+    np_pairs = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_near_dups(emb, "vec_id", "embedding", threshold=0.4, kernel="numpy").collect()
+    }
+    assert sql_pairs == np_pairs and len(np_pairs) > 0
