@@ -27,9 +27,15 @@ def main() -> None:
     from hybrid_vector_search_spark.session import get_spark
 
     spark = get_spark("hvs-bench")
-    # one trivial action to absorb JVM/session warmup, so per-query numbers
-    # measure the queries rather than first-action initialization
+    # absorb one-time session costs so per-query numbers measure the queries:
+    # JVM/codegen warmup plus the Python worker pool (reused across queries,
+    # spark.python.worker.reuse) that the Arrow-batched kernels run on
     spark.range(1).count()
+    import pandas as _pd
+
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():

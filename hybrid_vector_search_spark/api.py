@@ -205,8 +205,8 @@ class SearchEngine:
             {"vector": vec_branch, "text": txt_branch},
             {"vector": fusion_op.VECTOR_WEIGHT, "text": fusion_op.TEXT_WEIGHT},
             include_details=True,
-        )
-        out = fused.join(self.df, fused.id == F.col(id_col)).drop("id")
+        ).withColumnRenamed("id", "__fused_id")  # corpus may have its own `id`
+        out = fused.join(self.df, F.col("__fused_id") == F.col(id_col)).drop("__fused_id")
         if pre_filter is not None:  # residual re-filter AFTER fusion (api.py:238-239)
             out = out.where(pre_filter)
         return (
@@ -214,6 +214,37 @@ class SearchEngine:
             .limit(limit)
             .select(*self._project_cols(), "score", "score_details")
         )
+
+    def cli_search(
+        self,
+        query: str,
+        *,
+        k: int = 5,
+        filter_available: bool | None = None,
+        min_price: float | None = None,
+        max_price: float | None = None,
+    ) -> list[dict[str, Any]]:
+        """The reference's local-test.py CLI entry point: vector-only search
+        with INCLUSIVE range bounds (gte/lte, local-test.py:98-111) — note
+        the web API's maxPrice is strict < (backend/api.py:37-38); the engine
+        exposes both boundary semantics (SURVEY.md §2.2 P3).
+
+        numCandidates = max(k*5, 200) (local-test.py:151) has no exact-search
+        analog (recall is 1.0); it returns as nprobe in operators.ivf.
+        """
+        conds: list[Column] = []
+        if filter_available is not None and self.cfg.available_col:
+            conds.append(F.col(self.cfg.available_col) == filter_available)
+        if self.cfg.price_col:
+            if min_price is not None:
+                conds.append(F.col(self.cfg.price_col) >= min_price)
+            if max_price is not None:
+                conds.append(F.col(self.cfg.price_col) <= max_price)
+        pre = None
+        for c in conds:
+            pre = c if pre is None else pre & c
+        out = self._vector(query, clamp_limit(k), pre)
+        return [self._sanitize(r.asDict(True)) for r in out.collect()]
 
     def _sanitize(self, doc: dict[str, Any]) -> dict[str, Any]:
         """Reference sanitize_result (backend/api.py:53-81): stringify ids,

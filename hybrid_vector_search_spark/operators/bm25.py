@@ -127,8 +127,10 @@ def fulltext(
     if stats is None:
         stats = build_text_stats(df, id_col, text_col)
     q_terms = [t for t in _py_tokens(query)]
-    scores = bm25_scores(stats, q_terms, round_dp=round_dp)
-    out = df.join(scores, F.col(id_col) == F.col("id"), "inner").drop("id")
+    scores = bm25_scores(stats, q_terms, round_dp=round_dp).withColumnRenamed(
+        "id", "__bm25_id"  # corpus may legitimately have its own `id` column
+    )
+    out = df.join(scores, F.col(id_col) == F.col("__bm25_id"), "inner").drop("__bm25_id")
     if residual_filter is not None:
         out = out.where(residual_filter)
     return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

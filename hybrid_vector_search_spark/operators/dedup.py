@@ -96,7 +96,10 @@ def shingle_table(
                     hs.append(hashlib.md5(g.encode("utf-8")).hexdigest())
             yield pd.DataFrame({"id": pd.Series(ids, dtype=pdf["id"].dtype), "sh": hs})
 
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    # fan the CPU-bound kernel across cores (single-split parquet otherwise
+    # pins the whole corpus's hashing on one task)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).repartition(par)
     return src.mapInPandas(kern, "id long, sh string")
 
 

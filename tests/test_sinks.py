@@ -1,0 +1,61 @@
+"""Sink semantics: bulk write, overwrite-replace, incremental column update
+(the reference's insert_many / drop / skip-existing $set, SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMALL
+
+
+def test_bulk_write_and_overwrite(spark, tmp_path):
+    from hybrid_vector_search_spark.sources import load_table
+    from hybrid_vector_search_spark.sources.sinks import bulk_write
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    p = str(tmp_path / "docs")
+    bulk_write(docs, p, mode="overwrite", max_records_per_file=100)
+    assert spark.read.parquet(p).count() == docs.count()
+    bulk_write(docs.limit(10), p, mode="overwrite")  # S5 drop-and-replace
+    assert spark.read.parquet(p).count() == 10
+
+
+def test_incremental_update_skips_existing(spark, tmp_path):
+    """Rows with a non-null value keep it bit-for-bit; only NULLs computed —
+    the reference's --skip-existing embedding backfill."""
+    from hybrid_vector_search_spark.sources.sinks import incremental_update
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(1, "aa", None), (2, "bb", 99.0), (3, "cc", None)],
+        "id long, text string, feat double",
+    ).write.parquet(src)
+
+    got = incremental_update(
+        spark, src, out, lambda df: F.length("text").cast("double"), "feat"
+    )
+    vals = {r.id: r.feat for r in got.collect()}
+    assert vals == {1: 2.0, 2: 99.0, 3: 2.0}
+
+
+def test_cli_search_inclusive_bounds(spark):
+    from hybrid_vector_search_spark.api import SearchConfig, SearchEngine
+    from hybrid_vector_search_spark.operators.embed import embed_documents
+    from hybrid_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    corpus = embed_documents(docs, "text", "emb")
+    eng = SearchEngine(
+        corpus,
+        SearchConfig(
+            id_col="doc_id",
+            title_col="text",
+            emb_col="emb",
+            price_col="n_chars",
+            extra_project=("n_chars",),
+        ),
+    )
+    lo = int(docs.agg(F.min("n_chars")).head()[0])
+    res = eng.cli_search("spark fast", k=10, min_price=lo, max_price=lo)
+    assert res and all(r["n_chars"] == lo for r in res)  # inclusive both ends
