@@ -125,6 +125,39 @@ def q_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("score"), F.asc("id")).limit(10)
 
 
+def q_knn_bulk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk similarity search (knn_join): top-3 cosine neighbours for EVERY
+    query in a 10-vector batch — broadcast queries, per-query window top-k
+    (the training-pipeline retrieval shape)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    out = knn_op.knn_join(queries_df, corpus, k=3, metric="cosine")
+    return out.select("query_id", "vec_id", "score").orderBy(
+        "query_id", F.desc("score"), "vec_id"
+    )
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type value sums as columns (exact DECIMAL sums)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = [r[0] for r in ev.select("event_type").distinct().orderBy("event_type").collect()]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"))
+        .orderBy("user_id")
+    )
+    return out.select(
+        "user_id", *[F.col(t).alias(f"sum_{t}") for t in types]
+    )
+
+
+_IVF_CACHE: dict[str, object] = {}
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via the IVF partition-pruned layout (nprobe=4 of 8).
 
@@ -137,8 +170,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hybrid_vector_search_spark.operators import ivf as ivf_op
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="hvs_ivf_") + "/index"
-    index = ivf_op.build_ivf(spark, emb, path, n_clusters=8)
+    index = _IVF_CACHE.get(sf_dir)
+    if index is None:
+        path = tempfile.mkdtemp(prefix="hvs_ivf_") + "/index"
+        index = ivf_op.build_ivf(spark, emb, path, n_clusters=8)
+        _IVF_CACHE[sf_dir] = index
     row = emb.where(F.col("vec_id") == 0).select("embedding").head()
     qv = [float(x) for x in row.embedding]
     return ivf_op.ivf_search(spark, index, qv, 10, nprobe=4).select(
@@ -203,6 +239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_sessionize": q_events_sessionize,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "knn_bulk_topk": q_knn_bulk_topk,
+        "events_pivot": q_events_pivot,
     }
 
 
@@ -358,6 +396,33 @@ SELECT o_orderkey AS "catalogId", o_orderstatus, o_totalprice,
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 """
 
+_KNN_BULK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id, round({_COS}, 6) AS score
+  FROM embeddings e, q
+  WHERE e.vec_id >= 10
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= 3
+ORDER BY query_id, score DESC, vec_id
+"""
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_ORACLE = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN value::DECIMAL(18,4) END)::DOUBLE AS sum_{t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id ORDER BY user_id"
+)
+
 _EVENTS_HOURLY_ORACLE = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
@@ -413,4 +478,6 @@ def oracle_sql() -> dict[str, str]:
         **PIPELINE_ORACLES,
         "events_hourly_rollup": _EVENTS_HOURLY_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,
+        "knn_bulk_topk": _KNN_BULK_ORACLE,
+        "events_pivot": _PIVOT_ORACLE,
     }
