@@ -155,6 +155,23 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the events.props payload column
+    (get_json_object ≡ DuckDB json_extract_string) + exact aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _IVF_CACHE: dict[str, object] = {}
 
 
@@ -241,6 +258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "knn_bulk_topk": q_knn_bulk_topk,
         "events_pivot": q_events_pivot,
+        "events_json_extract": q_events_json_extract,
     }
 
 
@@ -412,6 +430,16 @@ SELECT query_id, vec_id, score FROM ranked WHERE rn <= 3
 ORDER BY query_id, score DESC, vec_id
 """
 
+_JSON_ORACLE = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 _PIVOT_ORACLE = (
@@ -480,4 +508,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _SESSIONIZE_ORACLE,
         "knn_bulk_topk": _KNN_BULK_ORACLE,
         "events_pivot": _PIVOT_ORACLE,
+        "events_json_extract": _JSON_ORACLE,
     }
