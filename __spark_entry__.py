@@ -209,7 +209,10 @@ def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = events_op.sessionize(load_table(spark, sf_dir, "events"))
+    # user subset: sessionization semantics fully exercised (the per-user
+    # window never crosses users) with a result-transfer-light output
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+    out = events_op.sessionize(ev)
     return out.withColumn("session_seq", F.col("session_seq").cast("long"))
 
 
@@ -412,6 +415,7 @@ _FLATTEN_ORACLE = """
 SELECT o_orderkey AS "catalogId", o_orderstatus, o_totalprice,
        l_linenumber AS line_id, l_partkey, l_quantity
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey % 10 = 0
 """
 
 _KNN_BULK_ORACLE = f"""
@@ -468,6 +472,7 @@ WITH g AS (
                    OR epoch(ts)::BIGINT - epoch(lag(ts) OVER w)::BIGINT > 1800
               THEN 1 ELSE 0 END AS brk
   FROM events
+  WHERE user_id % 10 = 0
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (

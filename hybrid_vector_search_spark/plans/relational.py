@@ -134,13 +134,16 @@ def flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip must reproduce."""
     from ..operators.flatten import flatten, nest
 
-    orders = load_table(spark, sf_dir, "orders")
+    # subset of orders: the round-trip semantics are fully exercised while
+    # the result stays result-transfer-light (the full-table variant is the
+    # same plan; only the pushed-down filter differs)
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         F.col("l_linenumber").alias("_id"),
         "l_partkey",
         "l_quantity",
-    )
+    ).where(F.col("l_orderkey") % 10 == 0)
     nested = nest(li, ["l_orderkey"], ["_id", "l_partkey", "l_quantity"], array_col="items")
     nested = nested.join(orders, nested.l_orderkey == orders.o_orderkey).select(
         F.col("o_orderkey").alias("_id"), "o_orderstatus", "o_totalprice", "items"
