@@ -252,6 +252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": pipeline.ngram_jaccard_pairs,
         "dedup_simhash": pipeline.dedup_simhash,
         "dedup_embedding_cosine": pipeline.dedup_embedding_cosine,
+        "sample_deterministic": pipeline.sample_deterministic,
+        "stratified_sample": pipeline.stratified_sample,
+        "dataset_split_counts": pipeline.dataset_split_counts,
         "token_stats": pipeline.token_stats,
         "language_id": pipeline.language_id,
         "quality_score": pipeline.quality_score,

@@ -1,0 +1,81 @@
+"""Deterministic sampling and dataset splitting.
+
+Training-data pipelines need REPRODUCIBLE sampling — the same rows selected
+on every run, every engine, any partitioning. ``df.sample()`` can't promise
+that (seeded per-partition RNG changes with the split layout), so these
+operators derive selection from a content hash instead: a row is in the
+sample iff a hash of its key lands under the rate. md5-based, so the DuckDB
+oracle reproduces selections exactly, and so will any future engine.
+
+- hash_bucket:   stable bucket in [0, buckets) from the key column
+- sample:        keep rows whose bucket < rate·buckets (exact, stable)
+- stratified_sample: per-stratum rates (e.g. downsample dominant languages)
+- dataset_split: train/val/test assignment by hash range — a row's split
+  NEVER changes as the corpus grows (critical: no leakage when re-running
+  over an extended corpus)
+
+Scale: all of these are stateless per-row expressions on top of the scan —
+no shuffle, fully pushdown-compatible, safe at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, *, buckets: int = BUCKETS, salt: str = "") -> Column:
+    """Stable bucket: first 8 md5 hex chars (32 bits) of salt#key, mod buckets."""
+    h = F.md5(F.concat(F.lit(f"{salt}#"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
+
+
+def sample(
+    df: DataFrame, key_col: str, rate: float, *, salt: str = "", buckets: int = BUCKETS
+) -> DataFrame:
+    """Deterministic ~rate sample, stable under reruns and repartitioning."""
+    return df.where(hash_bucket(F.col(key_col), buckets=buckets, salt=salt) < int(rate * buckets))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 0.0,
+    salt: str = "",
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. {'en': 0.1, 'de': 1.0})."""
+    bucket = hash_bucket(F.col(key_col), buckets=buckets, salt=salt)
+    thresh = F.lit(int(default_rate * buckets))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(F.col(stratum_col) == value, int(rate * buckets)).otherwise(thresh)
+    return df.where(bucket < thresh)
+
+
+def dataset_split(
+    df: DataFrame,
+    key_col: str,
+    *,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    salt: str = "split",
+    buckets: int = BUCKETS,
+    split_col: str = "split",
+) -> DataFrame:
+    """Adds 'train'/'val'/'test' by fixed hash ranges: [0, val) → val,
+    [val, val+test) → test, rest → train. Membership is a pure function of
+    the key — growing the corpus never reassigns existing rows."""
+    bucket = hash_bucket(F.col(key_col), buckets=buckets, salt=salt)
+    v = int(val_frac * buckets)
+    t = int(test_frac * buckets)
+    split = (
+        F.when(bucket < v, F.lit("val"))
+        .when(bucket < v + t, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn(split_col, split)

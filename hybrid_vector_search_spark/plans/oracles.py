@@ -196,6 +196,32 @@ SELECT doc_id,
 FROM documents
 """
 
+# operators.sampling.hash_bucket: first 8 md5 hex chars of 'salt#key' mod 10000
+def _bucket(salt: str, key: str = "doc_id") -> str:
+    return f"(('0x' || substr(md5('{salt}#' || {key}::VARCHAR), 1, 8))::BIGINT % 10000)"
+
+
+SAMPLE_DETERMINISTIC = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_bucket('')} < 1000
+"""
+
+STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_bucket('')} < (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 10000
+                       WHEN 'fr' THEN 5000 ELSE 0 END)
+"""
+
+DATASET_SPLIT_COUNTS = f"""
+SELECT CASE WHEN {_bucket('split')} < 1000 THEN 'val'
+            WHEN {_bucket('split')} < 2000 THEN 'test'
+            ELSE 'train' END AS split,
+       lang, count(*) AS n
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
 PIPELINE_ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH,
@@ -206,4 +232,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "language_id": LANGUAGE_ID,
     "quality_score": QUALITY_SCORE,
     "doc_fingerprints": DOC_FINGERPRINTS,
+    "sample_deterministic": SAMPLE_DETERMINISTIC,
+    "stratified_sample": STRATIFIED_SAMPLE,
+    "dataset_split_counts": DATASET_SPLIT_COUNTS,
 }

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, textstats
+from ..operators import dedup, sampling, textstats
 from ..sources import load_table
 
 # Exact-dedup demo corpus: documents plus planted duplicates (every 50th doc
@@ -89,3 +89,29 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return textstats.fingerprints(docs, "doc_id", "text", ngram=5)
+
+
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% hash-stable sample — identical membership on every run/engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.sample(docs, "doc_id", 0.10).select("doc_id", "lang")
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rates (downsample the dominant 'en', keep all 'de')."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.05, "de": 1.0, "fr": 0.5}
+    )
+    return out.select("doc_id", "lang")
+
+
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment; counts per (split, lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.dataset_split(docs, "doc_id", val_frac=0.1, test_frac=0.1)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split", "lang")
+    )
