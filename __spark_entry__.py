@@ -155,6 +155,56 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event enriched with the user's most recent signup
+    time at or before the event (operators.asof union-window technique —
+    one shuffle, no range fan-out)."""
+    from hybrid_vector_search_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    signups = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "signup")
+        .select("user_id", "ts")
+    )
+    out = asof_join(ev, signups, on="user_id", left_ts="ts", right_ts="ts")
+    return out.select("event_id", "user_id", "ts", F.col("asof_ts"))
+
+
+def q_lineitem_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big sort-merge self-join: same-order lineitem pairs from
+    different suppliers, counted per returnflag of the first item."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_returnflag").alias("l_returnflag"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction over the events.props payload column
     (get_json_object ≡ DuckDB json_extract_string) + exact aggregation."""
@@ -265,6 +315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bulk_topk": q_knn_bulk_topk,
         "events_pivot": q_events_pivot,
         "events_json_extract": q_events_json_extract,
+        "events_asof_signup": q_events_asof_signup,
+        "lineitem_self_join": q_lineitem_self_join,
+        "value_percentiles": q_value_percentiles,
     }
 
 
@@ -437,6 +490,34 @@ SELECT query_id, vec_id, score FROM ranked WHERE rn <= 3
 ORDER BY query_id, score DESC, vec_id
 """
 
+_ASOF_ORACLE = """
+SELECT l.event_id, l.user_id, l.ts, r.ts AS asof_ts
+FROM events l
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+_SELF_JOIN_ORACLE = """
+SELECT a.l_returnflag, count(*) AS n_pairs
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey
+ AND a.l_linenumber < b.l_linenumber
+ AND a.l_suppkey <> b.l_suppkey
+GROUP BY a.l_returnflag
+ORDER BY a.l_returnflag
+"""
+
+_PERCENTILES_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 _JSON_ORACLE = """
 SELECT event_type,
        sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
@@ -517,4 +598,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bulk_topk": _KNN_BULK_ORACLE,
         "events_pivot": _PIVOT_ORACLE,
         "events_json_extract": _JSON_ORACLE,
+        "events_asof_signup": _ASOF_ORACLE,
+        "lineitem_self_join": _SELF_JOIN_ORACLE,
+        "value_percentiles": _PERCENTILES_ORACLE,
     }
