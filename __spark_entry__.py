@@ -296,6 +296,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_segment": relational.top_orders_per_segment,
         "rollup_revenue": relational.rollup_revenue,
         "order_priority_counts": relational.order_priority_counts,
+        "forecast_revenue": relational.forecast_revenue,
+        "avg_qty_outliers": relational.avg_qty_outliers,
+        "customers_without_orders": relational.customers_without_orders,
+        "set_ops_customers": relational.set_ops_customers,
         "flatten_roundtrip": relational.flatten_roundtrip,
         "dedup_exact": pipeline.dedup_exact,
         "dedup_minhash_lsh": pipeline.dedup_minhash_lsh,
@@ -467,6 +471,50 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
 
+_FORECAST_ORACLE = """
+SELECT sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DOUBLE AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+_OUTLIERS_ORACLE = """
+WITH pp AS (
+  SELECT l_partkey AS pk,
+         sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, count(*) AS n_small,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS small_revenue
+FROM lineitem JOIN pp ON l_partkey = pk
+WHERE l_quantity < 0.2 * avg_qty
+GROUP BY l_partkey
+ORDER BY l_partkey
+"""
+
+_NO_ORDERS_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+_SET_OPS_ORACLE = """
+SELECT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT c_nationkey FROM customer JOIN orders ON c_custkey = o_custkey
+  WHERE o_orderstatus = 'O'
+  EXCEPT
+  SELECT s_nationkey FROM supplier WHERE s_acctbal < 0
+)
+ORDER BY nationkey
+"""
+
 _FLATTEN_ORACLE = """
 SELECT o_orderkey AS "catalogId", o_orderstatus, o_totalprice,
        l_linenumber AS line_id, l_partkey, l_quantity
@@ -591,6 +639,10 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_segment": _TOP_SEGMENT_ORACLE,
         "rollup_revenue": _ROLLUP_ORACLE,
         "order_priority_counts": _PRIORITY_ORACLE,
+        "forecast_revenue": _FORECAST_ORACLE,
+        "avg_qty_outliers": _OUTLIERS_ORACLE,
+        "customers_without_orders": _NO_ORDERS_ORACLE,
+        "set_ops_customers": _SET_OPS_ORACLE,
         "flatten_roundtrip": _FLATTEN_ORACLE,
         **PIPELINE_ORACLES,
         "events_hourly_rollup": _EVENTS_HOURLY_ORACLE,

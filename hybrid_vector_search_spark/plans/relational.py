@@ -127,6 +127,75 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single aggregate — the query whose whole
+    cost is the scan; pushdown decides everything."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+def avg_qty_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated subquery → join against per-key aggregate):
+    lineitems with quantity below 20% of their part's average. The inner
+    aggregate is tiny (one row per part) and broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(per_part), li.l_partkey == per_part.pk)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_small"),
+            _dsum(F.col("l_extendedprice")).alias("small_revenue"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS) + outer-join HAVING shape: customers with zero
+    orders, counted per market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: nations having BUILDING-segment customers INTERSECT
+    nations having open orders, EXCEPT nations with a low-balance supplier."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    with_open = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .where(F.col("o_orderstatus") == "O")
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    low_supp = supp.where(F.col("s_acctbal") < 0).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return building.intersect(with_open).subtract(low_supp).orderBy("nationkey")
+
+
 def flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-shaped nest→flatten round-trip (transform-seed semantics):
     nest lineitems per order into array<struct>, then flatten back with
