@@ -61,6 +61,26 @@ class TextStats:
             self.postings.cache(), self.doc_len.cache(), self.doc_freq.cache(), self.corpus.cache()
         )
 
+    def save(self, path: str) -> None:
+        """Write the index as parquet — the engine's analog of the reference's
+        separate index-build step (indexes.py). Postings are partitioned-ready
+        (sorted by term) so term filters prune row groups at query time."""
+        self.postings.sortWithinPartitions("term").write.mode("overwrite").parquet(
+            f"{path}/postings"
+        )
+        self.doc_len.write.mode("overwrite").parquet(f"{path}/doc_len")
+        self.doc_freq.write.mode("overwrite").parquet(f"{path}/doc_freq")
+        self.corpus.write.mode("overwrite").parquet(f"{path}/corpus")
+
+    @staticmethod
+    def load(spark, path: str) -> "TextStats":
+        return TextStats(
+            spark.read.parquet(f"{path}/postings"),
+            spark.read.parquet(f"{path}/doc_len"),
+            spark.read.parquet(f"{path}/doc_freq"),
+            spark.read.parquet(f"{path}/corpus"),
+        )
+
 
 def build_text_stats(df: DataFrame, id_col: str, text_col: str) -> TextStats:
     """Index build: tokenise once, derive postings + lengths + frequencies."""

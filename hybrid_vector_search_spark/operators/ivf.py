@@ -43,6 +43,39 @@ class IVFIndex:
     vector_col: str
     metric: str
 
+    def save(self) -> None:
+        """Persist centroids + config next to the partitioned data, making
+        the index a durable artifact (the reference's index lives inside
+        Atlas; ours is files)."""
+        import json
+        import os
+
+        os.makedirs(self.path, exist_ok=True)
+        with open(f"{self.path}/_ivf_meta.json", "w") as f:
+            json.dump(
+                {
+                    "centroids": self.centroids.tolist(),
+                    "id_col": self.id_col,
+                    "vector_col": self.vector_col,
+                    "metric": self.metric,
+                },
+                f,
+            )
+
+    @staticmethod
+    def load(path: str) -> "IVFIndex":
+        import json
+
+        with open(f"{path}/_ivf_meta.json") as f:
+            meta = json.load(f)
+        return IVFIndex(
+            path=path,
+            centroids=np.asarray(meta["centroids"], dtype=np.float64),
+            id_col=meta["id_col"],
+            vector_col=meta["vector_col"],
+            metric=meta["metric"],
+        )
+
     def nearest_clusters(self, query_vector: list[float], nprobe: int) -> list[int]:
         q = np.asarray(query_vector, dtype=np.float64)
         c = self.centroids
@@ -80,6 +113,30 @@ def build_ivf(
     centroids = np.array([np.asarray(c) for c in model.clusterCenters()], dtype=np.float64)
     return IVFIndex(path=path, centroids=centroids, id_col=id_col, vector_col=vector_col,
                     metric=metric)
+
+
+def measure_recall(
+    spark: SparkSession,
+    index: IVFIndex,
+    corpus: DataFrame,
+    query_vectors: list[list[float]],
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+) -> float:
+    """Recall@k of the probed search vs exact KNN, averaged over queries —
+    the measured (never assumed) quality number for an nprobe setting."""
+    total = 0.0
+    for qv in query_vectors:
+        exact = {r[index.id_col] for r in knn(
+            corpus, qv, k, vector_col=index.vector_col, id_col=index.id_col,
+            metric=index.metric, clamp=False,
+        ).collect()}
+        probed = {r[index.id_col] for r in ivf_search(
+            spark, index, qv, k, nprobe=nprobe
+        ).collect()}
+        total += len(exact & probed) / max(len(exact), 1)
+    return total / max(len(query_vectors), 1)
 
 
 def ivf_search(

@@ -56,6 +56,30 @@ def test_recall_improves_with_nprobe(spark, ivf):
     assert recall4 >= 0.5
 
 
+def test_index_save_load_roundtrip(spark, ivf):
+    import numpy as np
+
+    from hybrid_vector_search_spark.operators.ivf import IVFIndex, ivf_search
+
+    ivf.save()
+    loaded = IVFIndex.load(ivf.path)
+    assert np.array_equal(loaded.centroids, ivf.centroids)
+    qv = _query_vec(spark)
+    a = ivf_search(spark, ivf, qv, 5, nprobe=2).collect()
+    b = ivf_search(spark, loaded, qv, 5, nprobe=2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_measured_recall_reasonable(spark, ivf):
+    from hybrid_vector_search_spark.operators.ivf import measure_recall
+    from hybrid_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, SF_MID, "embeddings")
+    qvs = [[float(x) for x in r.embedding] for r in emb.where("vec_id < 3").collect()]
+    r = measure_recall(spark, ivf, emb, qvs, k=10, nprobe=4)
+    assert 0.3 <= r <= 1.0
+
+
 def test_partition_pruning_reaches_scan(spark, ivf):
     from hybrid_vector_search_spark.operators.ivf import ivf_search
 
