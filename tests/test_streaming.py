@@ -33,6 +33,35 @@ def _drain(stream_df, query_name: str):
     return q
 
 
+def test_stream_embed_ingest_exactly_once(spark, tmp_path):
+    """Streamed embeddings equal the batch embedder's output, and a restart
+    with the same checkpoint ingests nothing new (exactly-once; the
+    reference's --skip-existing as checkpoint state)."""
+    import numpy as np
+    import shutil as sh
+
+    from hybrid_vector_search_spark.operators.embed import query_vector
+    from hybrid_vector_search_spark.streaming.ingest import load_ingested, stream_embed_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sh.copy(f"{SF_SMALL}/documents.parquet", src / "documents.parquet")
+    target, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    q = stream_embed_ingest(spark, str(src), target, cp)
+    q.awaitTermination(120)
+    out = load_ingested(spark, target)
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert out.count() == n_docs
+    row = out.where("doc_id = 3").head()
+    assert np.allclose(row.embedding, query_vector(row.text), atol=0)
+
+    # restart: same checkpoint, no new files -> nothing re-ingested
+    q2 = stream_embed_ingest(spark, str(src), target, cp)
+    q2.awaitTermination(120)
+    assert load_ingested(spark, target).count() == n_docs
+
+
 def test_stream_hourly_rollup_matches_batch(spark, events_dir):
     from hybrid_vector_search_spark.sources import load_table
     from hybrid_vector_search_spark.streaming.events import hourly_rollup, stream_hourly_rollup
