@@ -76,6 +76,10 @@ class SearchEngine:
         # likewise a separate build step; see SURVEY.md §4.2 for why stats
         # must never see a filtered corpus).
         self._stats = bm25_op.build_text_stats(df, config.id_col, config.title_col).persist()
+        # corpus vector dimensionality, checked against every query vector
+        # (zip_with would otherwise null-pad a mismatch into silent NULLs)
+        first = df.select(F.size(config.emb_col).alias("d")).head()
+        self._dim = int(first.d) if first else None
 
     # ---------------------------------------------------------- endpoints
 
@@ -171,6 +175,7 @@ class SearchEngine:
             id_col=self.cfg.id_col,
             metric=self.cfg.metric,
             pre_filter=pre_filter,
+            expected_dim=self._dim,
         )
         return out.select(*self._project_cols(), "score")
 
@@ -199,6 +204,7 @@ class SearchEngine:
             id_col=id_col,
             metric=self.cfg.metric,
             pre_filter=pre_filter,  # vector branch only (api.py:178-180)
+            expected_dim=self._dim,
         ).select(F.col(id_col).alias("id"), "score")
         txt_branch = bm25_op.bm25_scores(self._stats, bm25_op._py_tokens(title_value))
         fused = fusion_op.score_fusion(

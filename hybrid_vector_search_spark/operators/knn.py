@@ -89,6 +89,7 @@ def knn(
     round_dp: int | None = 6,
     clamp: bool = True,
     kernel: str = "expr",
+    expected_dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k nearest rows to ``query_vector``.
 
@@ -104,6 +105,16 @@ def knn(
     """
     if clamp:
         k = clamp_limit(k)
+    if (
+        expected_dim is not None
+        and not isinstance(query_vector, Column)
+        and len(list(query_vector)) != expected_dim
+    ):
+        # zip_with null-pads silently on length mismatch → every score would
+        # be NULL; fail loudly instead
+        raise ValueError(
+            f"query vector has {len(list(query_vector))} dims, corpus has {expected_dim}"
+        )
     if pre_filter is not None:
         df = df.where(pre_filter)
     if kernel == "numpy":

@@ -134,3 +134,16 @@ def test_fusion_missing_branch_contributes_zero(spark):
 def test_restaurants_endpoint(engine):
     vals = engine.restaurants()
     assert vals == sorted(vals) and "src0" in vals
+
+
+def test_dim_mismatch_fails_loudly(engine, spark):
+    """A wrong-dimension query vector raises instead of silently returning
+    NULL scores (zip_with null-pads otherwise)."""
+    import pytest as _pytest
+
+    from hybrid_vector_search_spark.operators.knn import knn
+    from hybrid_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with _pytest.raises(ValueError, match="dims"):
+        knn(emb, [0.1] * 32, 3, expected_dim=64)
