@@ -4,7 +4,6 @@ promise, pinned)."""
 
 from __future__ import annotations
 
-import shutil
 import uuid
 
 import pytest
@@ -14,11 +13,20 @@ from .conftest import SF_SMALL
 
 
 @pytest.fixture(scope="module")
-def events_dir(tmp_path_factory):
-    """File-source streams read directories; stage events.parquet into one."""
+def events_dir(tmp_path_factory, spark):
+    """File-source streams read directories; stage a user-subset of
+    events.parquet (per-user semantics are unaffected by dropping users, and
+    the stateful sessionize test's per-group Python overhead scales with
+    user count)."""
     d = tmp_path_factory.mktemp("events_stream")
-    shutil.copy(f"{SF_SMALL}/events.parquet", d / "events.parquet")
-    return str(d)
+    (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .where("user_id % 7 = 0")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(d / "events.parquet"))
+    )
+    return str(d / "events.parquet")
 
 
 def _drain(stream_df, query_name: str):
@@ -76,7 +84,7 @@ def test_stream_hourly_rollup_matches_batch(spark, events_dir):
         .collect()
     )
     want = (
-        hourly_rollup(load_table(spark, SF_SMALL, "events"))
+        hourly_rollup(load_table(spark, SF_SMALL, "events").where("user_id % 7 = 0"))
         .select("hour", "event_type", "n_events", "sum_value")
         .collect()
     )
@@ -111,7 +119,7 @@ def test_stream_sessionize_closed_sessions_match_batch(spark, events_dir):
         .collect()
     )
 
-    batch = sessionize(load_table(spark, SF_SMALL, "events"))
+    batch = sessionize(load_table(spark, SF_SMALL, "events").where("user_id % 7 = 0"))
     w = Window.partitionBy("user_id")
     closed = (
         batch.withColumn("max_seq", F.max("session_seq").over(w))
