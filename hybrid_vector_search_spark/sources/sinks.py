@@ -56,6 +56,27 @@ def column_add_rewrite(
     return spark.read.parquet(out_path)
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    *,
+    target_rows_per_file: int,
+) -> int:
+    """Small-files compaction: rewrite a directory into ~target-sized files.
+
+    Streaming appends and fine-grained incremental jobs accumulate small
+    files; at 100 TB the scan's task-scheduling overhead becomes file-count
+    bound. One read → repartition → write fixes it without touching values.
+    Returns the number of output partitions chosen.
+    """
+    df = spark.read.parquet(path)
+    n = df.count()
+    parts = max(1, -(-n // target_rows_per_file))  # ceil
+    df.repartition(parts).write.mode("overwrite").parquet(out_path)
+    return parts
+
+
 def incremental_update(
     spark: SparkSession,
     path: str,

@@ -1,0 +1,70 @@
+"""Degenerate-input behavior: empty corpora, no-term queries, null text —
+each must produce a well-formed empty/null result, never an error."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMALL
+
+
+def test_knn_on_empty_corpus(spark):
+    from hybrid_vector_search_spark.operators.knn import knn
+    from hybrid_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings").where(F.lit(False))
+    assert knn(emb, [0.1] * 64, 5).count() == 0
+
+
+def test_bm25_query_with_no_known_terms(spark):
+    from hybrid_vector_search_spark.operators.bm25 import fulltext
+    from hybrid_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = fulltext(docs, "zzzzqqqq wwwwxxxx", 5, id_col="doc_id", text_col="text")
+    assert out.count() == 0  # no matching docs, not an error
+
+
+def test_bm25_empty_query_string(spark):
+    from hybrid_vector_search_spark.operators.bm25 import fulltext
+    from hybrid_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    assert fulltext(docs, "   ", 5, id_col="doc_id", text_col="text").count() == 0
+
+
+def test_dedup_on_null_and_empty_text(spark):
+    from hybrid_vector_search_spark.operators.dedup import exact_dedup, shingle_table
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real text here"), (4, "")],
+        "doc_id long, text string",
+    )
+    sh = shingle_table(df, "doc_id", "text")
+    assert {r.id for r in sh.collect()} == {3} or sh.count() == 0  # short docs: no 3-grams
+    out = {r.doc_id: r.is_duplicate for r in exact_dedup(df, "doc_id", "text").collect()}
+    assert out[4] is True and out[2] is False  # two empties dedup together
+
+
+def test_fusion_single_branch(spark):
+    from hybrid_vector_search_spark.operators.fusion import score_fusion
+
+    only = spark.createDataFrame([(1, 0.5)], "id long, score double")
+    out = score_fusion({"vector": only}, {"vector": 10.0}).collect()
+    assert len(out) == 1 and out[0].score > 0
+
+
+def test_compact_preserves_values(spark, tmp_path):
+    from hybrid_vector_search_spark.sources import load_table
+    from hybrid_vector_search_spark.sources.sinks import compact
+
+    src = str(tmp_path / "frag")
+    docs = load_table(spark, SF_SMALL, "documents")
+    docs.repartition(37).write.parquet(src)  # fragment into many small files
+    parts = compact(spark, src, str(tmp_path / "compact"), target_rows_per_file=200)
+    out = spark.read.parquet(str(tmp_path / "compact"))
+    assert out.count() == docs.count()
+    assert parts < 37
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in docs.collect())
+    assert a == b
