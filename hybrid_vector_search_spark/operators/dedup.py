@@ -231,16 +231,24 @@ def minhash_near_dups(
 
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, *, bits: int = 32
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 32, kernel: str = "pandas"
 ) -> DataFrame:
     """(id, simhash) — tf-weighted SimHash fingerprint as a bigint.
 
-    Per (doc, token) the md5 nibbles are decoded once; the per-bit vote
-    Σ tf·(2·bit−1) is computed as ``bits`` aggregate expressions in ONE
-    groupBy — no per-bit row explosion, single shuffle keyed by doc id.
+    kernel="pandas" (default): SimHash is a pure per-document function, so
+    the whole thing — tokenize, tf, md5 nibbles, bit votes — runs as a
+    map-only Arrow kernel with ZERO shuffle (the sql path's explode+groupBy
+    shuffles every token). NumPy nibble→bit lookup keeps the votes
+    vectorized per token.
+
+    kernel="sql": the pure-Catalyst twin — explode to (doc, token, tf), one
+    groupBy computing ``bits`` vote sums as aggregate expressions (no
+    per-bit row explosion). Equality pinned in tests/test_kernels.py.
     """
     if bits % 4 != 0 or bits > 64:
         raise ValueError("bits must be a multiple of 4, ≤ 64")
+    if kernel == "pandas":
+        return _simhash_pandas(df, id_col, text_col, bits)
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token")
     )
@@ -261,6 +269,45 @@ def simhash(
         term = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
     return voted.select("id", fp.alias("simhash"))
+
+
+def _simhash_pandas(df: DataFrame, id_col: str, text_col: str, bits: int) -> DataFrame:
+    import hashlib
+    import re
+    from collections import Counter
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    split = re.compile(r"[^a-z0-9]+")
+    # nibble value (0-15) → its 4 bits in md5_bit order (bit j of nibble
+    # j//4 is (nib >> (j % 4)) & 1)
+    nib_bits = np.array([[(v >> b) & 1 for b in range(4)] for v in range(16)], dtype=np.int64)
+    n_nibbles = bits // 4
+    powers = np.array([1 << j for j in range(bits)], dtype=np.int64)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, fps = [], []
+            for i, text in zip(pdf["id"], pdf["t"]):
+                toks = [t for t in split.split((text or "").lower()) if t]
+                if not toks:
+                    continue  # sql twin has no row either (explode of empty)
+                votes = np.zeros(bits, dtype=np.int64)
+                for tok, tf in Counter(toks).items():
+                    h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                    nibs = np.fromiter(
+                        (int(c, 16) for c in h[:n_nibbles]), dtype=np.int64, count=n_nibbles
+                    )
+                    votes += tf * (2 * nib_bits[nibs].reshape(-1)[:bits] - 1)
+                out_ids.append(i)
+                fps.append(int(powers[votes > 0].sum()))
+            yield pd.DataFrame({"id": pd.Series(out_ids, dtype="int64"), "simhash": pd.Series(fps, dtype="int64")})
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).repartition(par)
+    return src.mapInPandas(kern, "id long, simhash long")
 
 
 def embedding_near_dups(
