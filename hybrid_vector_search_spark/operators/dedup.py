@@ -110,13 +110,53 @@ def minhash_signatures(
     *,
     num_hashes: int = 8,
     shingle_n: int = 3,
+    kernel: str = "pandas",
 ) -> DataFrame:
     """(id, sig_0..sig_{H-1}) — one min-hash per seeded hash family member.
 
-    One explode + one groupBy computing H mins at once (single shuffle,
-    map-side partial min). Documents with no shingles are absent.
+    kernel="pandas" (default): the signature is a pure per-document function
+    (min over the doc's own shingles), so it runs as a map-only Arrow kernel
+    — no shuffle at all. kernel="sql": explode + one groupBy computing H
+    mins at once (single shuffle, map-side partial min). Documents with no
+    shingles are absent from either. Equality pinned in tests/test_kernels.
     """
-    sh = shingle_table(df, id_col, text_col, n=shingle_n)
+    if kernel == "pandas":
+        import hashlib
+        import re
+        from typing import Iterator
+
+        import pandas as pd
+
+        split = re.compile(r"[^a-z0-9]+")
+        seeds = [f"{i}#".encode() for i in range(num_hashes)]
+
+        def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for i, text in zip(pdf["id"], pdf["t"]):
+                    toks = [t for t in split.split((text or "").lower()) if t]
+                    grams = {
+                        " ".join(toks[j : j + shingle_n])
+                        for j in range(len(toks) - shingle_n + 1)
+                    }
+                    if not grams:
+                        continue
+                    shs = [
+                        hashlib.md5(g.encode("utf-8")).hexdigest().encode() for g in grams
+                    ]
+                    rows.append(
+                        (i, *[min(hashlib.md5(s + h).hexdigest() for h in shs) for s in seeds])
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["id", *[f"sig_{i}" for i in range(num_hashes)]]
+                )
+
+        par = df.sparkSession.sparkContext.defaultParallelism
+        src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).repartition(par)
+        schema = "id long, " + ", ".join(f"sig_{i} string" for i in range(num_hashes))
+        return src.mapInPandas(kern, schema)
+
+    sh = shingle_table(df, id_col, text_col, n=shingle_n, kernel="sql")
     mins = [
         F.min(seeded_md5(F.col("sh"), i)).alias(f"sig_{i}") for i in range(num_hashes)
     ]
@@ -216,16 +256,13 @@ def minhash_near_dups(
     """MinHash-LSH candidates verified by exact Jaccard — the standard
     two-phase near-dup pipeline (cheap recall phase, exact precision phase).
     """
-    # Shingling (tokenize + n-gram + md5) is the expensive narrow stage;
-    # cache it once and feed BOTH the signature build and the exact-Jaccard
-    # verify from the same materialization.
-    sh = shingle_table(df, id_col, text_col, n=shingle_n).cache()
-    mins = [
-        F.min(seeded_md5(F.col("sh"), i)).alias(f"sig_{i}")
-        for i in range(bands * rows_per_band)
-    ]
-    sigs = sh.groupBy("id").agg(*mins)
+    # signatures: map-only kernel (no shuffle); shingle table feeds only the
+    # exact-Jaccard verify
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes=bands * rows_per_band, shingle_n=shingle_n
+    )
     cands = lsh_candidates(sigs, bands=bands, rows_per_band=rows_per_band)
+    sh = shingle_table(df, id_col, text_col, n=shingle_n)
     exact = jaccard_pairs(sh, min_jaccard=min_jaccard)
     return exact.join(cands, ["id_a", "id_b"], "left_semi")
 

@@ -32,6 +32,16 @@ def test_shingle_pandas_kernel_matches_sql(spark):
     assert a == b and len(a) > 0
 
 
+def test_minhash_sigs_pandas_kernel_matches_sql(spark):
+    from hybrid_vector_search_spark.operators.dedup import minhash_signatures
+    from hybrid_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    a = sorted(map(tuple, minhash_signatures(docs, "doc_id", "text", kernel="sql").collect()))
+    b = sorted(map(tuple, minhash_signatures(docs, "doc_id", "text", kernel="pandas").collect()))
+    assert a == b and len(a) > 0
+
+
 def test_simhash_pandas_kernel_matches_sql(spark):
     from hybrid_vector_search_spark.operators.dedup import simhash
     from hybrid_vector_search_spark.sources import load_table
