@@ -266,6 +266,36 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("session_seq", F.col("session_seq").cast("long"))
 
 
+def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$rankFusion analog: reciprocal-rank fusion of the vector top-25 and
+    BM25 branches (scale-free; complements sigmoid score fusion)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    q = _query_vector_df(spark, sf_dir)
+    vec_branch = knn_op.knn_join(q, emb, k=25, metric="cosine").select(
+        F.col("vec_id").alias("id"), "score"
+    )
+    stats = bm25_op.build_text_stats(docs, "doc_id", "text")
+    txt_branch = bm25_op.bm25_scores(stats, FT_QUERY.split())
+    fused = fusion_op.rank_fusion({"vector": vec_branch, "text": txt_branch})
+    return fused.orderBy(F.desc("score"), F.asc("id")).limit(10)
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: the 20 bigrams present in the most
+    documents (document frequency, distinct per doc)."""
+    from hybrid_vector_search_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(shingles(F.col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
 # ------------------------------------------------- distinct-values endpoint
 
 
@@ -290,6 +320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_bm25": q_fulltext_bm25,
         "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
         "hybrid_fusion": q_hybrid_fusion,
+        "hybrid_rank_fusion": q_hybrid_rank_fusion,
+        "top_bigrams": q_top_bigrams,
         "distinct_values": q_distinct_values,
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -406,6 +438,47 @@ fused AS (
 SELECT id, score FROM fused
 ORDER BY score DESC, id ASC
 LIMIT 10
+"""
+
+_RRF_ORACLE = f"""
+WITH {_BM25_SCORES},
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT e.vec_id AS id, round({_COS}, 6) AS vscore
+  FROM embeddings e, q
+  ORDER BY vscore DESC, e.vec_id ASC
+  LIMIT 25
+),
+vr AS (SELECT id, row_number() OVER (ORDER BY vscore DESC, id ASC) AS r FROM vec),
+tr AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM bm25),
+fused AS (
+  SELECT coalesce(vr.id, tr.id) AS id,
+         round(coalesce(1.0 / (60.0 + vr.r), 0.0)
+               + coalesce(1.0 / (60.0 + tr.r), 0.0), 6) AS score
+  FROM vr FULL OUTER JOIN tr ON vr.id = tr.id
+)
+SELECT id, score FROM fused
+ORDER BY score DESC, id ASC
+LIMIT 10
+"""
+
+_BIGRAMS_ORACLE = """
+WITH tokl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT doc_id, g AS bigram FROM (
+    SELECT doc_id, unnest([array_to_string(ts[i:i+1], ' ')
+                           FOR i IN range(1, len(ts))]) AS g
+    FROM tokl WHERE len(ts) >= 2
+  )
+)
+SELECT bigram, count(*) AS df FROM bg
+GROUP BY bigram
+ORDER BY df DESC, bigram ASC
+LIMIT 20
 """
 
 _DISTINCT_ORACLE = """
@@ -633,6 +706,8 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25": _FT_ORACLE,
         "fulltext_bm25_postfilter": _FT_POSTFILTER_ORACLE,
         "hybrid_fusion": _HYBRID_ORACLE,
+        "hybrid_rank_fusion": _RRF_ORACLE,
+        "top_bigrams": _BIGRAMS_ORACLE,
         "distinct_values": _DISTINCT_ORACLE,
         "pricing_summary": _PRICING_ORACLE,
         "revenue_by_nation": _REVENUE_NATION_ORACLE,

@@ -34,6 +34,50 @@ def sigmoid(c: Column) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-c))
 
 
+def rank_fusion(
+    branches: dict[str, DataFrame],
+    *,
+    id_col: str = "id",
+    score_col: str = "score",
+    rank_k: int = 60,
+    weights: dict[str, float] | None = None,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (RRF): Σ_b w_b / (rank_k + rank_b(id)).
+
+    The rank-based sibling of score_fusion (Atlas exposes both as
+    $scoreFusion / $rankFusion; the reference uses only the former).
+    Rank-based fusion is scale-free — immune to incomparable score
+    distributions between branches — at the cost of discarding score
+    magnitudes. Ranks are dense per branch, ties broken by id ascending so
+    the result is engine-reproducible. Missing-from-branch contributes 0.
+    """
+    from pyspark.sql import Window
+
+    weights = weights or {n: 1.0 for n in branches}
+    if set(branches) != set(weights):
+        raise ValueError("branches and weights must have identical keys")
+    names = sorted(branches)
+    fused: DataFrame | None = None
+    for name in names:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        b = branches[name].select(
+            F.col(id_col).alias("id"),
+            F.row_number().over(w).alias(f"_rank_{name}"),
+        )
+        fused = b if fused is None else fused.join(b, "id", "full_outer")
+    combined = None
+    for n in names:
+        term = F.coalesce(
+            F.lit(float(weights[n])) / (F.lit(float(rank_k)) + F.col(f"_rank_{n}")),
+            F.lit(0.0),
+        )
+        combined = term if combined is None else combined + term
+    if round_dp is not None:
+        combined = F.round(combined, round_dp)
+    return fused.select(F.col("id").alias(id_col), combined.alias(score_col))
+
+
 def score_fusion(
     branches: dict[str, DataFrame],
     weights: dict[str, float],
