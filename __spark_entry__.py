@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": pipeline.ngram_jaccard_pairs,
         "dedup_simhash": pipeline.dedup_simhash,
         "dedup_embedding_cosine": pipeline.dedup_embedding_cosine,
+        "corpus_clean": pipeline.corpus_clean,
         "sample_deterministic": pipeline.sample_deterministic,
         "stratified_sample": pipeline.stratified_sample,
         "dataset_split_counts": pipeline.dataset_split_counts,

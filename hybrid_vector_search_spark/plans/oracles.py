@@ -222,6 +222,60 @@ GROUP BY 1, 2
 ORDER BY split, lang
 """
 
+def _corpus_clean_sql() -> str:
+    langs = sorted(STOPWORDS)
+    ratios = ", ".join(
+        f"round(len(list_intersect(dt, {_stop_list(lg)}))::DOUBLE / greatest(len(dt), 1), 6) AS ratio_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"ratio_{lg}" for lg in langs) + ")"
+    case = f"CASE WHEN {best} < {MIN_LANG_RATIO} THEN 'und' "
+    for lg in langs[:-1]:
+        case += f"WHEN ratio_{lg} = {best} THEN '{lg}' "
+    case += f"ELSE '{langs[-1]}' END"
+    return f"""
+WITH {TOKL},
+q AS (
+  SELECT d.doc_id,
+         round(least(len(ts)::DOUBLE / 50.0, 1.0)
+               * (0.5 + 0.5 * (len(list_distinct(ts))::DOUBLE / greatest(len(ts), 1)))
+               * (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE
+                  / greatest(length(text), 1))
+               * (0.8 + 0.2 * least((len(list_intersect(list_distinct(ts), {_stop_list("en")}))::DOUBLE
+                                     / greatest(len(list_distinct(ts)), 1)) * 10.0, 1.0)), 6) AS quality
+  FROM documents d JOIN tokl USING (doc_id)
+),
+lg AS (
+  SELECT doc_id, {case} AS pred_lang FROM (
+    SELECT doc_id, {ratios} FROM (SELECT doc_id, list_distinct(ts) AS dt FROM tokl)
+  )
+),
+dup AS (
+  SELECT doc_id,
+         doc_id <> min(doc_id) OVER (PARTITION BY md5({NORM_TEXT})) AS is_duplicate
+  FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN (('0x' || substr(md5('split#' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000) < 1000 THEN 'val'
+              WHEN (('0x' || substr(md5('split#' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000) < 2000 THEN 'test'
+              ELSE 'train' END AS split
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, round(sum(quality), 4) AS sum_quality
+FROM documents
+JOIN q USING (doc_id)
+JOIN lg USING (doc_id)
+JOIN dup USING (doc_id)
+JOIN sp USING (doc_id)
+WHERE quality >= 0.5 AND pred_lang = 'en' AND NOT is_duplicate AND split = 'train'
+GROUP BY source
+ORDER BY source
+"""
+
+
+CORPUS_CLEAN = _corpus_clean_sql()
+
 PIPELINE_ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH,
@@ -235,4 +289,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "sample_deterministic": SAMPLE_DETERMINISTIC,
     "stratified_sample": STRATIFIED_SAMPLE,
     "dataset_split_counts": DATASET_SPLIT_COUNTS,
+    "corpus_clean": CORPUS_CLEAN,
 }

@@ -106,6 +106,38 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite cleaning pipeline — quality gate ∧ language gate ∧
+    exact-dedup ∧ train-split, summarized per source.
+
+    This is the end-to-end shape a 100 TB pretraining corpus run takes:
+    every stage is a per-row expression or a hash-keyed window, composed as
+    one Catalyst plan (scan once; no stage materializes the corpus).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    q = textstats.quality_score(docs, "doc_id", "text").select("doc_id", "quality")
+    lang = textstats.language_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    dup = dedup.exact_dedup(docs, "doc_id", "text").select("doc_id", "is_duplicate")
+    split = sampling.dataset_split(docs, "doc_id").select("doc_id", "split")
+    kept = (
+        docs.join(q, "doc_id")
+        .join(lang, "doc_id")
+        .join(dup, "doc_id")
+        .join(split, "doc_id")
+        .where(
+            (F.col("quality") >= 0.5)
+            & (F.col("pred_lang") == "en")
+            & (~F.col("is_duplicate"))
+            & (F.col("split") == "train")
+        )
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.round(F.sum("quality"), 4).alias("sum_quality"))
+        .orderBy("source")
+    )
+
+
 def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test assignment; counts per (split, lang)."""
     docs = load_table(spark, sf_dir, "documents")
