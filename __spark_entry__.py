@@ -78,6 +78,32 @@ def q_knn_cosine_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", "score").orderBy(F.desc("score"), F.asc("vec_id"))
 
 
+def q_knn_takeordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-query exact KNN through operators.knn.knn — the
+    TakeOrderedAndProject path (per-partition heap top-k, no shuffle of the
+    corpus), vs the window-rank path the knn_join queries exercise."""
+    from hybrid_vector_search_spark.operators.knn import knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in row.embedding]
+    out = knn(emb, qv, 10, metric="cosine", pre_filter=F.col("vec_id") != 0)
+    return out.select("vec_id", "label", "score")
+
+
+_KNN_TAKEORDERED_ORACLE = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       round((1.0 + list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])
+              / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[])))) / 2.0, 6) AS score
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
 # ----------------------------------------------------------- fulltext mode
 
 FT_QUERY = "spark fast table value"
@@ -317,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_dot": q_knn_dot,
         "knn_euclidean": q_knn_euclidean,
         "knn_cosine_prefilter": q_knn_cosine_prefilter,
+        "knn_takeordered": q_knn_takeordered,
         "fulltext_bm25": q_fulltext_bm25,
         "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
         "hybrid_fusion": q_hybrid_fusion,
@@ -704,6 +731,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_prefilter": _KNN_ORACLE.format(
             score_expr=_COS, where="e.vec_id <> 0 AND e.label % 2 = 0"
         ),
+        "knn_takeordered": _KNN_TAKEORDERED_ORACLE,
         "fulltext_bm25": _FT_ORACLE,
         "fulltext_bm25_postfilter": _FT_POSTFILTER_ORACLE,
         "hybrid_fusion": _HYBRID_ORACLE,
