@@ -310,12 +310,12 @@ def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram statistics: the 20 bigrams present in the most
     documents (document frequency, distinct per doc)."""
-    from hybrid_vector_search_spark.functions.text import shingles
+    from hybrid_vector_search_spark.operators.dedup import shingle_table
 
     docs = load_table(spark, sf_dir, "documents")
+    grams = shingle_table(docs, "doc_id", "text", n=2, hashed=False)
     return (
-        docs.select(F.explode(shingles(F.col("text"), 2)).alias("bigram"))
-        .groupBy("bigram")
+        grams.groupBy(F.col("sh").alias("bigram"))
         .agg(F.count("*").alias("df"))
         .orderBy(F.desc("df"), F.asc("bigram"))
         .limit(20)

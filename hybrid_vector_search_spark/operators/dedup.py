@@ -56,9 +56,17 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_table(
-    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, kernel: str = "pandas"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    kernel: str = "pandas",
+    hashed: bool = True,
 ) -> DataFrame:
-    """(id, sh) — md5 of each distinct word n-gram per document.
+    """(id, sh) — each distinct word n-gram per document; ``sh`` is the
+    gram's md5 by default (compact shuffle keys), or the raw gram text with
+    ``hashed=False`` (corpus n-gram statistics).
 
     kernel="pandas" (default): tokenize + shingle + md5 inside a mapInPandas
     kernel — hashlib's C md5 and plain Python string ops beat the Catalyst
@@ -69,10 +77,12 @@ def shingle_table(
     cross-check for the fast path.
     """
     if kernel == "sql":
-        return df.select(
+        out = df.select(
             F.col(id_col).alias("id"),
             F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-        ).select("id", F.md5(F.col("shingle")).alias("sh"))
+        )
+        sh = F.md5(F.col("shingle")) if hashed else F.col("shingle")
+        return out.select("id", sh.alias("sh"))
 
     import hashlib
     import re
@@ -93,7 +103,7 @@ def shingle_table(
                 }
                 for g in grams:
                     ids.append(i)
-                    hs.append(hashlib.md5(g.encode("utf-8")).hexdigest())
+                    hs.append(hashlib.md5(g.encode("utf-8")).hexdigest() if hashed else g)
             yield pd.DataFrame({"id": pd.Series(ids, dtype=pdf["id"].dtype), "sh": hs})
 
     # fan the CPU-bound kernel across cores (single-split parquet otherwise
