@@ -231,6 +231,26 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (bucketized range join): per signup event, how many
+    same-user events follow within 30 minutes."""
+    from hybrid_vector_search_spark.operators.interval import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), "ts"
+    )
+    others = ev.select("user_id", "event_id", "ts")
+    pairs = interval_join(
+        signups, others, on="user_id", lower_sec=1, upper_sec=1800
+    )
+    return (
+        pairs.groupBy("signup_id")
+        .agg(F.count("*").alias("n_following"))
+        .orderBy("signup_id")
+    )
+
+
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction over the events.props payload column
     (get_json_object ≡ DuckDB json_extract_string) + exact aggregation."""
@@ -380,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "events_json_extract": q_events_json_extract,
         "events_asof_signup": q_events_asof_signup,
+        "events_interval_join": q_events_interval_join,
         "lineitem_self_join": q_lineitem_self_join,
         "value_percentiles": q_value_percentiles,
     }
@@ -646,6 +667,17 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
+_INTERVAL_ORACLE = """
+SELECT s.event_id AS signup_id, count(*) AS n_following
+FROM events s JOIN events e
+  ON s.user_id = e.user_id
+ AND epoch_us(e.ts) >= epoch_us(s.ts) + 1000000
+ AND epoch_us(e.ts) <= epoch_us(s.ts) + 1800000000
+WHERE s.event_type = 'signup'
+GROUP BY s.event_id
+ORDER BY signup_id
+"""
+
 _SELF_JOIN_ORACLE = """
 SELECT a.l_returnflag, count(*) AS n_pairs
 FROM lineitem a
@@ -755,6 +787,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": _PIVOT_ORACLE,
         "events_json_extract": _JSON_ORACLE,
         "events_asof_signup": _ASOF_ORACLE,
+        "events_interval_join": _INTERVAL_ORACLE,
         "lineitem_self_join": _SELF_JOIN_ORACLE,
         "value_percentiles": _PERCENTILES_ORACLE,
     }
