@@ -50,6 +50,22 @@ def test_flatten_shape(spark, product_detail):
     assert product_detail.select("_id").distinct().count() == n
 
 
+def test_flatten_fresh_id_fallback(spark):
+    """_id precedence (transform-seed.py:83-91): the child's own _id wins;
+    a child WITHOUT one gets a fresh unique id."""
+    from hybrid_vector_search_spark.operators.flatten import flatten
+
+    df = spark.createDataFrame(
+        [("cat1", [("p1", "idA"), ("p2", None)])],
+        "_id string, products array<struct<name string, _id string>>",
+    )
+    rows = flatten(df, "products").collect()
+    by_name = {r.product.name: r for r in rows}
+    assert by_name["p1"]._id == "idA"
+    assert by_name["p2"]._id is not None and by_name["p2"]._id != "idA"
+    assert by_name["p2"].catalogId == "cat1"
+
+
 def test_vector_mode_with_filters(engine):
     res = engine.search(
         {
