@@ -378,6 +378,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": relational.forecast_revenue,
         "avg_qty_outliers": relational.avg_qty_outliers,
         "customers_without_orders": relational.customers_without_orders,
+        "shipping_priority": relational.shipping_priority,
+        "volume_shipping": relational.volume_shipping,
+        "market_share": relational.market_share,
+        "returned_items": relational.returned_items,
+        "priority_line_counts": relational.priority_line_counts,
+        "promo_revenue": relational.promo_revenue,
+        "large_orders": relational.large_orders,
+        "disjunctive_revenue": relational.disjunctive_revenue,
+        "merge_upsert_orders": relational.merge_upsert_orders,
         "set_ops_customers": relational.set_ops_customers,
         "flatten_roundtrip": relational.flatten_roundtrip,
         "dedup_exact": pipeline.dedup_exact,
@@ -625,6 +634,133 @@ GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
 
+_DEC_REV = "sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE"
+
+_SHIPPING_PRIORITY_ORACLE = f"""
+SELECT l_orderkey, o_orderdate, {_DEC_REV} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+_VOLUME_SHIPPING_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year, {_DEC_REV} AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_MARKET_SHARE_ORACLE = """
+SELECT year(o_orderdate) AS o_year,
+       round(coalesce(sum(CASE WHEN n1.n_name = 'NATION_3'
+                 THEN l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) END)::DOUBLE, 0.0)
+             / sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE,
+             6) AS mkt_share,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+_RETURNED_ITEMS_ORACLE = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, {_DEC_REV} AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+_PRIORITY_LINES_ORACLE = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+_PROMO_REVENUE_ORACLE = """
+SELECT round(100.0 * coalesce(sum(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) END)::DOUBLE, 0.0)
+             / sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE,
+             6) AS promo_revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+"""
+
+_LARGE_ORDERS_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey AS bk, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity::DECIMAL(18,2))::DOUBLE > 350.0
+)
+SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+FROM orders
+JOIN big ON o_orderkey = bk
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+_DISJUNCTIVE_ORACLE = f"""
+SELECT {_DEC_REV} AS revenue, count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 40 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+_MERGE_UPSERT_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT -o_orderkey, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+merged AS (
+  SELECT * FROM src
+  UNION ALL
+  SELECT t.* FROM orders t
+  WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.o_orderkey = t.o_orderkey)
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS sum_price
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
 _SET_OPS_ORACLE = """
 SELECT nationkey FROM (
   SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -778,6 +914,15 @@ def oracle_sql() -> dict[str, str]:
         "forecast_revenue": _FORECAST_ORACLE,
         "avg_qty_outliers": _OUTLIERS_ORACLE,
         "customers_without_orders": _NO_ORDERS_ORACLE,
+        "shipping_priority": _SHIPPING_PRIORITY_ORACLE,
+        "volume_shipping": _VOLUME_SHIPPING_ORACLE,
+        "market_share": _MARKET_SHARE_ORACLE,
+        "returned_items": _RETURNED_ITEMS_ORACLE,
+        "priority_line_counts": _PRIORITY_LINES_ORACLE,
+        "promo_revenue": _PROMO_REVENUE_ORACLE,
+        "large_orders": _LARGE_ORDERS_ORACLE,
+        "disjunctive_revenue": _DISJUNCTIVE_ORACLE,
+        "merge_upsert_orders": _MERGE_UPSERT_ORACLE,
         "set_ops_customers": _SET_OPS_ORACLE,
         "flatten_roundtrip": _FLATTEN_ORACLE,
         **PIPELINE_ORACLES,

@@ -196,6 +196,253 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return building.intersect(with_open).subtract(low_supp).orderBy("nationkey")
 
 
+def _rev() -> Column:
+    """Exact revenue term: extendedprice × (1 − discount), DECIMAL-exact."""
+    return F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """TPC-H Q3 shape: top-k revenue over a high-cardinality groupBy
+    (one group per order). The two fact filters are pushed to the scans;
+    customer is broadcast; the top-k runs on the aggregated (small) side."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(k)
+    )
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension (nation) joined in two roles —
+    supplier nation and customer nation — with a symmetric pair predicate,
+    grouped by both roles and ship year. Both nation copies broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: conditional-aggregate ratio — NATION_3's share of
+    PROMO-part revenue among EUROPE-region customers, per order year. The
+    share is a ratio of two exact DECIMAL sums, so the double result is
+    engine-independent (rounded to 6dp for the cross-engine hash)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    rev = _rev()
+    nation_rev = F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)).cast("double")
+    total_rev = F.sum(rev).cast("double")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(F.coalesce(nation_rev, F.lit(0.0)) / total_rev, 6).alias(
+                "mkt_share"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def returned_items(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returns in one
+    quarter — mid-cardinality groupBy (per customer) with dimension
+    attributes carried through the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: CASE-WHEN conditional counts inside one aggregate —
+    high- vs low-priority order lines per returnflag for one ship year
+    (testdata has no l_shipmode/l_commitdate; returnflag plays the mode)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1999-01-01"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage-of-total conditional aggregate over one
+    ship month (PROMO parts' share of revenue). Single-row result; the
+    part dimension is broadcast so the month of lineitem never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = _rev()
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * F.coalesce(promo, F.lit(0.0)) / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def large_orders(spark: SparkSession, sf_dir: str, min_qty: float = 350.0) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a per-order aggregate, then join the
+    qualifying (small) key set back to orders⋈customer. The aggregate side
+    shrinks to a handful of keys and broadcasts into the second join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("bk"))
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > min_qty)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == F.col("bk"))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions predicate spanning both join
+    sides (brand × size × quantity bands). Catalyst extracts the common
+    part-side disjuncts below the join; the result is a single-row sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cases = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(11, 20)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(21, 40)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cases)
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE semantics (S4 incrementality at table grain):
+    a simulated change set — status update for every 7th order, brand-new
+    rows (negated keys) for every 13th — upserted into orders via
+    sinks.merge_upsert (anti-join + union, one shuffle), then verified by
+    an exact per-status rollup."""
+    from ..sources.sinks import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_orderstatus", F.lit("X")
+    )
+    inserts = orders.where(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_orderkey", -F.col("o_orderkey")
+    ).withColumn("o_orderstatus", F.lit("N"))
+    merged = merge_upsert(orders, updates.unionByName(inserts), ["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-shaped nest→flatten round-trip (transform-seed semantics):
     nest lineitems per order into array<struct>, then flatten back with

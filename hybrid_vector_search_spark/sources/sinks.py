@@ -77,6 +77,18 @@ def compact(
     return parts
 
 
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """Delta-style MERGE (upsert) as a plan: source rows win on key match,
+    unmatched target rows pass through, unmatched source rows are inserts.
+
+    Implemented as left_anti + unionByName — one shuffle on the key columns
+    and no per-column coalesce (a full-outer formulation would touch every
+    column). At 100 TB the write side of this becomes dynamic partition
+    overwrite (partitionOverwriteMode=dynamic): only partitions present in
+    the change set are rewritten, the union never materializes whole."""
+    return source.unionByName(target.join(source, keys, "left_anti"))
+
+
 def incremental_update(
     spark: SparkSession,
     path: str,
