@@ -387,6 +387,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": relational.large_orders,
         "disjunctive_revenue": relational.disjunctive_revenue,
         "merge_upsert_orders": relational.merge_upsert_orders,
+        "min_cost_supplier": relational.min_cost_supplier,
+        "important_parts": relational.important_parts,
+        "customer_order_distribution": relational.customer_order_distribution,
+        "top_supplier": relational.top_supplier,
+        "supplier_part_counts": relational.supplier_part_counts,
+        "lone_late_suppliers": relational.lone_late_suppliers,
+        "high_balance_inactive": relational.high_balance_inactive,
+        "revenue_moving_avg": relational.revenue_moving_avg,
+        "approx_distinct_users": relational.approx_distinct_users,
         "set_ops_customers": relational.set_ops_customers,
         "flatten_roundtrip": relational.flatten_roundtrip,
         "dedup_exact": pipeline.dedup_exact,
@@ -761,6 +770,114 @@ GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
 
+_MIN_COST_SUPPLIER_ORACLE = """
+WITH per_ps AS (
+  SELECT p_partkey, l_suppkey,
+         sum(l_extendedprice::DECIMAL(18,2))::DOUBLE
+           / sum(l_quantity::DECIMAL(18,2))::DOUBLE AS unit_cost
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size BETWEEN 10 AND 20
+  GROUP BY p_partkey, l_suppkey
+)
+SELECT p_partkey, l_suppkey AS s_suppkey, s_name,
+       round(unit_cost, 6) AS unit_cost
+FROM per_ps JOIN supplier ON l_suppkey = s_suppkey
+WHERE unit_cost = (SELECT min(unit_cost) FROM per_ps p2
+                   WHERE p2.p_partkey = per_ps.p_partkey)
+ORDER BY p_partkey, s_suppkey
+"""
+
+_IMPORTANT_PARTS_ORACLE = """
+SELECT l_partkey, sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS value
+FROM lineitem GROUP BY l_partkey
+HAVING sum(l_extendedprice::DECIMAL(18,2))::DOUBLE >
+  (SELECT sum(l_extendedprice::DECIMAL(18,2))::DOUBLE * 0.0001::DOUBLE FROM lineitem)
+ORDER BY value DESC, l_partkey ASC
+"""
+
+_CUST_ORDER_DIST_ORACLE = """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+_TOP_SUPPLIER_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey, {_DEC_REV} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey AS s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+_SUPPLIER_PART_COUNTS_ORACLE = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+_LONE_LATE_ORACLE = """
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+_HIGH_BAL_INACTIVE_ORACLE = """
+SELECT c_nationkey AS cntrycode, count(*)::BIGINT AS numcust,
+       sum(c_acctbal::DECIMAL(18,2))::DOUBLE AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT sum(c_acctbal::DECIMAL(18,2))::DOUBLE / count(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-06-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+_MOVING_AVG_ORACLE = """
+WITH daily AS (
+  SELECT l_shipdate::DATE AS day,
+         sum(l_extendedprice::DECIMAL(18,4)
+             * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS ship_day,
+       rev_dec::DOUBLE AS daily_revenue,
+       round((sum(rev_dec) OVER w)::DOUBLE / (count(*) OVER w), 6) AS moving_avg_7d
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY ship_day
+"""
+
 _SET_OPS_ORACLE = """
 SELECT nationkey FROM (
   SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -923,6 +1040,16 @@ def oracle_sql() -> dict[str, str]:
         "large_orders": _LARGE_ORDERS_ORACLE,
         "disjunctive_revenue": _DISJUNCTIVE_ORACLE,
         "merge_upsert_orders": _MERGE_UPSERT_ORACLE,
+        "min_cost_supplier": _MIN_COST_SUPPLIER_ORACLE,
+        "important_parts": _IMPORTANT_PARTS_ORACLE,
+        "customer_order_distribution": _CUST_ORDER_DIST_ORACLE,
+        "top_supplier": _TOP_SUPPLIER_ORACLE,
+        "supplier_part_counts": _SUPPLIER_PART_COUNTS_ORACLE,
+        "lone_late_suppliers": _LONE_LATE_ORACLE,
+        "high_balance_inactive": _HIGH_BAL_INACTIVE_ORACLE,
+        "revenue_moving_avg": _MOVING_AVG_ORACLE,
+        # approx_distinct_users intentionally has no oracle: HLL sketch
+        # values are engine-specific (rows-only check; error pinned in tests)
         "set_ops_customers": _SET_OPS_ORACLE,
         "flatten_roundtrip": _FLATTEN_ORACLE,
         **PIPELINE_ORACLES,

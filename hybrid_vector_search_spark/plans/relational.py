@@ -480,3 +480,232 @@ def flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("item.l_partkey").alias("l_partkey"),
         F.col("item.l_quantity").alias("l_quantity"),
     )
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery — for each mid-size part, the
+    supplier(s) whose average unit price on that part is the part's minimum.
+    Expressed as a window MIN over the per-(part,supplier) aggregate: one
+    shuffle on l_partkey serves both the aggregate and the window, and the
+    equality probe never leaves the partition (no join-back materialization).
+
+    Determinism: unit cost = DECIMAL-exact sums divided once in double, so
+    the MIN and the equality against it are bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size").between(10, 20))
+    supp = load_table(spark, sf_dir, "supplier")
+    per_ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                / F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        per_ps.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose share of the global total exceeds a
+    threshold (scalar subquery). The global total is a one-row aggregate
+    cross-joined (broadcast) into the HAVING predicate — at 100 TB both
+    aggregates are map-side partial; nothing rescans the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice").cast(DEC)
+    per_part = li.groupBy("l_partkey").agg(F.sum(value).cast("double").alias("value"))
+    total = li.agg((F.sum(value).cast("double") * F.lit(0.0001)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), F.asc("l_partkey"))
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts including
+    zero — left outer join then two stacked aggregations. The second groupBy
+    keys on the count itself (tiny domain), so the heavy shuffle happens
+    once, on c_custkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the global maximum quarterly
+    revenue — derived aggregate compared against its own one-row MAX
+    (broadcast cross-join, no second scan of lineitem)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).cast("double").alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.round("total_revenue", 6).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute group,
+    with a NOT-IN supplier exclusion (negative-balance suppliers stand in
+    for the complaints list). The exclusion is a broadcast anti-join; the
+    distinct count expands to a two-level aggregate on (group, suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#5")
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_key"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == F.col("bad_key"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def lone_late_suppliers(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS against the same fact table —
+    suppliers who were the ONLY late shipper on a multi-supplier finished
+    order ("late" = shipped >90 days after the order date; the testdata has
+    no commit/receipt dates). Instead of two correlated self-joins (three
+    scans of lineitem), one pass aggregates per (order, supplier), a window
+    over l_orderkey derives total vs late supplier counts, and the
+    EXISTS/NOT-EXISTS become predicates on those counts — the oracle states
+    the textbook formulation, proving the rewrite."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    is_late = (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).cast("int")
+    per_os = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(is_late).alias("late"),
+            F.sum(is_late).alias("late_lines"),
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    return (
+        per_os.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .where((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("late_lines").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
+    )
+
+
+def high_balance_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance and no
+    RECENT orders (scalar-subquery threshold + NOT EXISTS), rolled up per
+    nation (nationkey stands in for the phone country code; every testdata
+    customer has some order, so "inactive" = none since 1999-06-01). The
+    average is a one-row broadcast; the NOT EXISTS is a left_anti join on
+    o_custkey with the date filter pushed below it."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-06-01")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("*")
+        ).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+def revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series window frame: 7-row trailing moving average over daily
+    revenue for one ship year. Daily revenue stays DECIMAL-exact through the
+    frame sum and divides once in double, so the moving average is
+    bit-identical across engines. The global-ordered window runs on the
+    ~365-row aggregate, never on the fact table."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    daily = li.groupBy(F.to_date("l_shipdate").alias("ship_day")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("rev_dec")
+    )
+    w = Window.orderBy("ship_day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            # string key: Spark dates and DuckDB dates round-trip differently
+            # through pandas; ISO text is canonical in both
+            F.date_format("ship_day", "yyyy-MM-dd").alias("ship_day"),
+            F.col("rev_dec").cast("double").alias("daily_revenue"),
+            F.round(
+                F.sum("rev_dec").over(w).cast("double") / F.count("*").over(w), 6
+            ).alias("moving_avg_7d"),
+        )
+        .orderBy("ship_day")
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct count: users per event type. At
+    100 TB this replaces the two-level exact distinct (which shuffles every
+    (type, user) pair) with a fixed-size mergeable sketch per partition —
+    no row-level shuffle at all. Sketch values are engine-specific, so the
+    driver check is rows-only; tests pin relative error < 5% vs exact."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -63,3 +63,39 @@ def test_column_pruning_reaches_scan(spark):
     li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
     plan = _plan(li)
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, plan
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL sketch (rsd=0.02) must land within 5% of the exact distinct count."""
+    from hybrid_vector_search_spark.plans import relational
+    from hybrid_vector_search_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in relational.approx_distinct_users(spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) <= max(1, 0.05 * ex), (et, approx[et], ex)
+
+
+def test_min_cost_supplier_single_shuffle_window(spark):
+    """Q2 shape: the window min must reuse the groupBy's hash partitioning on
+    p_partkey — exactly one Exchange below the Window (no join-back)."""
+    from hybrid_vector_search_spark.plans import relational
+
+    plan = relational.min_cost_supplier(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 2, plan  # partial→final agg + nothing extra for window
