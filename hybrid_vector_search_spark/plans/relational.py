@@ -496,6 +496,10 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     per_ps = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # hash(p_partkey) satisfies ClusteredDistribution for BOTH the
+        # (p_partkey, l_suppkey) aggregate and the window below — this single
+        # explicit shuffle replaces the two Catalyst would otherwise insert
+        .repartition(F.col("p_partkey"))
         .groupBy("p_partkey", "l_suppkey")
         .agg(
             (

@@ -37,6 +37,31 @@ PICKS = {
         "partial aggregation; the scan reads only the referenced columns\n"
         "(ReadSchema)."
     ),
+    "shipping_priority": (
+        "TPC-H Q3 shape: both fact filters (PushedFilters on o_orderdate /\n"
+        "l_shipdate) reach the scans, customer broadcasts, and the final top-k\n"
+        "runs as TakeOrderedAndProject over the already-aggregated rows."
+    ),
+    "min_cost_supplier": (
+        "TPC-H Q2 shape: the window MIN over p_partkey reuses the groupBy's hash\n"
+        "partitioning - one Exchange feeds both HashAggregate and Window; the\n"
+        "correlated-subquery semantics never materialize a join-back."
+    ),
+    "lone_late_suppliers": (
+        "TPC-H Q21 shape: the textbook EXISTS + NOT-EXISTS pair (three scans of\n"
+        "lineitem) is rewritten to one pass - per-(order,supplier) aggregate, then\n"
+        "a window over l_orderkey derives both existence predicates as counts."
+    ),
+    "merge_upsert_orders": (
+        "MERGE/upsert: left_anti + unionByName - the single Exchange is the\n"
+        "anti-join's hash on the key; no per-column coalesce, no full-outer join.\n"
+        "At 100 TB the write side becomes dynamic partition overwrite."
+    ),
+    "approx_distinct_users": (
+        "HLL approx distinct: ObjectHashAggregate carries fixed-size sketches;\n"
+        "partial aggregation means no (type,user) row-level shuffle - the wire\n"
+        "cost is sketches x groups, independent of cardinality."
+    ),
 }
 
 

@@ -98,4 +98,4 @@ def test_min_cost_supplier_single_shuffle_window(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     n_exchange = plan.count("Exchange hashpartitioning")
-    assert n_exchange <= 2, plan  # partial→final agg + nothing extra for window
+    assert n_exchange == 1, plan  # the explicit repartition(p_partkey), reused
