@@ -525,17 +525,21 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: groups whose share of the global total exceeds a
-    threshold (scalar subquery). The global total is a one-row aggregate
-    cross-joined (broadcast) into the HAVING predicate — at 100 TB both
-    aggregates are map-side partial; nothing rescans the fact table."""
+    threshold (scalar subquery). The global total is DERIVED from the
+    per-group aggregate (kept DECIMAL-exact, so re-summing is lossless)
+    rather than re-scanning lineitem — AQE's ReuseExchange executes the
+    per-part shuffle once and feeds both the HAVING probe and the one-row
+    broadcast threshold. One fact-table scan total."""
     li = load_table(spark, sf_dir, "lineitem")
     value = F.col("l_extendedprice").cast(DEC)
-    per_part = li.groupBy("l_partkey").agg(F.sum(value).cast("double").alias("value"))
-    total = li.agg((F.sum(value).cast("double") * F.lit(0.0001)).alias("threshold"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(value).alias("value_dec"))
+    total = per_part.agg(
+        (F.sum("value_dec").cast("double") * F.lit(0.0001)).alias("threshold")
+    )
     return (
         per_part.join(F.broadcast(total))
-        .where(F.col("value") > F.col("threshold"))
-        .select("l_partkey", "value")
+        .where(F.col("value_dec").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
         .orderBy(F.desc("value"), F.asc("l_partkey"))
     )
 
@@ -568,7 +572,13 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01"))
     )
     supp = load_table(spark, sf_dir, "supplier")
+    # explicit isNotNull: the supplier join would push it into only the
+    # probe branch, which breaks canonical equality of the two aggregate
+    # subtrees and with it AQE's ReuseExchange
+    li = li.where(F.col("l_suppkey").isNotNull())
     rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).cast("double").alias("total_revenue"))
+    # derived from rev, not a second lineitem scan: AQE ReuseExchange runs
+    # the per-supplier shuffle once for both the probe and the MAX
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (
         rev.join(F.broadcast(mx))

@@ -99,3 +99,17 @@ def test_min_cost_supplier_single_shuffle_window(spark):
     assert "Window" in plan
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, plan  # the explicit repartition(p_partkey), reused
+
+
+def test_scalar_subquery_queries_reuse_exchange(spark):
+    """Q11/Q15 shapes derive their global aggregate from the grouped
+    aggregate: after AQE execution the fact-table shuffle must be reused,
+    not recomputed (one scan of lineitem at 100 TB, not two)."""
+    from hybrid_vector_search_spark.plans import relational
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (relational.important_parts, relational.top_supplier):
+        df = fn(spark, sf)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan, (fn.__name__, plan)
