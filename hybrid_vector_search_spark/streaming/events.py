@@ -190,3 +190,89 @@ def stream_sessionize(spark: SparkSession, source_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# --------------------------------------------- stream-stream interval join
+
+
+def view_click_join(events: DataFrame, *, max_lag_minutes: int = 30) -> DataFrame:
+    """Batch semantics for the stream-stream join: each click matched to the
+    same user's views in the preceding ``max_lag_minutes`` window."""
+    if dict(events.dtypes).get("ts") == "bigint":  # nanos-as-long parquet scan
+        events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_lag_minutes} MINUTES")),
+    ).select("view_id", "click_id", "view_ts", "click_ts")
+
+
+def stream_view_click_join(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    max_lag_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition: views and
+    clicks are two streams (here, two filters of one source; in production,
+    two Kafka topics), each watermarked so the join state for views older
+    than watermark + max_lag is dropped — bounded state at any input rate.
+
+    Spark-first notes: the equality term (user_id) makes this a streaming
+    symmetric hash join keyed on user; the interval term bounds how long a
+    buffered view can still match, which is exactly what lets the state
+    store evict. Without the time bound the state would grow forever."""
+    stream = _event_stream(spark, source_dir)
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_lag_minutes} MINUTES")),
+    ).select("view_id", "click_id", "view_ts", "click_ts")
+
+
+# ------------------------------------------------------- streaming dedup
+
+
+def stream_dedup_events(
+    spark: SparkSession, source_dir: str, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Exactly-once event feed from an at-least-once source:
+    dropDuplicatesWithinWatermark on event_id. Unlike dropDuplicates (whose
+    keyed state never expires on a stream), the watermark variant evicts
+    state for events older than the allowed lateness — the 100 TB-safe way
+    to dedup an infinite stream where retries arrive close to the original."""
+    stream = _event_stream(spark, source_dir)
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

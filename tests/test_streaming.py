@@ -130,3 +130,54 @@ def test_stream_sessionize_closed_sessions_match_batch(spark, events_dir):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in closed]
     assert len(got) > 0
+
+
+def _drain_append(stream_df, query_name: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_view_click_join_matches_batch(spark, events_dir):
+    """Stream-stream interval join (watermarked both sides) drained with
+    availableNow must emit exactly the batch join's pairs."""
+    from hybrid_vector_search_spark.streaming import events as ev
+
+    lag = 7 * 24 * 60  # the sparse test subset needs a wide match window
+    batch = ev.view_click_join(
+        spark.read.parquet(events_dir), max_lag_minutes=lag
+    ).collect()
+    name = f"vc_{uuid.uuid4().hex[:8]}"
+    _drain_append(
+        ev.stream_view_click_join(spark, events_dir, max_lag_minutes=lag), name
+    )
+    streamed = spark.table(name).collect()
+    key = lambda r: (r.view_id, r.click_id)
+    assert sorted(map(key, streamed)) == sorted(map(key, batch))
+    assert len(batch) > 0
+
+
+def test_stream_dedup_within_watermark(spark, events_dir, tmp_path):
+    """An at-least-once feed (every file delivered twice) deduped on
+    event_id must yield each event exactly once — the batch distinct."""
+    from hybrid_vector_search_spark.streaming import events as ev
+
+    dup_dir = str(tmp_path / "dup_events")
+    base = spark.read.parquet(events_dir)
+    base.coalesce(1).write.mode("overwrite").parquet(dup_dir)
+    base.coalesce(1).write.mode("append").parquet(dup_dir)
+    assert spark.read.parquet(dup_dir).count() == 2 * base.count()
+
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    _drain_append(ev.stream_dedup_events(spark, dup_dir), name)
+    streamed = spark.table(name)
+    assert streamed.count() == base.count()
+    assert sorted(r.event_id for r in streamed.select("event_id").collect()) == sorted(
+        r.event_id for r in base.select("event_id").collect()
+    )
