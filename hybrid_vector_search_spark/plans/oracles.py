@@ -90,6 +90,25 @@ WHERE jaccard >= 0.5
 """
 
 
+DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {TOKL},
+{SHINGLES3},
+{JACCARD},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5
+  UNION
+  SELECT id_b AS a, id_a AS b FROM jac WHERE jaccard >= 0.5
+),
+reach(n, m) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+)
+SELECT n AS doc_id, min(m)::BIGINT AS component
+FROM reach GROUP BY n ORDER BY doc_id
+"""
+
+
 def _simhash_sql(bits: int) -> str:
     votes = ", ".join(
         f"sum(tf * (2 * ((((instr('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1) >> {j % 4}) & 1)) - 1)) AS v_{j}"
@@ -280,6 +299,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH,
     "ngram_jaccard_pairs": NGRAM_JACCARD,
+    "dedup_components": DEDUP_COMPONENTS,
     "dedup_simhash": DEDUP_SIMHASH,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE,
     "token_stats": TOKEN_STATS,

@@ -56,6 +56,22 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the >=0.5-jaccard
+    pair graph — each clustered doc labeled with its component's min doc_id.
+    The oracle computes the identical transitive closure with a recursive
+    CTE, pinning the iterative DataFrame fixpoint against declarative SQL."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5)
+    comps = connected_components(pairs, "id_a", "id_b")
+    return comps.select(
+        F.col("node").alias("doc_id"), "component"
+    ).orderBy("doc_id")
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs, "doc_id", "text", bits=32).select(
