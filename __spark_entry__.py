@@ -395,6 +395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lone_late_suppliers": relational.lone_late_suppliers,
         "high_balance_inactive": relational.high_balance_inactive,
         "revenue_moving_avg": relational.revenue_moving_avg,
+        "cube_revenue": relational.cube_revenue,
+        "events_value_deciles": relational.events_value_deciles,
         "approx_distinct_users": relational.approx_distinct_users,
         "set_ops_customers": relational.set_ops_customers,
         "flatten_roundtrip": relational.flatten_roundtrip,
@@ -879,6 +881,24 @@ WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 ORDER BY ship_day
 """
 
+_CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       count(*)::BIGINT AS n_lines, {_DEC_REV} AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+_DECILES_ORACLE = """
+WITH t AS (
+  SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS decile FROM events
+)
+SELECT decile, count(*)::BIGINT AS n, min(value) AS min_value,
+       max(value) AS max_value, sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
+FROM t GROUP BY decile ORDER BY decile
+"""
+
 _SET_OPS_ORACLE = """
 SELECT nationkey FROM (
   SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -1049,6 +1069,8 @@ def oracle_sql() -> dict[str, str]:
         "lone_late_suppliers": _LONE_LATE_ORACLE,
         "high_balance_inactive": _HIGH_BAL_INACTIVE_ORACLE,
         "revenue_moving_avg": _MOVING_AVG_ORACLE,
+        "cube_revenue": _CUBE_ORACLE,
+        "events_value_deciles": _DECILES_ORACLE,
         # approx_distinct_users intentionally has no oracle: HLL sketch
         # values are engine-specific (rows-only check; error pinned in tests)
         "set_ops_customers": _SET_OPS_ORACLE,

@@ -723,3 +723,43 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: revenue over all 2^2 combinations of
+    (returnflag, linestatus) with grouping_id distinguishing the subtotal
+    level — one pass, Spark expands the sets map-side (same single shuffle
+    as a plain groupBy)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_lines"),
+            F.sum(_rev()).cast("double").alias("revenue"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) decile stats over event values. The tile assignment needs a
+    TOTAL order — (value, event_id) — otherwise ties straddle tile borders
+    nondeterministically across engines and runs. Global-sort window over
+    the fact table; at 100 TB the same stats come from approx quantile cuts
+    (value_percentiles query) without the total sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    tiled = ev.select(
+        "value", F.ntile(10).over(w).alias("decile")
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("decile")
+    )

@@ -108,3 +108,28 @@ def incremental_update(
         out = df.withColumn(col_name, compute(df))
     out.write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path)
+
+
+def sorted_export(
+    df: DataFrame,
+    path: str,
+    order_cols: list[str],
+    *,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Globally-sorted parquet export without a single-partition sort.
+
+    repartitionByRange assigns disjoint key ranges to partitions (driver
+    samples the key distribution), sortWithinPartitions orders each range
+    locally — together the files form a total order while every executor
+    sorts only its own slice. This is how a 100 TB corpus ships sorted
+    (readers get range-pruning for free); `.orderBy().coalesce(1)` — the
+    naive spelling — would funnel the world through one task."""
+    cols = [F.col(c) for c in order_cols]
+    out = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)

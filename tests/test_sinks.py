@@ -59,3 +59,34 @@ def test_cli_search_inclusive_bounds(spark):
     lo = int(docs.agg(F.min("n_chars")).head()[0])
     res = eng.cli_search("spark fast", k=10, min_price=lo, max_price=lo)
     assert res and all(r["n_chars"] == lo for r in res)  # inclusive both ends
+
+def test_sorted_export_total_order(spark, tmp_path):
+    """Each exported file is internally sorted AND file key-ranges are
+    disjoint — i.e. the file set forms a global total order."""
+    import glob
+
+    from hybrid_vector_search_spark.sources import load_table
+    from hybrid_vector_search_spark.sources.sinks import sorted_export
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = str(tmp_path / "sorted_docs")
+    sorted_export(docs, out, ["n_chars", "doc_id"], num_files=8)
+
+    import pandas as pd
+
+    ranges = []
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        pdf = pd.read_parquet(f)[["n_chars", "doc_id"]]
+        if pdf.empty:
+            continue
+        keys = list(pdf.itertuples(index=False, name=None))
+        assert keys == sorted(keys), f"file {f} not internally sorted"
+        ranges.append((keys[0], keys[-1]))
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, "file key-ranges overlap"
+    # nothing lost
+    total = sum(
+        len(pd.read_parquet(f)) for f in glob.glob(f"{out}/part-*.parquet")
+    )
+    assert total == docs.count()
