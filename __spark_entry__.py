@@ -404,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": pipeline.dedup_minhash_lsh,
         "ngram_jaccard_pairs": pipeline.ngram_jaccard_pairs,
         "dedup_components": pipeline.dedup_components,
+        "decontaminate": pipeline.decontaminate,
         "dedup_simhash": pipeline.dedup_simhash,
         "dedup_embedding_cosine": pipeline.dedup_embedding_cosine,
         "corpus_clean": pipeline.corpus_clean,

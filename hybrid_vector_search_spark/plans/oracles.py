@@ -90,6 +90,22 @@ WHERE jaccard >= 0.5
 """
 
 
+SHINGLES5 = (
+    "sh5 AS (SELECT DISTINCT doc_id AS id, md5(g) AS sh FROM ("
+    "SELECT doc_id, unnest([array_to_string(ts[i:i+4], ' ') "
+    "FOR i IN range(1, len(ts) - 3)]) AS g FROM tokl WHERE len(ts) >= 5))"
+)
+
+DECONTAMINATE = f"""
+WITH {TOKL},
+{SHINGLES5},
+ev AS (SELECT DISTINCT sh FROM sh5 WHERE id < 100),
+corpus AS (SELECT id, sh FROM sh5 WHERE id >= 100)
+SELECT id AS doc_id, count(*)::BIGINT AS n_shared
+FROM corpus JOIN ev USING (sh)
+GROUP BY id ORDER BY doc_id
+"""
+
 DEDUP_COMPONENTS = f"""
 WITH RECURSIVE {TOKL},
 {SHINGLES3},
@@ -300,6 +316,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH,
     "ngram_jaccard_pairs": NGRAM_JACCARD,
     "dedup_components": DEDUP_COMPONENTS,
+    "decontaminate": DECONTAMINATE,
     "dedup_simhash": DEDUP_SIMHASH,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE,
     "token_stats": TOKEN_STATS,

@@ -56,6 +56,27 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 5-token shingle
+    with the holdout set (doc_id < 100 plays the eval benchmark). The
+    holdout's distinct shingle set is broadcast — at 100 TB the benchmark
+    side is always tiny, so the corpus is never shuffled, only map-side
+    semi-joined — and the per-doc hit count is what a removal/reporting
+    policy consumes downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    holdout = docs.where(F.col("doc_id") < 100)
+    corpus = docs.where(F.col("doc_id") >= 100)
+    ev_sh = dedup.shingle_table(holdout, "doc_id", "text", n=5).select("sh").distinct()
+    corpus_sh = dedup.shingle_table(corpus, "doc_id", "text", n=5)
+    return (
+        corpus_sh.join(F.broadcast(ev_sh), "sh")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+        .select(F.col("id").alias("doc_id"), "n_shared")
+        .orderBy("doc_id")
+    )
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the >=0.5-jaccard
     pair graph — each clustered doc labeled with its component's min doc_id.
