@@ -629,6 +629,10 @@ def lone_late_suppliers(spark: SparkSession, sf_dir: str, k: int = 100) -> DataF
     is_late = (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).cast("int")
     per_os = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # hash(l_orderkey) serves both the (order, supplier) aggregate and
+        # the per-order window: one shuffle instead of two (same trick as
+        # min_cost_supplier; subset partitioning satisfies the groupBy)
+        .repartition(F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.max(is_late).alias("late"),

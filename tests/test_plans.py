@@ -113,3 +113,17 @@ def test_scalar_subquery_queries_reuse_exchange(spark):
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "ReusedExchange" in plan, (fn.__name__, plan)
+
+
+def test_lone_late_suppliers_single_fact_shuffle(spark):
+    """Q21 shape: lineitem must shuffle exactly once (the explicit
+    l_orderkey repartition feeding both the aggregate and the window);
+    orders and supplier broadcast; only the tiny s_name agg adds a second
+    exchange."""
+    from hybrid_vector_search_spark.plans import relational
+
+    plan = relational.lone_late_suppliers(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BroadcastHashJoin" in plan
