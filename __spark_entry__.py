@@ -312,6 +312,31 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("session_seq", F.col("session_seq").cast("long"))
 
 
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window): gap-merged per-user
+    sessions as a single groupBy — the engine-level alternative to the
+    lag/cumsum sessionize (same 30-min gap; break at diff >= gap, which is
+    the overlap rule of [ts, ts+gap) windows). Works identically over a
+    watermarked stream — session_window is the Spark-idiomatic scale path
+    for sessionization (state merges inside the agg, no custom state fn)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$rankFusion analog: reciprocal-rank fusion of the vector top-25 and
     BM25 branches (scale-free; complements sigmoid score fusion)."""
@@ -417,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": pipeline.doc_fingerprints,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_sessionize": q_events_sessionize,
+        "events_session_window": q_events_session_window,
         "ann_ivf_topk": q_ann_ivf_topk,
         "knn_bulk_topk": q_knn_bulk_topk,
         "events_pivot": q_events_pivot,
@@ -1005,6 +1031,31 @@ GROUP BY 1, 2
 ORDER BY 1, 2
 """
 
+_SESSION_WINDOW_ORACLE = """
+WITH g AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts)::BIGINT - epoch(lag(ts) OVER w)::BIGINT >= 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WHERE user_id % 10 = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 1800 SECOND AS session_end,
+       count(*)::BIGINT AS n_events,
+       sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
 _SESSIONIZE_ORACLE = """
 WITH g AS (
   SELECT event_id, user_id, ts, value,
@@ -1079,6 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         **PIPELINE_ORACLES,
         "events_hourly_rollup": _EVENTS_HOURLY_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,
+        "events_session_window": _SESSION_WINDOW_ORACLE,
         "knn_bulk_topk": _KNN_BULK_ORACLE,
         "events_pivot": _PIVOT_ORACLE,
         "events_json_extract": _JSON_ORACLE,
