@@ -422,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_moving_avg": relational.revenue_moving_avg,
         "cube_revenue": relational.cube_revenue,
         "events_value_deciles": relational.events_value_deciles,
+        "value_percentiles_approx": relational.value_percentiles_approx,
         "approx_distinct_users": relational.approx_distinct_users,
         "set_ops_customers": relational.set_ops_customers,
         "flatten_roundtrip": relational.flatten_roundtrip,

@@ -767,3 +767,21 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (Greenwald-Khanna percentile_approx): the streaming /
+    100 TB companion to the exact interpolated value_percentiles query — a
+    fixed-size mergeable summary per partition replaces the global sort.
+    Sketch cut points are engine-specific, so this is a rows-only driver
+    check; tests pin the rank error against the exact quantiles."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_p"),
+        F.count("*").alias("n"),
+    ).select(
+        F.col("approx_p")[0].alias("p50"),
+        F.col("approx_p")[1].alias("p90"),
+        F.col("approx_p")[2].alias("p99"),
+        "n",
+    )

@@ -127,3 +127,22 @@ def test_lone_late_suppliers_single_fact_shuffle(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_approx_percentiles_rank_error(spark):
+    """GK sketch cut points must sit within 0.5% rank error of the exact
+    empirical quantiles (accuracy=10000 => eps=1e-4; margin for ties)."""
+    from hybrid_vector_search_spark.plans import relational
+    from hybrid_vector_search_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.01"
+    row = relational.value_percentiles_approx(spark, sf).head()
+    values = sorted(
+        r.value for r in load_table(spark, sf, "events").select("value").collect()
+    )
+    n = len(values)
+    import bisect
+
+    for q, cut in ((0.5, row.p50), (0.9, row.p90), (0.99, row.p99)):
+        rank = bisect.bisect_right(values, cut) / n
+        assert abs(rank - q) < 0.005, (q, cut, rank)
