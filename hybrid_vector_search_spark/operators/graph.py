@@ -45,6 +45,12 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint(eager=True)
+    # size the iteration to the PAIR graph, not the corpus: near-dup edge
+    # lists are orders of magnitude smaller than their corpus, and a tiny
+    # fixpoint loop on full-width shuffles pays per-round scheduling for
+    # nothing. ~50k edges per partition keeps big graphs parallel.
+    n_parts = max(1, min(sym.rdd.getNumPartitions(), sym.count() // 50_000 + 1))
+    sym = sym.repartition(n_parts, "b").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
