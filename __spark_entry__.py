@@ -431,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": pipeline.ngram_jaccard_pairs,
         "dedup_components": pipeline.dedup_components,
         "decontaminate": pipeline.decontaminate,
+        "multimodal_binary_stats": pipeline.multimodal_binary_stats,
         "dedup_simhash": pipeline.dedup_simhash,
         "dedup_embedding_cosine": pipeline.dedup_embedding_cosine,
         "corpus_clean": pipeline.corpus_clean,

@@ -140,3 +140,27 @@ def sample_frames(df: DataFrame, *, every_ms: int) -> DataFrame:
         "environment. Plumbing shape: mapInPandas with posexplode of sampled "
         "frames — one output row per (media_id, frame_idx)."
     )
+
+
+def binary_stats(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """(id, n_bytes, content_md5) via the Arrow binary-batch kernel — the
+    oracle-checkable face of the media path: binary columns stream through
+    mapInPandas as raw bytes and only fixed-width derived columns come out
+    (the media bytes themselves never reach a shuffle)."""
+    import hashlib as _hl
+
+    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("c"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = src.repartition(par)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": [len(b) for b in pdf["c"]],
+                    "content_md5": [_hl.md5(bytes(b)).hexdigest() for b in pdf["c"]],
+                }
+            )
+
+    return src.mapInPandas(kernel, "id long, n_bytes long, content_md5 string")

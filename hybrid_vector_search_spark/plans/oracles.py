@@ -96,6 +96,12 @@ SHINGLES5 = (
     "FOR i IN range(1, len(ts) - 3)]) AS g FROM tokl WHERE len(ts) >= 5))"
 )
 
+MULTIMODAL_BINARY = """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS content_md5  -- VARCHAR md5 == md5 of its utf-8 bytes
+FROM documents ORDER BY doc_id
+"""
+
 DECONTAMINATE = f"""
 WITH {TOKL},
 {SHINGLES5},
@@ -317,6 +323,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": NGRAM_JACCARD,
     "dedup_components": DEDUP_COMPONENTS,
     "decontaminate": DECONTAMINATE,
+    "multimodal_binary_stats": MULTIMODAL_BINARY,
     "dedup_simhash": DEDUP_SIMHASH,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE,
     "token_stats": TOKEN_STATS,

@@ -56,6 +56,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column pipeline over real testdata: utf-8 document
+    bytes play the media blob; the Arrow kernel emits fixed-width features
+    (length, md5) that downstream relational ops consume. Verified
+    bit-for-bit by a DuckDB oracle over encode(text)."""
+    from ..multimodal import binary_stats
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    return binary_stats(docs, "doc_id", "content").select(
+        F.col("id").alias("doc_id"), "n_bytes", "content_md5"
+    ).orderBy("doc_id")
+
+
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any 5-token shingle
     with the holdout set (doc_id < 100 plays the eval benchmark). The
