@@ -68,3 +68,21 @@ def test_compact_preserves_values(spark, tmp_path):
     a = sorted(r.doc_id for r in out.collect())
     b = sorted(r.doc_id for r in docs.collect())
     assert a == b
+
+
+def test_connected_components_empty_edges(spark):
+    from hybrid_vector_search_spark.operators.graph import connected_components
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty, "src", "dst").count() == 0
+
+
+def test_binary_stats_empty_and_null_free(spark):
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.multimodal import binary_stats
+
+    empty = spark.createDataFrame([], "doc_id long, text string").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    assert binary_stats(empty, "doc_id", "content").count() == 0
