@@ -423,6 +423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": relational.cube_revenue,
         "events_value_deciles": relational.events_value_deciles,
         "value_percentiles_approx": relational.value_percentiles_approx,
+        "revenue_calendar_fill": relational.revenue_calendar_fill,
+        "nation_revenue_share": relational.nation_revenue_share,
         "approx_distinct_users": relational.approx_distinct_users,
         "set_ops_customers": relational.set_ops_customers,
         "flatten_roundtrip": relational.flatten_roundtrip,
@@ -928,6 +930,44 @@ SELECT decile, count(*)::BIGINT AS n, min(value) AS min_value,
 FROM t GROUP BY decile ORDER BY decile
 """
 
+_CALENDAR_FILL_ORACLE = """
+WITH spine AS (
+  SELECT unnest(generate_series(DATE '1997-01-01', DATE '1997-02-28',
+                INTERVAL 1 DAY))::DATE AS d
+),
+daily AS (
+  SELECT l_shipdate::DATE AS d,
+         sum(l_extendedprice::DECIMAL(18,4)
+             * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DOUBLE AS revenue,
+         count(*)::BIGINT AS n_lines
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-03-01'
+  GROUP BY d
+)
+SELECT strftime(spine.d, '%Y-%m-%d') AS ship_day,
+       coalesce(revenue, 0.0) AS revenue,
+       coalesce(n_lines, 0)::BIGINT AS n_lines
+FROM spine LEFT OUTER JOIN daily ON spine.d = daily.d
+ORDER BY ship_day
+"""
+
+_NATION_SHARE_ORACLE = """
+WITH per_nation AS (
+  SELECT n_name,
+         sum(l_extendedprice::DECIMAL(18,2)
+             * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS rev_dec
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, rev_dec::DOUBLE AS revenue,
+       round(rev_dec::DOUBLE / (sum(rev_dec) OVER ())::DOUBLE, 6) AS share
+FROM per_nation
+ORDER BY n_name
+"""
+
 _SET_OPS_ORACLE = """
 SELECT nationkey FROM (
   SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -1125,6 +1165,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_moving_avg": _MOVING_AVG_ORACLE,
         "cube_revenue": _CUBE_ORACLE,
         "events_value_deciles": _DECILES_ORACLE,
+        "revenue_calendar_fill": _CALENDAR_FILL_ORACLE,
+        "nation_revenue_share": _NATION_SHARE_ORACLE,
         # approx_distinct_users intentionally has no oracle: HLL sketch
         # values are engine-specific (rows-only check; error pinned in tests)
         "set_ops_customers": _SET_OPS_ORACLE,

@@ -795,3 +795,65 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_p")[2].alias("p99"),
         "n",
     )
+
+
+def revenue_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily revenue: a generated date spine (sequence + explode —
+    no driver-side loop, the spine is one row exploded JVM-side) left-joined
+    to the daily aggregate so zero-revenue days appear explicitly. The spine
+    side is trivially small; the aggregate is the only fact-table work."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01"))
+    )
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        ).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1997-01-01").cast("date"),
+                F.lit("1997-02-28").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    return (
+        spine.join(daily, "d", "left_outer")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("ship_day"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        )
+        .orderBy("ship_day")
+    )
+
+
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report) window: each nation's share of
+    global revenue — an unpartitioned window SUM over the 25-row aggregate,
+    never over the fact table. DECIMAL totals keep the ratio bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_rev()).alias("rev_dec"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev_dec").cast("double") / F.sum("rev_dec").over(w).cast("double"),
+            6,
+        ).alias("share"),
+    ).orderBy("n_name")
