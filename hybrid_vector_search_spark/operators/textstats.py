@@ -168,3 +168,31 @@ def fingerprints(
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).repartition(par)
     out = src.mapInPandas(kern, "id long, content_hash string, min_ngram_hash string")
     return out.withColumnRenamed("id", id_col)
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-LM quality proxy (CCNet-style): per-doc mean unigram negative
+    log-probability under the corpus's own empirical distribution — fluent /
+    typical docs score low, gibberish and outliers high.
+
+    Plan shape: one explode → token-count aggregate builds the "language
+    model" (vocab-sized, broadcast); the scoring pass joins each doc's
+    tokens against it map-side and averages. The corpus is scanned twice but
+    shuffled never (token relation aggregates map-side to vocab size; at
+    100 TB the vocab relation is the only thing that moves)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    total_freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    corpus_n = total_freq.agg(F.sum("cnt").alias("n_total"))
+    lm = total_freq.join(F.broadcast(corpus_n)).select(
+        "tok", (-F.log(F.col("cnt") / F.col("n_total"))).alias("neg_logp")
+    )
+    return (
+        toks.join(F.broadcast(lm), "tok")
+        .groupBy("id")
+        .agg(
+            F.round(F.avg("neg_logp"), 6).alias("mean_neg_logp"),
+            F.count("*").alias("n_tokens"),
+        )
+    )

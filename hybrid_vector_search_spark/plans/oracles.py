@@ -96,6 +96,18 @@ SHINGLES5 = (
     "FOR i IN range(1, len(ts) - 3)]) AS g FROM tokl WHERE len(ts) >= 5))"
 )
 
+UNIGRAM_LOGPROB = f"""
+WITH {TOKL},
+toks AS (SELECT doc_id AS id, unnest(ts) AS tok FROM tokl),
+freq AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok),
+n AS (SELECT sum(cnt)::BIGINT AS n_total FROM freq),
+lm AS (SELECT tok, -ln(cnt::DOUBLE / n_total::DOUBLE) AS neg_logp FROM freq, n)
+SELECT id AS doc_id, round(avg(neg_logp), 6) AS mean_neg_logp,
+       count(*)::BIGINT AS n_tokens
+FROM toks JOIN lm USING (tok)
+GROUP BY id ORDER BY doc_id
+"""
+
 MULTIMODAL_BINARY = """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        md5(text) AS content_md5  -- VARCHAR md5 == md5 of its utf-8 bytes
@@ -324,6 +336,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_components": DEDUP_COMPONENTS,
     "decontaminate": DECONTAMINATE,
     "multimodal_binary_stats": MULTIMODAL_BINARY,
+    "unigram_logprob_score": UNIGRAM_LOGPROB,
     "dedup_simhash": DEDUP_SIMHASH,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE,
     "token_stats": TOKEN_STATS,

@@ -56,6 +56,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity-proxy quality score over documents (see
+    textstats.unigram_logprob)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = textstats.unigram_logprob(docs, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"), "mean_neg_logp", "n_tokens"
+    ).orderBy("doc_id")
+
+
 def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column pipeline over real testdata: utf-8 document
     bytes play the media blob; the Arrow kernel emits fixed-width features
