@@ -52,3 +52,50 @@ def stream_embed_ingest(
 
 def load_ingested(spark: SparkSession, target_path: str) -> DataFrame:
     return spark.read.parquet(target_path)
+
+
+def stream_merge_into(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_path: str,
+    keys: list[str],
+):
+    """Streaming MERGE (foreachBatch upsert): each micro-batch is upserted
+    into the target table by key — source rows win on match, unmatched
+    target rows persist. The checkpoint makes redelivered batches
+    idempotent; within-batch duplicates collapse via dropDuplicates(keys)
+    before the merge.
+
+    Parquet has no transactional MERGE, so the batch hook materializes the
+    merged result to a staging dir and swaps it in — the pattern a Delta /
+    Iceberg sink replaces with a real MERGE INTO while this plan shape
+    (anti-join + union, from sinks.merge_upsert) stays identical. Returns
+    the started query (availableNow)."""
+    import os
+    import shutil
+
+    from ..sources.sinks import merge_upsert
+
+    schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.dropDuplicates(keys)
+        if os.path.exists(target_path):
+            target = batch.sparkSession.read.parquet(target_path)
+            merged = merge_upsert(target, batch, keys)
+        else:
+            merged = batch
+        staging = f"{target_path}._staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(target_path):
+            shutil.rmtree(target_path)
+        os.replace(staging, target_path)
+
+    return (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

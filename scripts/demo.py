@@ -67,5 +67,43 @@ def main() -> None:
             print(f"   {r['score']:.4f}  {name}  @ {r.get('restaurantName')}")
 
 
+def pipeline_demo() -> None:
+    """The training-data story end-to-end at sf0.001: clean -> dedup ->
+    decontaminate -> split -> clustered export."""
+    import tempfile
+
+    from hybrid_vector_search_spark.functions.zorder import zorder_export
+    from hybrid_vector_search_spark.plans import pipeline
+    from hybrid_vector_search_spark.session import get_spark
+    from hybrid_vector_search_spark.sources import load_table
+
+    spark = get_spark("pipeline-demo")
+    sf = "/root/testdata/sf0.001"
+
+    print("== training-data pipeline (sf0.001)")
+    clean = pipeline.corpus_clean(spark, sf)
+    print("   corpus_clean per-source survivors:")
+    for r in clean.collect():
+        print(f"     {r}")
+
+    comps = pipeline.dedup_components(spark, sf)
+    print(f"   near-dup clusters: {comps.select('component').distinct().count()} "
+          f"covering {comps.count()} docs")
+
+    cont = pipeline.decontaminate(spark, sf)
+    print(f"   decontamination: {cont.count()} corpus docs share 5-grams with holdout")
+
+    lm = pipeline.unigram_logprob_score(spark, sf)
+    row = lm.agg({"mean_neg_logp": "avg"}).first()
+    print(f"   LM quality proxy: corpus mean neg-logp = {row[0]:.3f}")
+
+    with tempfile.TemporaryDirectory() as d:
+        docs = load_table(spark, sf, "documents")
+        zorder_export(docs, f"{d}/zdocs", "doc_id", "n_chars", num_files=4)
+        import glob
+        print(f"   z-ordered export: {len(glob.glob(d + '/zdocs/part-*.parquet'))} files")
+
+
 if __name__ == "__main__":
     main()
+    pipeline_demo()

@@ -181,3 +181,36 @@ def test_stream_dedup_within_watermark(spark, events_dir, tmp_path):
     assert sorted(r.event_id for r in streamed.select("event_id").collect()) == sorted(
         r.event_id for r in base.select("event_id").collect()
     )
+
+
+def test_stream_merge_into_upserts_by_key(spark, tmp_path):
+    """foreachBatch MERGE: second delivery carrying updates + new rows must
+    upsert (no duplicates, updates win, inserts appear), and redelivered
+    rows must not duplicate."""
+    from hybrid_vector_search_spark.streaming.ingest import stream_merge_into
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("v1").alias("v")
+    )
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+    q = stream_merge_into(spark, src, tgt, ckpt, ["k"])
+    q.awaitTermination(120)
+    assert spark.read.parquet(tgt).count() == 100
+
+    # second file: update keys 0-9, insert keys 100-104, redeliver 50-59
+    upd = spark.range(10).select(F.col("id").alias("k"), F.lit("v2").alias("v"))
+    ins = spark.range(100, 105).select(F.col("id").alias("k"), F.lit("v1").alias("v"))
+    red = spark.range(50, 60).select(F.col("id").alias("k"), F.lit("v1").alias("v"))
+    upd.unionByName(ins).unionByName(red).coalesce(1).write.mode("append").parquet(src)
+    q = stream_merge_into(spark, src, tgt, ckpt, ["k"])
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(tgt)
+    assert out.count() == 105
+    assert out.where("v = 'v2'").count() == 10
+    assert out.where("k < 10 AND v = 'v1'").count() == 0
+    assert out.groupBy("k").count().where("count > 1").count() == 0
