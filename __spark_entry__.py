@@ -425,6 +425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles_approx": relational.value_percentiles_approx,
         "revenue_calendar_fill": relational.revenue_calendar_fill,
         "nation_revenue_share": relational.nation_revenue_share,
+        "events_latest_per_user": relational.events_latest_per_user,
+        "value_histogram": relational.value_histogram,
+        "union_evolved_sources": relational.union_evolved_sources,
         "approx_distinct_users": relational.approx_distinct_users,
         "set_ops_customers": relational.set_ops_customers,
         "flatten_roundtrip": relational.flatten_roundtrip,
@@ -969,6 +972,44 @@ FROM per_nation
 ORDER BY n_name
 """
 
+_LATEST_PER_USER_ORACLE = """
+SELECT user_id, event_id, event_type, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+_HISTOGRAM_ORACLE = """
+WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT CASE WHEN value >= hi THEN 21
+            ELSE floor((value - lo) / ((hi - lo) / 20.0))::BIGINT + 1 END AS bucket,
+       count(*)::BIGINT AS n
+FROM events, mm
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+_UNION_EVOLVED_ORACLE = """
+WITH evolved AS (
+  SELECT doc_id + 100000 AS doc_id, lang, 'recrawl' AS source, n_chars, 2 AS crawl_gen
+  FROM documents WHERE doc_id % 3 = 0
+),
+merged AS (
+  SELECT doc_id, lang, source, n_chars, NULL::INT AS crawl_gen FROM documents
+  UNION ALL BY NAME
+  SELECT * FROM evolved
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(coalesce(crawl_gen, 1))::BIGINT AS gen_sum
+FROM merged
+GROUP BY source
+ORDER BY source
+"""
+
 _SET_OPS_ORACLE = """
 SELECT nationkey FROM (
   SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -1168,6 +1209,9 @@ def oracle_sql() -> dict[str, str]:
         "events_value_deciles": _DECILES_ORACLE,
         "revenue_calendar_fill": _CALENDAR_FILL_ORACLE,
         "nation_revenue_share": _NATION_SHARE_ORACLE,
+        "events_latest_per_user": _LATEST_PER_USER_ORACLE,
+        "value_histogram": _HISTOGRAM_ORACLE,
+        "union_evolved_sources": _UNION_EVOLVED_ORACLE,
         # approx_distinct_users intentionally has no oracle: HLL sketch
         # values are engine-specific (rows-only check; error pinned in tests)
         "set_ops_customers": _SET_OPS_ORACLE,

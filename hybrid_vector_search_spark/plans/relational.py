@@ -857,3 +857,66 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     ).orderBy("n_name")
+
+
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: keep each user's latest event (row_number over
+    ts DESC with event_id tie-break). The shuffle carries only the projected
+    columns; at table scale this is the standard changelog → snapshot step."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+def value_histogram(spark: SparkSession, sf_dir: str, buckets: int = 20) -> DataFrame:
+    """Fixed-width histogram via width_bucket over a driver-collected min/max
+    (one tiny agg job; table statistics at warehouse scale). Bucket counts
+    are a plain groupBy — the histogram never sorts."""
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    return (
+        ev.select(
+            F.width_bucket("value", F.lit(lo), F.lit(hi), F.lit(buckets)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def union_evolved_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution union: merge corpora whose schemas drifted —
+    documents plus a derived feed carrying an extra column — via
+    unionByName(allowMissingColumns=True); missing columns null-fill. The
+    post-union rollup proves both sides landed (the everyday operation when
+    consolidating crawl generations)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    evolved = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "lang",
+            F.lit("recrawl").alias("source"),
+            "n_chars",
+            F.lit(2).cast("int").alias("crawl_gen"),
+        )
+    )
+    merged = docs.unionByName(evolved, allowMissingColumns=True)
+    return (
+        merged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("crawl_gen", F.lit(1)).cast("long")).alias("gen_sum"),
+        )
+        .orderBy("source")
+    )
