@@ -428,6 +428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_latest_per_user": relational.events_latest_per_user,
         "value_histogram": relational.value_histogram,
         "union_evolved_sources": relational.union_evolved_sources,
+        "purchase_gaps": relational.purchase_gaps,
+        "lineitem_unpivot": relational.lineitem_unpivot,
         "approx_distinct_users": relational.approx_distinct_users,
         "set_ops_customers": relational.set_ops_customers,
         "flatten_roundtrip": relational.flatten_roundtrip,
@@ -1010,6 +1012,34 @@ GROUP BY source
 ORDER BY source
 """
 
+_PURCHASE_GAPS_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         floor(epoch(ts))::BIGINT
+           - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)))::BIGINT AS gap_sec
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, count(*)::BIGINT AS n_gaps, min(gap_sec) AS min_gap,
+       max(gap_sec) AS max_gap, sum(gap_sec)::BIGINT AS total_gap
+FROM g WHERE gap_sec IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT l_returnflag,
+         sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS base_price,
+         sum(l_quantity::DECIMAL(18,2))::DOUBLE AS quantity,
+         sum(l_tax::DECIMAL(18,2))::DOUBLE AS tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, value
+FROM wide
+UNPIVOT (value FOR measure IN (base_price, quantity, tax))
+ORDER BY l_returnflag, measure
+"""
+
 _SET_OPS_ORACLE = """
 SELECT nationkey FROM (
   SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -1212,6 +1242,8 @@ def oracle_sql() -> dict[str, str]:
         "events_latest_per_user": _LATEST_PER_USER_ORACLE,
         "value_histogram": _HISTOGRAM_ORACLE,
         "union_evolved_sources": _UNION_EVOLVED_ORACLE,
+        "purchase_gaps": _PURCHASE_GAPS_ORACLE,
+        "lineitem_unpivot": _UNPIVOT_ORACLE,
         # approx_distinct_users intentionally has no oracle: HLL sketch
         # values are engine-specific (rows-only check; error pinned in tests)
         "set_ops_customers": _SET_OPS_ORACLE,

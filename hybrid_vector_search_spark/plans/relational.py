@@ -920,3 +920,52 @@ def union_evolved_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag gap analysis: time between consecutive purchases per user,
+    aggregated to per-user gap stats. The lag runs inside the per-user
+    window partition (one shuffle on user_id); epoch arithmetic keeps the
+    gaps integral and engine-exact."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_sec"),
+    ).where(F.col("gap_sec").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_sec").alias("min_gap"),
+            F.max("gap_sec").alias("max_gap"),
+            F.sum("gap_sec").alias("total_gap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (stack): wide per-flag revenue columns back to long
+    (measure, value) rows — the inverse of pivot, constant-folded JVM-side
+    (each input row emits k rows, no shuffle until the final rollup)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        _dsum(F.col("l_extendedprice")).alias("base_price"),
+        _dsum(F.col("l_quantity")).alias("quantity"),
+        F.sum(F.col("l_tax").cast("decimal(18,2)")).cast("double").alias("tax"),
+    )
+    return (
+        wide.select(
+            "l_returnflag",
+            F.expr(
+                "stack(3, 'base_price', base_price, 'quantity', quantity, 'tax', tax)"
+            ).alias("measure", "value"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
