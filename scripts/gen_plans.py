@@ -62,6 +62,17 @@ PICKS = {
         "partial aggregation means no (type,user) row-level shuffle - the wire\n"
         "cost is sketches x groups, independent of cardinality."
     ),
+    "dedup_minhash_lsh": (
+        "MinHash+LSH near-dup: signatures are a map-only Arrow kernel (no\n"
+        "shuffle); the candidate join keys on (band, bucket-hash) so fan-out is\n"
+        "proportional to actual collisions, never n^2; only fixed-width hashes\n"
+        "cross the wire."
+    ),
+    "decontaminate": (
+        "Benchmark decontamination: the holdout's distinct shingles broadcast\n"
+        "(BroadcastExchange); the corpus side is a map-side hash semi-join plus\n"
+        "per-doc count - zero corpus shuffles regardless of corpus size."
+    ),
 }
 
 
