@@ -90,3 +90,19 @@ def test_sorted_export_total_order(spark, tmp_path):
         len(pd.read_parquet(f)) for f in glob.glob(f"{out}/part-*.parquet")
     )
     assert total == docs.count()
+
+
+def test_jsonl_roundtrip_lossless(spark, tmp_path):
+    """parquet -> JSONL -> DataFrame preserves schema and every value
+    (explicit-schema read: no inference pass)."""
+    from hybrid_vector_search_spark.sources import load_table
+    from hybrid_vector_search_spark.sources.formats import read_jsonl, write_jsonl
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    back = read_jsonl(spark, out, docs.schema)
+    assert back.schema == docs.schema
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
