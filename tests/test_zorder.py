@@ -56,3 +56,22 @@ def test_zorder_export_two_dim_locality(spark, tmp_path):
     assert sum(spans_id) / len(spans_id) < 0.75, spans_id
     assert sum(spans_nc) / len(spans_nc) < 0.75, spans_nc
     assert len(full) == docs.count()
+
+
+def test_zorder_key_random_pairs_roundtrip(spark):
+    """Randomized breadth (seeded): the Catalyst key equals the reference
+    AND de-interleaving the key's even/odd bits recovers both inputs."""
+    import random
+
+    from hybrid_vector_search_spark.functions.zorder import zorder_key
+
+    rng = random.Random(42)
+    rows = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "a long, b long").withColumn(
+        "z", zorder_key(F.col("a"), F.col("b"))
+    )
+    for r in df.collect():
+        assert r.z == _py_morton(r.a, r.b)
+        a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r.a, r.b)
