@@ -430,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_evolved_sources": relational.union_evolved_sources,
         "purchase_gaps": relational.purchase_gaps,
         "lineitem_unpivot": relational.lineitem_unpivot,
+        "order_price_ranks": relational.order_price_ranks,
         "approx_distinct_users": relational.approx_distinct_users,
         "set_ops_customers": relational.set_ops_customers,
         "flatten_roundtrip": relational.flatten_roundtrip,
@@ -1040,6 +1041,21 @@ UNPIVOT (value FOR measure IN (base_price, quantity, tax))
 ORDER BY l_returnflag, measure
 """
 
+_PRICE_RANKS_ORACLE = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rn, rnk, drnk, pct_rank
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER w AS rn, rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         round(percent_rank() OVER w, 6) AS pct_rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+WHERE rn <= 5
+ORDER BY c_mktsegment, rn
+"""
+
 _SET_OPS_ORACLE = """
 SELECT nationkey FROM (
   SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -1244,6 +1260,7 @@ def oracle_sql() -> dict[str, str]:
         "union_evolved_sources": _UNION_EVOLVED_ORACLE,
         "purchase_gaps": _PURCHASE_GAPS_ORACLE,
         "lineitem_unpivot": _UNPIVOT_ORACLE,
+        "order_price_ranks": _PRICE_RANKS_ORACLE,
         # approx_distinct_users intentionally has no oracle: HLL sketch
         # values are engine-specific (rows-only check; error pinned in tests)
         "set_ops_customers": _SET_OPS_ORACLE,

@@ -969,3 +969,29 @@ def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "measure")
     )
+
+
+def order_price_ranks(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """The rank-function family in one window: rank (gaps), dense_rank
+    (no gaps), percent_rank ((rank-1)/(n-1), exact double both engines) over
+    order price per market segment, top-k per segment. One shuffle on the
+    segment key; the limit applies per group via the row-number filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        joined.select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        )
+        .where(F.col("rn") <= k)
+        .orderBy("c_mktsegment", "rn")
+    )
