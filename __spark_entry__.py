@@ -431,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_gaps": relational.purchase_gaps,
         "lineitem_unpivot": relational.lineitem_unpivot,
         "order_price_ranks": relational.order_price_ranks,
+        "segment_conditional_stats": relational.segment_conditional_stats,
+        "events_dow_hour": relational.events_dow_hour,
         "approx_distinct_users": relational.approx_distinct_users,
         "set_ops_customers": relational.set_ops_customers,
         "flatten_roundtrip": relational.flatten_roundtrip,
@@ -1056,6 +1058,26 @@ WHERE rn <= 5
 ORDER BY c_mktsegment, rn
 """
 
+_SEGMENT_COND_ORACLE = """
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_orders,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT')::BIGINT AS n_urgent,
+       count(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS n_open,
+       sum(o_totalprice::DECIMAL(18,2)) FILTER (WHERE o_totalprice > 200000.0)::DOUBLE
+         AS big_order_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+_DOW_HOUR_ORACLE = """
+SELECT (dayofweek(ts) + 1)::INT AS dow, hour(ts)::INT AS hour,
+       count(*)::BIGINT AS n,
+       sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1, 2 ORDER BY dow, hour
+"""
+
 _SET_OPS_ORACLE = """
 SELECT nationkey FROM (
   SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -1261,6 +1283,8 @@ def oracle_sql() -> dict[str, str]:
         "purchase_gaps": _PURCHASE_GAPS_ORACLE,
         "lineitem_unpivot": _UNPIVOT_ORACLE,
         "order_price_ranks": _PRICE_RANKS_ORACLE,
+        "segment_conditional_stats": _SEGMENT_COND_ORACLE,
+        "events_dow_hour": _DOW_HOUR_ORACLE,
         # approx_distinct_users intentionally has no oracle: HLL sketch
         # values are engine-specific (rows-only check; error pinned in tests)
         "set_ops_customers": _SET_OPS_ORACLE,

@@ -995,3 +995,46 @@ def order_price_ranks(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame
         .where(F.col("rn") <= k)
         .orderBy("c_mktsegment", "rn")
     )
+
+
+def segment_conditional_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause conditional aggregation: several differently-filtered
+    aggregates in ONE pass over orders (no self-joins, no re-scans) — the
+    idiom that replaces N separate filtered queries at warehouse scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    open_ = F.col("o_orderstatus") == "O"
+    big = F.col("o_totalprice") > 200000.0
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_if(urgent).alias("n_urgent"),
+            F.count_if(open_).alias("n_open"),
+            F.sum(F.when(big, F.col("o_totalprice").cast(DEC))).cast("double").alias(
+                "big_order_value"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def events_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part rollup (day-of-week × hour heatmap input): purchase counts
+    and exact value sums per (dow, hour) — 168 groups, map-side partial."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"),  # 1=Sunday..7 (Spark convention)
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("dow", "hour")
+    )
