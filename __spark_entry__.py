@@ -295,6 +295,40 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_CACHE: dict[str, object] = {}
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH buckets (8 bits, Hamming<=2
+    multi-probe) with exact cosine rerank — the data-independent scale path
+    next to IVF (no training pass; the same seeded planes bucket new rows
+    forever, which suits continuous ingest).
+
+    No oracle entry: bucket membership depends on seeded Gaussian planes,
+    not SQL-expressible; recall-vs-scan-budget is pinned in
+    tests/test_lsh_ann.py (exact KNN remains the correctness path).
+    """
+    from hybrid_vector_search_spark.operators import lsh_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cached = _LSH_CACHE.get(sf_dir)
+    if cached is None:
+        dim = len(emb.select("embedding").head().embedding)
+        index = lsh_ann.LSHIndex(
+            bits=8, seed=7, dim=dim, id_col="vec_id", vector_col="embedding"
+        )
+        bucketed = lsh_ann.with_buckets(emb, index).cache()
+        bucketed.count()
+        cached = (index, bucketed)
+        _LSH_CACHE[sf_dir] = cached
+    index, bucketed = cached
+    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in row.embedding]
+    return lsh_ann.lsh_search(bucketed, index, qv, 10, probe_hamming=2).select(
+        "vec_id", "label", "score"
+    )
+
+
 # ------------------------------------------------------- streaming (batch parity)
 
 
@@ -457,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_session_window": q_events_session_window,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "knn_bulk_topk": q_knn_bulk_topk,
         "events_pivot": q_events_pivot,
         "events_json_extract": q_events_json_extract,
