@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_ranks": relational.order_price_ranks,
         "segment_conditional_stats": relational.segment_conditional_stats,
         "events_dow_hour": relational.events_dow_hour,
+        "segment_nation_arrays": relational.segment_nation_arrays,
         "approx_distinct_users": relational.approx_distinct_users,
         "set_ops_customers": relational.set_ops_customers,
         "flatten_roundtrip": relational.flatten_roundtrip,
@@ -1113,6 +1114,15 @@ FROM events WHERE event_type = 'purchase'
 GROUP BY 1, 2 ORDER BY dow, hour
 """
 
+_SEGMENT_NATIONS_ORACLE = """
+SELECT c_mktsegment,
+       array_to_string(list(DISTINCT n_name ORDER BY n_name), ',') AS nations,
+       count(DISTINCT n_name)::BIGINT AS n_nations
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
 _SET_OPS_ORACLE = """
 SELECT nationkey FROM (
   SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -1320,6 +1330,7 @@ def oracle_sql() -> dict[str, str]:
         "order_price_ranks": _PRICE_RANKS_ORACLE,
         "segment_conditional_stats": _SEGMENT_COND_ORACLE,
         "events_dow_hour": _DOW_HOUR_ORACLE,
+        "segment_nation_arrays": _SEGMENT_NATIONS_ORACLE,
         # approx_distinct_users intentionally has no oracle: HLL sketch
         # values are engine-specific (rows-only check; error pinned in tests)
         "set_ops_customers": _SET_OPS_ORACLE,

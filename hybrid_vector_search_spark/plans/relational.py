@@ -1038,3 +1038,22 @@ def events_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+def segment_nation_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: per market segment, the sorted list
+    of customer nations. collect_set alone is partition-order-dependent —
+    sort_array makes the nested value canonical (the rule for ANY
+    array-valued aggregate that must be reproducible across runs and
+    engines); joined to CSV here so both engines compare as scalars."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"),
+            F.count_distinct("n_name").alias("n_nations"),
+        )
+        .orderBy("c_mktsegment")
+    )
