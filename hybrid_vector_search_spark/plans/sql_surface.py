@@ -42,3 +42,22 @@ def register_all(spark: SparkSession, sf_dir: str) -> list[str]:
     for name, df in created.items():
         df.createOrReplaceTempView(name)
     return sorted(created)
+
+
+def register_query_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register EVERY driver query as a temp view (q_<name>), making the
+    whole engine surface SQL-addressable:
+
+        register_query_views(spark, sf_dir)
+        spark.sql("SELECT * FROM q_pricing_summary")
+        spark.sql("SELECT * FROM q_dedup_components WHERE component = 7")
+
+    Views stay lazy logical plans; composing further SQL on top re-enters
+    Catalyst, so filters still push down into each query's scans."""
+    import __spark_entry__ as entry_mod
+
+    names = []
+    for name, fn in entry_mod.queries().items():
+        fn(spark, sf_dir).createOrReplaceTempView(f"q_{name}")
+        names.append(f"q_{name}")
+    return sorted(names)

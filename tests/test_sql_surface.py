@@ -47,3 +47,20 @@ def test_sql_views_queryable(spark):
 
     splits = spark.sql("SELECT DISTINCT split FROM doc_splits ORDER BY split").collect()
     assert [r.split for r in splits] == ["test", "train", "val"]
+
+
+def test_query_views_registered_and_equal(spark):
+    """Every driver query is SQL-addressable as q_<name>, and SQL-on-view
+    returns the same rows as the DataFrame builder."""
+    from hybrid_vector_search_spark.plans.sql_surface import register_query_views
+
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    names = register_query_views(spark, sf)
+    assert len(names) == len(entry_mod.queries())
+    for probe in ("q_pricing_summary", "q_set_ops_customers"):
+        assert probe in names
+        via_sql = spark.sql(f"SELECT * FROM {probe}").collect()
+        direct = entry_mod.queries()[probe[2:]](spark, sf).collect()
+        assert sorted(map(tuple, via_sql)) == sorted(map(tuple, direct))
