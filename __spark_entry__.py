@@ -478,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": pipeline.decontaminate,
         "multimodal_binary_stats": pipeline.multimodal_binary_stats,
         "unigram_logprob_score": pipeline.unigram_logprob_score,
+        "doc_repetition": pipeline.doc_repetition,
         "dedup_simhash": pipeline.dedup_simhash,
         "dedup_embedding_cosine": pipeline.dedup_embedding_cosine,
         "corpus_clean": pipeline.corpus_clean,

@@ -196,3 +196,26 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str, *, n: int = 3) -> DataFrame:
+    """Within-document repetition (Gopher-style quality rule): the fraction
+    of word n-grams that are repeats of an earlier n-gram in the same doc.
+    Pure higher-order-function expressions — per-row arrays, zero shuffle,
+    whole-stage codegen end to end."""
+    toks = tokens(F.col(text_col))
+    k = F.size(toks) - F.lit(n - 1)
+    idx = F.when(k >= F.lit(1), F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        F.when(n_grams > 0, F.round((n_grams - n_distinct) / n_grams, 6))
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )

@@ -96,6 +96,24 @@ SHINGLES5 = (
     "FOR i IN range(1, len(ts) - 3)]) AS g FROM tokl WHERE len(ts) >= 5))"
 )
 
+DOC_REPETITION = f"""
+WITH {TOKL},
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3
+              THEN [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
+              ELSE [] END AS grams
+  FROM tokl
+)
+SELECT doc_id, len(grams)::INT AS n_grams,
+       len(list_distinct(grams))::INT AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN round((len(grams) - len(list_distinct(grams)))::DOUBLE
+                       / len(grams)::DOUBLE, 6)
+            ELSE 0.0 END AS rep_ratio
+FROM g ORDER BY doc_id
+"""
+
 UNIGRAM_LOGPROB = f"""
 WITH {TOKL},
 toks AS (SELECT doc_id AS id, unnest(ts) AS tok FROM tokl),
@@ -337,6 +355,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "decontaminate": DECONTAMINATE,
     "multimodal_binary_stats": MULTIMODAL_BINARY,
     "unigram_logprob_score": UNIGRAM_LOGPROB,
+    "doc_repetition": DOC_REPETITION,
     "dedup_simhash": DEDUP_SIMHASH,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE,
     "token_stats": TOKEN_STATS,

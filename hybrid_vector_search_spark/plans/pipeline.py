@@ -56,6 +56,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated-3-gram ratio (textstats.repetition_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.repetition_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-perplexity-proxy quality score over documents (see
     textstats.unigram_logprob)."""
