@@ -76,3 +76,15 @@ def test_near_dup_numpy_kernel_matches_sql(spark):
         for r in embedding_near_dups(emb, "vec_id", "embedding", threshold=0.4, kernel="numpy").collect()
     }
     assert sql_pairs == np_pairs and len(np_pairs) > 0
+
+
+def test_repetition_kernel_equals_sql_twin(spark):
+    from hybrid_vector_search_spark.operators.textstats import repetition_stats
+    from hybrid_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fast = sorted(map(tuple, repetition_stats(docs, "doc_id", "text").collect()))
+    slow = sorted(
+        map(tuple, repetition_stats(docs, "doc_id", "text", kernel="sql").collect())
+    )
+    assert fast == slow
