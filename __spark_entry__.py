@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_conditional_stats": relational.segment_conditional_stats,
         "events_dow_hour": relational.events_dow_hour,
         "segment_nation_arrays": relational.segment_nation_arrays,
+        "daily_revenue_running_total": relational.daily_revenue_running_total,
         "approx_distinct_users": relational.approx_distinct_users,
         "set_ops_customers": relational.set_ops_customers,
         "flatten_roundtrip": relational.flatten_roundtrip,
@@ -1124,6 +1125,21 @@ GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
 
+_RUNNING_TOTAL_ORACLE = """
+WITH daily AS (
+  SELECT l_shipdate::DATE AS d,
+         sum(l_extendedprice::DECIMAL(18,4)
+             * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY d
+)
+SELECT strftime(d, '%Y-%m-%d') AS ship_day, rev_dec::DOUBLE AS revenue,
+       (sum(rev_dec) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING))::DOUBLE
+         AS running_total
+FROM daily ORDER BY ship_day
+"""
+
 _SET_OPS_ORACLE = """
 SELECT nationkey FROM (
   SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -1332,6 +1348,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_conditional_stats": _SEGMENT_COND_ORACLE,
         "events_dow_hour": _DOW_HOUR_ORACLE,
         "segment_nation_arrays": _SEGMENT_NATIONS_ORACLE,
+        "daily_revenue_running_total": _RUNNING_TOTAL_ORACLE,
         # approx_distinct_users intentionally has no oracle: HLL sketch
         # values are engine-specific (rows-only check; error pinned in tests)
         "set_ops_customers": _SET_OPS_ORACLE,

@@ -1057,3 +1057,25 @@ def segment_nation_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def daily_revenue_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) totals: per-day revenue and its running sum over
+    one ship year. The cumulative frame runs on the ~365-row daily aggregate
+    (kept DECIMAL-exact through the frame), never on the fact table."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    )
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("rev_dec")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("ship_day"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("running_total"),
+    ).orderBy("ship_day")
