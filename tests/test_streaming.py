@@ -214,3 +214,38 @@ def test_stream_merge_into_upserts_by_key(spark, tmp_path):
     assert out.where("v = 'v2'").count() == 10
     assert out.where("k < 10 AND v = 'v1'").count() == 0
     assert out.groupBy("k").count().where("count > 1").count() == 0
+
+
+def test_stream_session_window_emits_closed_sessions(spark, events_dir):
+    """Native session_window over a watermarked stream: availableNow append
+    emits EXACTLY the batch sessions whose end precedes the final watermark
+    (max event ts - delay); later sessions stay in state. This is the
+    determinism contract that makes the one-groupBy sessionization safe to
+    run incrementally."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    def agg(df):
+        return df.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        ).agg(F.count("*").alias("n"))
+
+    batch_src = spark.read.parquet(events_dir)
+    if dict(batch_src.dtypes).get("ts") == "bigint":
+        batch_src = batch_src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    from hybrid_vector_search_spark.streaming.events import _event_stream
+
+    stream = _event_stream(spark, events_dir).withWatermark("ts", "2 hours")
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    _drain_append(agg(stream), name)
+    streamed = sorted(
+        (r.user_id, r.sw.start, r.n) for r in spark.table(name).collect()
+    )
+
+    wm = batch_src.agg(F.max("ts")).first()[0] - datetime.timedelta(hours=2)
+    closed = agg(batch_src).where(F.col("sw.end") <= F.lit(wm))
+    expected = sorted((r.user_id, r.sw.start, r.n) for r in closed.collect())
+    assert streamed == expected
+    assert len(streamed) > 0
