@@ -1249,7 +1249,7 @@ _SESSION_WINDOW_ORACLE = """
 WITH g AS (
   SELECT event_id, user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts)::BIGINT - epoch(lag(ts) OVER w)::BIGINT >= 1800
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
               THEN 1 ELSE 0 END AS brk
   FROM events
   WHERE user_id % 10 = 0
@@ -1274,7 +1274,7 @@ _SESSIONIZE_ORACLE = """
 WITH g AS (
   SELECT event_id, user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts)::BIGINT - epoch(lag(ts) OVER w)::BIGINT > 1800
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
               THEN 1 ELSE 0 END AS brk
   FROM events
   WHERE user_id % 10 = 0

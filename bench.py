@@ -53,14 +53,30 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    summary = {
+        "metric": "total_declared_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Full details to a file (the per-query map is too long to trust to a
+    # tail-truncating stdout capture — BENCH_r01 lost its headline that way).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_details.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    # Full contract line first; then a SHORT summary line LAST so a capture
+    # that keeps only the tail of stdout still gets a parseable JSON line.
+    print(json.dumps(summary))
     print(
         json.dumps(
             {
                 "metric": "total_declared_query_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {"total": total},
                 "sf": sf,
+                "n_queries": len(timings),
+                "details": "bench_details.json",
             }
         )
     )

@@ -364,20 +364,29 @@ def embedding_near_dups(
     *,
     threshold: float,
     round_dp: int | None = 6,
-    kernel: str = "numpy",
+    kernel: str = "block",
+    n_blocks: int | None = None,
+    broadcast_limit: int = 200_000,
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine ≥ threshold (exact, all pairs).
 
-    kernel="numpy" (default): one side is L2-normalized into a single NumPy
-    matrix and broadcast to every partition; a mapInPandas kernel computes
-    A_batch @ Bᵀ per Arrow batch (BLAS) and emits only the pairs over
-    threshold. Work is the same O(n²) flops but runs at matrix-multiply
-    speed, the shuffle carries only surviving pairs, and the broadcast is
-    4·dim bytes/row. At 100 TB, run it per IVF bucket (operators.ivf) so B
-    is each cluster, not the corpus — same kernel, pre-grouped input.
+    kernel="block" (default, the scale path): rows are hashed into B blocks;
+    every block pair (bi ≤ bj) becomes one applyInPandas group that computes
+    its sub-matrix product with BLAS and emits only pairs over threshold.
+    Exact all-pairs — every candidate pair is scored in exactly one group —
+    with NO driver-side materialization: the shuffle replicates each row
+    ~(B+1)× (B ≈ √(2·parallelism), so single-digit), and group size is
+    (n/B)² flops, executor-bounded. This is the blocked all-pairs layout a
+    100 TB run needs; to go sub-quadratic, pre-group by IVF cluster
+    (operators.ivf) and call this per bucket.
+
+    kernel="numpy": one side L2-normalized into a single NumPy matrix and
+    broadcast to every partition; A_batch @ Bᵀ per Arrow batch. Fastest for
+    small corpora but materializes the vector side on the driver — guarded
+    by ``broadcast_limit`` rows (raises with the blocked recipe beyond it).
 
     kernel="sql": the pure-Catalyst self-join baseline (higher-order-function
-    cosine per pair) — the verifier for the fast path.
+    cosine per pair) — the verifier for the fast paths.
     """
     if kernel == "sql":
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
@@ -398,7 +407,78 @@ def embedding_near_dups(
     import numpy as np
     import pandas as pd
 
-    side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    if kernel == "block":
+        spark = df.sparkSession
+        if n_blocks is None:
+            par = spark.sparkContext.defaultParallelism
+            n_blocks = max(2, int(np.ceil(np.sqrt(2 * par))))
+        B = int(n_blocks)
+        src = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(B)).alias("blk"),
+        )
+        pairs = spark.createDataFrame(
+            [(i, j) for i in range(B) for j in range(i, B)], "bi int, bj int"
+        )
+        a_part = src.join(F.broadcast(pairs), F.col("blk") == F.col("bi")).select(
+            "bi", "bj", "id", "v", F.lit("a").alias("side")
+        )
+        b_part = src.join(F.broadcast(pairs), F.col("blk") == F.col("bj")).select(
+            "bi", "bj", "id", "v", F.lit("b").alias("side")
+        )
+
+        def block_kern(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            bi, bj = key
+            a_pdf = pdf[pdf["side"] == "a"]
+            b_pdf = pdf[pdf["side"] == "b"]
+            if not len(a_pdf) or not len(b_pdf):
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+                )
+            a_ids = a_pdf["id"].to_numpy()
+            b_ids = b_pdf["id"].to_numpy()
+            a = np.stack([np.asarray(v, dtype=np.float64) for v in a_pdf["v"]])
+            b = np.stack([np.asarray(v, dtype=np.float64) for v in b_pdf["v"]])
+            a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-300)
+            b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-300)
+            sims = a @ b.T
+            if round_dp is not None:
+                sims = np.round(sims, round_dp)
+            hit = sims >= threshold
+            if bi == bj:
+                # same block on both sides: each unordered pair appears in
+                # both orders — keep exactly the ascending one
+                hit &= a_ids[:, None] < b_ids[None, :]
+                ai, bjx = np.nonzero(hit)
+                lo, hi = a_ids[ai], b_ids[bjx]
+            else:
+                # disjoint blocks: each pair appears exactly once — keep it
+                # regardless of id order, normalized to (min, max)
+                ai, bjx = np.nonzero(hit)
+                x, y = a_ids[ai], b_ids[bjx]
+                lo, hi = np.minimum(x, y), np.maximum(x, y)
+            return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": sims[ai, bjx]})
+
+        return (
+            a_part.unionByName(b_part)
+            .groupBy("bi", "bj")
+            .applyInPandas(block_kern, "id_a long, id_b long, cos double")
+        )
+
+    # kernel == "numpy": driver-side broadcast of the vector side — guarded.
+    side = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .limit(broadcast_limit + 1)
+        .toPandas()
+    )
+    if len(side) > broadcast_limit:
+        raise ValueError(
+            f"kernel='numpy' materializes the vector side on the driver and the "
+            f"corpus exceeds broadcast_limit={broadcast_limit} rows. Use the "
+            f"default kernel='block' (exact, distributed), or pre-group by IVF "
+            f"cluster (operators.ivf.build_ivf) and run per bucket."
+        )
     b_ids = side["id"].to_numpy()
     b_mat = np.stack([np.asarray(v, dtype=np.float64) for v in side["v"]])
     b_mat /= np.maximum(np.linalg.norm(b_mat, axis=1, keepdims=True), 1e-300)

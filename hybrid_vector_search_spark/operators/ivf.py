@@ -132,8 +132,10 @@ def measure_recall(
             corpus, qv, k, vector_col=index.vector_col, id_col=index.id_col,
             metric=index.metric, clamp=False,
         ).collect()}
+        # clamp=False so k > the API's clamp ceiling doesn't silently
+        # truncate the probed side and understate recall vs the exact side.
         probed = {r[index.id_col] for r in ivf_search(
-            spark, index, qv, k, nprobe=nprobe
+            spark, index, qv, k, nprobe=nprobe, clamp=False
         ).collect()}
         total += len(exact & probed) / max(len(exact), 1)
     return total / max(len(query_vectors), 1)
@@ -148,6 +150,7 @@ def ivf_search(
     nprobe: int = 4,
     pre_filter=None,
     round_dp: int | None = 6,
+    clamp: bool = True,
 ) -> DataFrame:
     """Probe nprobe clusters (partition-pruned scan) + exact rerank within."""
     clusters = index.nearest_clusters(query_vector, nprobe)
@@ -161,4 +164,5 @@ def ivf_search(
         metric=index.metric,
         pre_filter=pre_filter,
         round_dp=round_dp,
+        clamp=clamp,
     )

@@ -153,11 +153,14 @@ def knn_join(
     shape a training-data pipeline needs (e.g. retrieval-augmented labeling).
 
     Plan: broadcast the query side (queries ≪ corpus, the realistic regime) →
-    broadcast-nested-loop scoring, partitioned by corpus → per-query top-k via
-    window rank over (query_id), which shuffles only (query_id, corpus_id,
-    score) triples — never the vectors. At 100 TB corpus this is
-    scan-bound and embarrassingly parallel; the shuffle payload is
-    |queries|·|corpus_partition_topk| rows, not the corpus.
+    broadcast-nested-loop scoring, partitioned by corpus → **partition-local
+    top-k prune** (local sort, no exchange, then a streaming first-k-per-query
+    Arrow pass) → tiny global re-rank over the pruned triples. The shuffle
+    carries at most |corpus_partitions|·|queries|·k rows of
+    (query_id, corpus_id, score) — never the vectors, never the full
+    |queries|·|corpus| cross product, and no query's score stream ever lands
+    on a single reducer. At 100 TB corpus this is scan-bound and
+    embarrassingly parallel.
     """
     from pyspark.sql import Window
 
@@ -172,9 +175,31 @@ def knn_join(
         .withColumn(score_col, score)
         .drop("__qvec", corpus_vector_col)
     )
+
+    # Partition-local top-k: sortWithinPartitions is a local sort (no
+    # exchange); the Arrow pass keeps the first k rows per __qid per
+    # partition, carrying a per-qid count across batch boundaries.
+    def _local_topk(batches):
+        taken: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            in_batch = pdf.groupby("__qid", sort=False).cumcount()
+            offset = pdf["__qid"].map(taken).fillna(0).astype("int64")
+            keep = (in_batch + offset) < k
+            counts = pdf.loc[keep, "__qid"].value_counts()
+            for qid, n in counts.items():
+                taken[qid] = taken.get(qid, 0) + int(n)
+            if keep.any():
+                yield pdf.loc[keep]
+
+    pruned = scored.sortWithinPartitions(
+        "__qid", F.col(score_col).desc(), F.col(corpus_id_col).asc()
+    ).mapInPandas(_local_topk, scored.schema)
+
     w = Window.partitionBy("__qid").orderBy(F.col(score_col).desc(), F.col(corpus_id_col).asc())
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
+        pruned.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")
         .withColumnRenamed("__qid", query_id_col)

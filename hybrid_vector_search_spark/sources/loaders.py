@@ -30,14 +30,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     so Catalyst can push query-specific filters/projections into the scan."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) in the file, which Spark's vectorized
+        # parquet reader rejects outright. nanosAsLong is runtime-settable, so
+        # set it here rather than at session-build time — callers (the
+        # correctness driver included) supply their own SparkSession and never
+        # go through our session.py.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file; with
-        # spark.sql.legacy.parquet.nanosAsLong it scans as epoch-nanos long.
-        # Convert to a proper timestamp (micros — matches DuckDB's precision).
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # With nanosAsLong the column scans as epoch-nanos LongType; convert
+        # to a proper timestamp (micros — matches DuckDB's precision). Guard
+        # on the scanned dtype so a future file with a plain TIMESTAMP column
+        # passes through untouched.
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

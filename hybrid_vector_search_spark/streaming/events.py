@@ -98,8 +98,11 @@ def sessionize(events: DataFrame, *, gap_minutes: int = SESSION_GAP_MIN) -> Data
     the previous event exceeds the gap. Pure window functions — one shuffle
     on user_id; the running sum never leaves the per-user partition."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    is_break = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    # Gap at exact microsecond precision — the same break definition
+    # _session_state_fn uses (gap_us > threshold), so a gap in (1800, 1801)
+    # seconds sessionizes identically batch vs stream.
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_break = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
     with_session = events.withColumn(
         "session_seq", F.sum(is_break).over(w.rowsBetween(Window.unboundedPreceding, 0))
     )

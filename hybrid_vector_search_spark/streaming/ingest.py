@@ -89,9 +89,18 @@ def stream_merge_into(
             merged = batch
         staging = f"{target_path}._staging"
         merged.write.mode("overwrite").parquet(staging)
+        # Crash-safe swap: keep the old target recoverable at every step —
+        # rename it aside, move staging in, only then delete the old copy.
+        # (rmtree-then-replace had a window where a crash left NO target and
+        # a restart would silently rebuild from the batch alone.)
+        old = f"{target_path}._old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(target_path):
-            shutil.rmtree(target_path)
+            os.replace(target_path, old)
         os.replace(staging, target_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     return (
         stream.writeStream.foreachBatch(upsert_batch)

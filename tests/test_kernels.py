@@ -78,6 +78,43 @@ def test_near_dup_numpy_kernel_matches_sql(spark):
     assert sql_pairs == np_pairs and len(np_pairs) > 0
 
 
+def test_near_dup_block_kernel_matches_sql(spark):
+    """The default (distributed, driver-collect-free) block kernel must be
+    exact: identical pair set and cosines to the Catalyst self-join twin,
+    at several block counts including B > rows-per-block ones."""
+    from hybrid_vector_search_spark.operators.dedup import embedding_near_dups
+    from hybrid_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    sql_pairs = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_near_dups(emb, "vec_id", "embedding", threshold=0.4, kernel="sql").collect()
+    }
+    for n_blocks in (2, 5):
+        blk_pairs = {
+            (r.id_a, r.id_b, r.cos)
+            for r in embedding_near_dups(
+                emb, "vec_id", "embedding", threshold=0.4, kernel="block", n_blocks=n_blocks
+            ).collect()
+        }
+        assert blk_pairs == sql_pairs and len(blk_pairs) > 0
+
+
+def test_near_dup_numpy_kernel_guards_driver_collect(spark):
+    """kernel='numpy' materializes the vector side on the driver — it must
+    refuse to do so past broadcast_limit instead of silently OOMing at scale."""
+    import pytest
+
+    from hybrid_vector_search_spark.operators.dedup import embedding_near_dups
+    from hybrid_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    with pytest.raises(ValueError, match="block"):
+        embedding_near_dups(
+            emb, "vec_id", "embedding", threshold=0.4, kernel="numpy", broadcast_limit=10
+        )
+
+
 def test_repetition_kernel_equals_sql_twin(spark):
     from hybrid_vector_search_spark.operators.textstats import repetition_stats
     from hybrid_vector_search_spark.sources import load_table

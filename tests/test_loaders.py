@@ -1,0 +1,46 @@
+"""load_table must work under a SparkSession the caller built themselves.
+
+The correctness driver builds its own bare SparkSession (no session.py
+configs), so the TIMESTAMP(NANOS) handling for events.parquet has to be
+applied at runtime inside load_table, not at session-build time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from hybrid_vector_search_spark.sources import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_events_reads_under_bare_session(spark):
+    # newSession() gives a sibling session with its own SQLConf — unset the
+    # legacy flag to simulate a driver-built session that never saw session.py.
+    bare = spark.newSession()
+    try:
+        bare.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        pass
+    assert bare.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
+
+    df = load_table(bare, SF_SMALL, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    n = df.count()
+    assert n > 0
+    # sanity: timestamps landed in a plausible epoch range, not raw nanos
+    row = df.selectExpr("min(ts) AS lo", "max(ts) AS hi").first()
+    assert row["lo"].year >= 1990 and row["hi"].year <= 2100
+
+
+def test_events_ts_roundtrip_vs_duckdb(spark, duck):
+    """The micros conversion must agree with DuckDB's read of the same file."""
+    df = load_table(spark, SF_SMALL, "events")
+    s = df.selectExpr("count(*) AS n", "min(ts) AS lo", "max(ts) AS hi").first()
+    o = duck.execute(
+        f"SELECT count(*) AS n, min(ts) AS lo, max(ts) AS hi "
+        f"FROM read_parquet('{SF_SMALL}/events.parquet')"
+    ).fetchone()
+    assert s["n"] == o[0]
+    # DuckDB reads nanos natively; compare at millisecond tolerance
+    assert abs((s["lo"] - o[1]).total_seconds()) < 1e-3
+    assert abs((s["hi"] - o[2]).total_seconds()) < 1e-3

@@ -146,3 +146,30 @@ def test_approx_percentiles_rank_error(spark):
     for q, cut in ((0.5, row.p50), (0.9, row.p90), (0.99, row.p99)):
         rank = bisect.bisect_right(values, cut) / n
         assert abs(rank - q) < 0.005, (q, cut, rank)
+
+
+def test_knn_join_prunes_before_shuffle(spark):
+    """knn_join's shuffle must carry only partition-local top-k triples, not
+    the full |queries|x|corpus| cross product: the plan orders as
+    BroadcastNestedLoopJoin -> local sort -> MapInPandas (prune) -> Exchange
+    (tiny re-rank). Any Exchange BEFORE the prune means every query's whole
+    score stream lands on one reducer — the r1 scale bug."""
+    from hybrid_vector_search_spark.operators.knn import knn_join
+    from hybrid_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") < 4)
+        .selectExpr("vec_id AS query_id", "embedding")
+    )
+    out = knn_join(q, emb.where(F.col("vec_id") >= 4), k=3)
+    plan = _plan(out)
+    i_join = plan.find("BroadcastNestedLoopJoin")
+    i_prune = plan.find("MapInPandas")
+    i_exchange = plan.find("Exchange")
+    assert i_join != -1 and i_prune != -1 and i_exchange != -1, plan
+    assert i_prune < i_join, f"prune must consume the join output:\n{plan}"
+    assert i_exchange < i_prune, f"the only Exchange must sit above the prune:\n{plan}"
+    # the pruned side must locally sort, not globally
+    seg = plan[i_prune:i_join]
+    assert "Sort" in seg and "Exchange" not in seg, f"local sort only below the prune:\n{plan}"
