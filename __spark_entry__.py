@@ -104,6 +104,56 @@ LIMIT 10
 """
 
 
+def q_cli_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLI's INCLUSIVE range bounds (reference local-test.py:98-111,
+    $gte/$lte) — deliberately different from the web API's strict maxPrice <
+    (backend/api.py:37-38). Same condition shape api.SearchEngine.cli_search
+    builds; `label` plays the price field. Driver-pins the P3 boundary
+    disagreement SURVEY §2.2 calls out."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in row.embedding]
+    pre = (F.col("vec_id") != 0) & (F.col("label") >= 2) & (F.col("label") <= 5)
+    out = knn_op.knn(emb, qv, 10, metric="cosine", pre_filter=pre)
+    return out.select("vec_id", "label", "score")
+
+
+def q_knn_limit_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 limit clamping, driver-checked: k=100 requested, the reference's
+    [1, 25] clamp (backend/api.py:115-119) caps the result at 25 rows — the
+    oracle simply writes LIMIT 25."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in row.embedding]
+    out = knn_op.knn(emb, qv, 100, metric="cosine", pre_filter=F.col("vec_id") != 0)
+    return out.select("vec_id", "label", "score")
+
+
+_CLI_RANGE_ORACLE = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       round((1.0 + list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])
+              / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[])))) / 2.0, 6) AS score
+FROM embeddings e, q
+WHERE e.vec_id <> 0 AND e.label BETWEEN 2 AND 5
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+_LIMIT_CLAMP_ORACLE = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       round((1.0 + list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])
+              / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[])))) / 2.0, 6) AS score
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 25
+"""
+
+
 # ----------------------------------------------------------- fulltext mode
 
 FT_QUERY = "spark fast table value"
@@ -417,18 +467,70 @@ def q_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict order is the driver's correctness-check priority: the driver
+    verifies a prefix window (r1: first 50), so never-yet-verified operators
+    come FIRST, the queries that failed in r1 (events nanos, now fixed) next,
+    then a small canary set of r1-green queries, then the r1-green remainder."""
     return {
+        # --- never driver-checked in r1: LLM-pipeline + flatten + streaming-batch
+        "flatten_roundtrip": relational.flatten_roundtrip,
+        "dedup_exact": pipeline.dedup_exact,
+        "dedup_minhash_lsh": pipeline.dedup_minhash_lsh,
+        "ngram_jaccard_pairs": pipeline.ngram_jaccard_pairs,
+        "dedup_components": pipeline.dedup_components,
+        "dedup_simhash": pipeline.dedup_simhash,
+        "dedup_embedding_cosine": pipeline.dedup_embedding_cosine,
+        "dedup_components_star": pipeline.dedup_components_star,
+        "decontaminate": pipeline.decontaminate,
+        "pii_redact": pipeline.pii_redact,
+        "corpus_clean": pipeline.corpus_clean,
+        "token_stats": pipeline.token_stats,
+        "language_id": pipeline.language_id,
+        "quality_score": pipeline.quality_score,
+        "doc_fingerprints": pipeline.doc_fingerprints,
+        "unigram_logprob_score": pipeline.unigram_logprob_score,
+        "doc_repetition": pipeline.doc_repetition,
+        "sample_deterministic": pipeline.sample_deterministic,
+        "stratified_sample": pipeline.stratified_sample,
+        "dataset_split_counts": pipeline.dataset_split_counts,
+        "multimodal_binary_stats": pipeline.multimodal_binary_stats,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "events_sessionize": q_events_sessionize,
+        "events_session_window": q_events_session_window,
+        "events_asof_signup": q_events_asof_signup,
+        "events_interval_join": q_events_interval_join,
+        "knn_bulk_topk": q_knn_bulk_topk,
+        "events_pivot": q_events_pivot,
+        "events_json_extract": q_events_json_extract,
+        "lineitem_self_join": q_lineitem_self_join,
+        "value_percentiles": q_value_percentiles,
+        "set_ops_customers": relational.set_ops_customers,
+        "daily_revenue_running_total": relational.daily_revenue_running_total,
+        "approx_distinct_users": relational.approx_distinct_users,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "cli_range_bounds": q_cli_range_bounds,
+        "knn_limit_clamped": q_knn_limit_clamped,
+        # --- failed in r1 (events TIMESTAMP(NANOS) under the driver session; fixed)
+        "events_value_deciles": relational.events_value_deciles,
+        "value_percentiles_approx": relational.value_percentiles_approx,
+        "events_latest_per_user": relational.events_latest_per_user,
+        "value_histogram": relational.value_histogram,
+        "purchase_gaps": relational.purchase_gaps,
+        "events_dow_hour": relational.events_dow_hour,
+        # --- r1-green canaries (regression guard inside the window)
         "knn_cosine": q_knn_cosine,
-        "knn_dot": q_knn_dot,
-        "knn_euclidean": q_knn_euclidean,
         "knn_cosine_prefilter": q_knn_cosine_prefilter,
-        "knn_takeordered": q_knn_takeordered,
         "fulltext_bm25": q_fulltext_bm25,
         "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
         "hybrid_fusion": q_hybrid_fusion,
+        "distinct_values": q_distinct_values,
+        # --- r1-green remainder (rotates into the window as it widens)
+        "knn_dot": q_knn_dot,
+        "knn_euclidean": q_knn_euclidean,
+        "knn_takeordered": q_knn_takeordered,
         "hybrid_rank_fusion": q_hybrid_rank_fusion,
         "top_bigrams": q_top_bigrams,
-        "distinct_values": q_distinct_values,
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
         "top_orders_per_segment": relational.top_orders_per_segment,
@@ -455,53 +557,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "high_balance_inactive": relational.high_balance_inactive,
         "revenue_moving_avg": relational.revenue_moving_avg,
         "cube_revenue": relational.cube_revenue,
-        "events_value_deciles": relational.events_value_deciles,
-        "value_percentiles_approx": relational.value_percentiles_approx,
         "revenue_calendar_fill": relational.revenue_calendar_fill,
         "nation_revenue_share": relational.nation_revenue_share,
-        "events_latest_per_user": relational.events_latest_per_user,
-        "value_histogram": relational.value_histogram,
         "union_evolved_sources": relational.union_evolved_sources,
-        "purchase_gaps": relational.purchase_gaps,
         "lineitem_unpivot": relational.lineitem_unpivot,
         "order_price_ranks": relational.order_price_ranks,
         "segment_conditional_stats": relational.segment_conditional_stats,
-        "events_dow_hour": relational.events_dow_hour,
         "segment_nation_arrays": relational.segment_nation_arrays,
-        "daily_revenue_running_total": relational.daily_revenue_running_total,
-        "approx_distinct_users": relational.approx_distinct_users,
-        "set_ops_customers": relational.set_ops_customers,
-        "flatten_roundtrip": relational.flatten_roundtrip,
-        "dedup_exact": pipeline.dedup_exact,
-        "dedup_minhash_lsh": pipeline.dedup_minhash_lsh,
-        "ngram_jaccard_pairs": pipeline.ngram_jaccard_pairs,
-        "dedup_components": pipeline.dedup_components,
-        "decontaminate": pipeline.decontaminate,
-        "multimodal_binary_stats": pipeline.multimodal_binary_stats,
-        "unigram_logprob_score": pipeline.unigram_logprob_score,
-        "doc_repetition": pipeline.doc_repetition,
-        "dedup_simhash": pipeline.dedup_simhash,
-        "dedup_embedding_cosine": pipeline.dedup_embedding_cosine,
-        "corpus_clean": pipeline.corpus_clean,
-        "sample_deterministic": pipeline.sample_deterministic,
-        "stratified_sample": pipeline.stratified_sample,
-        "dataset_split_counts": pipeline.dataset_split_counts,
-        "token_stats": pipeline.token_stats,
-        "language_id": pipeline.language_id,
-        "quality_score": pipeline.quality_score,
-        "doc_fingerprints": pipeline.doc_fingerprints,
-        "events_hourly_rollup": q_events_hourly_rollup,
-        "events_sessionize": q_events_sessionize,
-        "events_session_window": q_events_session_window,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "knn_bulk_topk": q_knn_bulk_topk,
-        "events_pivot": q_events_pivot,
-        "events_json_extract": q_events_json_extract,
-        "events_asof_signup": q_events_asof_signup,
-        "events_interval_join": q_events_interval_join,
-        "lineitem_self_join": q_lineitem_self_join,
-        "value_percentiles": q_value_percentiles,
     }
 
 
@@ -1304,6 +1366,8 @@ def oracle_sql() -> dict[str, str]:
             score_expr=_COS, where="e.vec_id <> 0 AND e.label % 2 = 0"
         ),
         "knn_takeordered": _KNN_TAKEORDERED_ORACLE,
+        "cli_range_bounds": _CLI_RANGE_ORACLE,
+        "knn_limit_clamped": _LIMIT_CLAMP_ORACLE,
         "fulltext_bm25": _FT_ORACLE,
         "fulltext_bm25_postfilter": _FT_POSTFILTER_ORACLE,
         "hybrid_fusion": _HYBRID_ORACLE,

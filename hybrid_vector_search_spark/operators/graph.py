@@ -78,3 +78,94 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every strictly-larger neighbor of u reattaches to
+    min(N(u) ∪ {u}). Deterministic, shrinks tall structures toward minima."""
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
+    return (
+        sym.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.least(F.col("a"), F.col("mb")).alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges larger→smaller; every small neighbor of
+    u (and u itself) reattaches to u's minimum small neighbor."""
+    o = (
+        e.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    mins = o.groupBy("a").agg(F.min("b").alias("mb"))
+    return (
+        o.join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("mb").alias("b"))
+        .union(mins.select(F.col("a"), F.col("mb").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Same contract as :func:`connected_components` — (node, component) with
+    component = min node id — but converges in O(log n) rounds regardless of
+    component DIAMETER, where min-label propagation needs O(diameter) rounds.
+    This is the adversarial-100 TB fallback the min-label docstring promises:
+    a long near-dup chain (each doc similar to the next) costs min-label a
+    round per link; here each large-star halves path lengths.
+
+    Each round is two join+min aggregations over the current edge list —
+    the identical shuffle shape as one min-label round — iterated until the
+    edge list reaches a fixpoint (a forest of stars rooted at component
+    minima).
+    """
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # remember every node BEFORE dropping self-loops (a pure self-loop node is
+    # its own singleton component; roots also drop out of `a` at convergence)
+    nodes = (
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        raw.where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        same = (
+            new.count() == e.count()
+            and new.exceptAll(e).limit(1).count() == 0
+        )
+        e = new
+        if same:
+            break
+    # fixpoint edges are (node → component-min); roots map to themselves.
+    # min() guards the not-fully-converged max_iter cutoff (then a node may
+    # still hold several outgoing edges).
+    return (
+        nodes.join(e, nodes.node == e.a, "left")
+        .select("node", F.coalesce(F.col("b"), F.col("node")).alias("component"))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )

@@ -1,0 +1,64 @@
+"""PII detection and redaction over a text column.
+
+A training-data pipeline must strip personally-identifiable information
+before a corpus ships; the reference has no such operator (its corpus is
+product copy), so this is one of the engine's training-pipeline extensions
+(same family as operators.dedup / operators.textstats).
+
+Design: pure sequential ``regexp_replace`` / ``regexp_extract_all`` column
+expressions — JVM-side, whole-stage-codegen'd, zero Python, zero shuffle.
+Patterns are written in the common Java-regex/RE2 subset so the DuckDB
+oracle can run the byte-identical patterns (DuckDB needs the 'g' flag; Spark
+replaces globally by default).
+
+Order matters (an SSN is a substring-shape of a phone number with different
+grouping): rules apply in REDACTION_RULES order, and any SQL twin must apply
+them in the same order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (name, pattern, replacement) applied strictly in order. \b and \d are
+# supported by both Java regex and RE2.
+REDACTION_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Return (id, <counts per rule>, redacted) — counts measured BEFORE any
+    replacement mutates the text, then rules applied in order."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat, _ in REDACTION_RULES
+    ]
+    red = F.col(text_col)
+    for _, pat, repl in REDACTION_RULES:
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(F.col(id_col).alias("id"), *counts, red.alias(out_col))
+
+
+def pii_doc_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, has_pii) — the cheap filter-stage predicate: a doc has PII iff
+    any rule matches. Same patterns, no replacement work."""
+    any_hit = None
+    for _, pat, _ in REDACTION_RULES:
+        hit = F.regexp_like(F.col(text_col), F.lit(pat))
+        any_hit = hit if any_hit is None else (any_hit | hit)
+    return df.select(F.col(id_col).alias("id"), any_hit.alias("has_pii"))

@@ -10,6 +10,7 @@ sides structurally locked together.
 
 from __future__ import annotations
 
+from ..operators.pii import REDACTION_RULES
 from ..operators.textstats import MIN_LANG_RATIO, STOPWORDS
 
 # ---------------------------------------------------------------- shared CTEs
@@ -347,7 +348,38 @@ ORDER BY source
 
 CORPUS_CLEAN = _corpus_clean_sql()
 
+
+def _pii_sql() -> str:
+    """Byte-identical regex rules as operators.pii.REDACTION_RULES, applied in
+    the same order; planting mirrors pipeline.pii_redact's doc_id-derived
+    suffix exactly (DuckDB numeric || is string concat)."""
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in REDACTION_RULES
+    )
+    red = "text"
+    for _, pat, repl in REDACTION_RULES:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id ||
+              '@example.com or 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+              '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+              ' ssn 123-45-6789 ip 10.0.' || (doc_id % 256) || '.7'
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id, {counts}, md5({red}) AS redacted_md5
+FROM planted
+"""
+
+
+PII_REDACT = _pii_sql()
+
 PIPELINE_ORACLES: dict[str, str] = {
+    "pii_redact": PII_REDACT,
+    "dedup_components_star": DEDUP_COMPONENTS,
     "dedup_exact": DEDUP_EXACT,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH,
     "ngram_jaccard_pairs": NGRAM_JACCARD,

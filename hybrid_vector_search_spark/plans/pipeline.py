@@ -139,6 +139,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents with deterministically PLANTED PII — the
+    synthetic corpus contains none, so every 7th doc gets an email, a phone,
+    an SSN and an IPv4 derived from its doc_id (the same fixture-planting
+    pattern as _with_planted_dupes). Redaction itself is sequential JVM
+    regexp rules (operators.pii, zero Python, zero shuffle); the DuckDB twin
+    applies byte-identical patterns with the 'g' flag."""
+    from ..operators.pii import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789 ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), suffix))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = redact_pii(planted, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical clusters to dedup_components, computed with the
+    large-star/small-star algorithm (O(log n) rounds vs O(diameter)) —
+    oracle-pinned to the same recursive-CTE transitive closure, so both
+    component implementations are driver-verified equal."""
+    from ..operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5)
+    comps = connected_components_star(pairs, "id_a", "id_b")
+    return comps.select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")
+
+
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return textstats.token_stats(docs, "doc_id", "text")

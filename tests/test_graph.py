@@ -31,3 +31,45 @@ def test_long_chain_converges(spark):
     got = _components(spark, [(i, i + 1) for i in range(n)])
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+def _components_star(spark, edges):
+    from hybrid_vector_search_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = connected_components_star(df, "src", "dst")
+    return {r.node: r.component for r in out.collect()}
+
+
+def test_star_matches_minlabel_on_crafted_graphs(spark):
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        [(5, 4), (4, 3), (3, 2), (2, 1)],
+        [(i, i + 1) for i in range(40)],  # the long-chain adversarial case
+        [(7, 7), (1, 2), (2, 1)],  # self-loop + duplicate both-direction edge
+    ]
+    for edges in cases:
+        assert _components_star(spark, edges) == _components(spark, edges)
+
+
+def test_star_matches_minlabel_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(1234)
+    for _ in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _components_star(spark, edges) == _components(spark, edges)
+
+
+def test_star_log_rounds_on_long_chain(spark):
+    """The point of large-star/small-star: a diameter-300 chain must converge
+    in O(log n) alternation rounds, far under a round-per-link budget."""
+    from hybrid_vector_search_spark.operators.graph import connected_components_star
+
+    n = 300
+    df = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+    out = connected_components_star(df, "src", "dst", max_iter=14)
+    got = {r.node: r.component for r in out.collect()}
+    assert set(got.values()) == {0} and len(got) == n + 1
