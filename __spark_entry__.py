@@ -319,6 +319,19 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_CACHE: dict[str, object] = {}
+_IVF_TMPDIR: list[str] = []  # one session tempdir, removed at exit
+
+
+def _ivf_session_dir() -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _IVF_TMPDIR:
+        d = tempfile.mkdtemp(prefix="hvs_ivf_session_")
+        _IVF_TMPDIR.append(d)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return _IVF_TMPDIR[0]
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,14 +341,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-vs-exact property is pinned in tests/test_ivf.py instead (the
     exact-KNN queries above remain the strict correctness path).
     """
-    import tempfile
-
     from hybrid_vector_search_spark.operators import ivf as ivf_op
 
     emb = load_table(spark, sf_dir, "embeddings")
     index = _IVF_CACHE.get(sf_dir)
     if index is None:
-        path = tempfile.mkdtemp(prefix="hvs_ivf_") + "/index"
+        # all IVF layouts live under ONE session tempdir (removed atexit) —
+        # repeated driver runs no longer strand hvs_ivf_* dirs in /tmp
+        safe = sf_dir.strip("/").replace("/", "_")
+        path = f"{_ivf_session_dir()}/{safe}/index"
         index = ivf_op.build_ivf(spark, emb, path, n_clusters=8)
         _IVF_CACHE[sf_dir] = index
     row = emb.where(F.col("vec_id") == 0).select("embedding").head()
@@ -363,6 +377,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cached = _LSH_CACHE.get(sf_dir)
     if cached is None:
+        # bound the cache to ONE sf_dir: rotating to a new scale factor
+        # releases the previous bucketed corpus instead of accreting cached
+        # copies in executor memory for the life of the session
+        for stale_key in [k for k in _LSH_CACHE if k != sf_dir]:
+            _, stale_df = _LSH_CACHE.pop(stale_key)
+            stale_df.unpersist()
         dim = len(emb.select("embedding").head().embedding)
         index = lsh_ann.LSHIndex(
             bits=8, seed=7, dim=dim, id_col="vec_id", vector_col="embedding"

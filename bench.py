@@ -1,12 +1,21 @@
 """Benchmark harness (driver contract).
 
 Runs every declared query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
-on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <float>}
+on local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines to stdout, both of the
+contract shape {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {...}, "sf": <float>}:
 
-Each query is timed end-to-end including the collect (what a user of the
-reference's API observes: pipeline build + execution + result fetch).
+  1. the FULL line (per-query timing map) first,
+  2. a SHORT tail-safe summary line last (queries collapsed to {"total": ...},
+     plus n_queries/details pointers), so a capture that keeps only the head
+     OR only the tail of stdout still parses one valid contract line.
+
+The full per-query map is also written to bench_details.json next to this
+file. Each query is timed end-to-end including the collect (what a user of
+the reference's API observes: pipeline build + execution + result fetch);
+each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the
+MIN, so one-time first-touch costs and machine-load drift don't mask plan
+regressions round-over-round.
 """
 
 from __future__ import annotations
@@ -37,14 +46,16 @@ def main() -> None:
         lambda it: (pdf for pdf in it), "id long"
     ).count()
 
-    # two timed runs per query, report the min: first-touch costs (parquet
+    # N_RUNS timed runs per query, report the min: first-touch costs (parquet
     # footer reads, codegen compile, scheduler warm-up) are one-time per
-    # deployment, not per-query — min-of-2 measures the steady state a
-    # serving cluster sees while still executing everything end-to-end twice
+    # deployment, not per-query — and the min is robust to the ~1.2× machine
+    # load drift observed between rounds, so a reported regression is a plan
+    # regression, not noise.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         best, rows = None, []
-        for _ in range(2):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
@@ -59,6 +70,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": n_runs,
     }
     # Full details to a file (the per-query map is too long to trust to a
     # tail-truncating stdout capture — BENCH_r01 lost its headline that way).

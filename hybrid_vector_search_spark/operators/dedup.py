@@ -174,13 +174,26 @@ def minhash_signatures(
 
 
 def lsh_candidates(
-    sigs: DataFrame, *, bands: int, rows_per_band: int
+    sigs: DataFrame, *, bands: int, rows_per_band: int, max_bucket_size: int | None = None
 ) -> DataFrame:
     """(id_a, id_b) distinct pairs sharing at least one LSH band.
 
     Band key = md5 of the concatenated signature slice; the self-join runs
     per band key — an equi-join on a 32-char key, shuffle ∝ bucket sizes.
+
+    ``max_bucket_size`` caps the quadratic blowup inside a single (band, key)
+    bucket: the self-join emits m·(m−1)/2 pairs per m-member bucket, so a
+    degenerate corpus (thousands of byte-identical or boilerplate docs all
+    landing in one bucket) turns the candidate phase into O(m²). Buckets
+    above the cap keep only their ``max_bucket_size`` smallest ids (rank by
+    id inside the bucket — deterministic, and the survivors still pair with
+    each other, so the duplicate GROUP is still discovered; dropped members
+    are recovered transitively by the exact-verify + connected-components
+    stage, which is how production near-dup pipelines bound this). This is
+    the band-bucket analog of ``jaccard_pairs``'s ``max_shingle_df`` guard.
     """
+    from pyspark.sql import Window
+
     num_hashes = bands * rows_per_band
     band_keys = F.array(
         *[
@@ -196,6 +209,16 @@ def lsh_candidates(
         if f"sig_{b}" not in sigs.columns:
             raise ValueError(f"signatures missing sig_{b}; need {num_hashes} hashes")
     banded = sigs.select("id", F.posexplode(band_keys).alias("band", "key"))
+    if max_bucket_size is not None:
+        # one extra shuffle on the SAME (band, key) the join shuffles on —
+        # AQE coalesces the exchange reuse; rank, not count+filter, so the
+        # pass is single-window and the survivors are deterministic.
+        w = Window.partitionBy("band", "key").orderBy("id")
+        banded = (
+            banded.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= max_bucket_size)
+            .drop("_rk")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -262,16 +285,22 @@ def minhash_near_dups(
     bands: int = 4,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard — the standard
     two-phase near-dup pipeline (cheap recall phase, exact precision phase).
+
+    ``max_bucket_size`` (default 1000) bounds the per-band-bucket self-join
+    to ~500k pairs per degenerate bucket — see :func:`lsh_candidates`.
     """
     # signatures: map-only kernel (no shuffle); shingle table feeds only the
     # exact-Jaccard verify
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes=bands * rows_per_band, shingle_n=shingle_n
     )
-    cands = lsh_candidates(sigs, bands=bands, rows_per_band=rows_per_band)
+    cands = lsh_candidates(
+        sigs, bands=bands, rows_per_band=rows_per_band, max_bucket_size=max_bucket_size
+    )
     sh = shingle_table(df, id_col, text_col, n=shingle_n)
     exact = jaccard_pairs(sh, min_jaccard=min_jaccard)
     return exact.join(cands, ["id_a", "id_b"], "left_semi")

@@ -151,13 +151,20 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # convergence = set equality of consecutive (distinct) edge lists. Carry
+    # the previous round's count forward so each round costs ONE action (the
+    # checkpoint of `new` yields its count for free via rdd.count on the
+    # materialized blocks); the subset probe (except → empty) runs only when
+    # the counts already agree — i.e. once, at the convergent round.
+    prev_count = e.count()
     for _ in range(max_iter):
         new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_count = new.count()
         same = (
-            new.count() == e.count()
+            new_count == prev_count
             and new.exceptAll(e).limit(1).count() == 0
         )
-        e = new
+        e, prev_count = new, new_count
         if same:
             break
     # fixpoint edges are (node → component-min); roots map to themselves.

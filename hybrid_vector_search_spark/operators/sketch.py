@@ -64,9 +64,14 @@ def count_min_heavy_hitters(
     import numpy as np
     import pandas as pd
 
-    m = candidates_per_partition or max(k * 4, 32)
-
     src = df.select(F.col(col).cast("string").alias("v"))
+    # The SpaceSaving-style completeness argument ("a global heavy hitter is
+    # heavy in at least one partition") needs m ≈ k·partitions when a value
+    # can be spread evenly across partitions — so the default scales with the
+    # actual partition count (bounded below for tiny inputs). The candidate
+    # traffic stays ≤ partitions·m rows, never the data.
+    n_parts = max(1, src.rdd.getNumPartitions())
+    m = candidates_per_partition or max(k * n_parts, k * 4, 32)
 
     def part_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from collections import Counter
@@ -140,4 +145,8 @@ def count_min_heavy_hitters(
         .limit(k)
         .select(F.col("v").alias("value"), "n_est")
     )
+    # the result is k rows — materialize it (cutting lineage) so the persisted
+    # per-partition sketch can be released instead of leaking executor memory
+    out = out.localCheckpoint(eager=True)
+    mixed.unpersist()
     return out

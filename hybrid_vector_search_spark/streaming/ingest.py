@@ -81,6 +81,13 @@ def stream_merge_into(
     stream = spark.readStream.schema(schema).parquet(source_dir)
 
     def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        old = f"{target_path}._old"
+        # Crash recovery FIRST: a crash between "rename target aside" and
+        # "move staging in" leaves no target but a surviving ._old — restore
+        # it before merging, or this batch would silently rebuild the table
+        # from itself alone and the rmtree below would destroy the only copy.
+        if not os.path.exists(target_path) and os.path.exists(old):
+            os.replace(old, target_path)
         batch = batch_df.dropDuplicates(keys)
         if os.path.exists(target_path):
             target = batch.sparkSession.read.parquet(target_path)
@@ -90,10 +97,10 @@ def stream_merge_into(
         staging = f"{target_path}._staging"
         merged.write.mode("overwrite").parquet(staging)
         # Crash-safe swap: keep the old target recoverable at every step —
-        # rename it aside, move staging in, only then delete the old copy.
-        # (rmtree-then-replace had a window where a crash left NO target and
-        # a restart would silently rebuild from the batch alone.)
-        old = f"{target_path}._old"
+        # rename it aside, move staging in, and only rmtree the old copy
+        # AFTER the swap has fully succeeded. (rmtree-then-replace had a
+        # window where a crash left NO target; the restore above covers the
+        # remaining rename-aside → move-in window.)
         if os.path.exists(old):
             shutil.rmtree(old)
         if os.path.exists(target_path):

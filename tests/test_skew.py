@@ -89,3 +89,35 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert joined.count() == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """1000 identical docs land in ONE (band, key) bucket: uncapped LSH would
+    self-join them into ~500k candidate pairs; max_bucket_size=20 bounds the
+    candidate set to C(20,2) per band while real near-dup pairs in a mixed
+    corpus still surface."""
+    from hybrid_vector_search_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_near_dups,
+        minhash_signatures,
+    )
+
+    boiler = [(i, "the same boilerplate footer text repeated verbatim everywhere") for i in range(1000)]
+    real = [
+        (2001, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2002, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    docs = spark.createDataFrame(boiler + real, ["doc_id", "text"])
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    capped = lsh_candidates(sigs, bands=4, rows_per_band=2, max_bucket_size=20)
+    n_pairs = capped.count()
+    # survivors pair only among themselves: ≤ C(20,2) boilerplate pairs + the real pair
+    assert n_pairs <= 20 * 19 // 2 + 1
+    # the duplicate GROUP is still discovered (survivors pair with each other)
+    assert capped.where((F.col("id_a") < 1000) & (F.col("id_b") < 1000)).count() > 0
+    # and the genuine near-dup pair survives end-to-end through exact verify
+    out = minhash_near_dups(
+        docs, "doc_id", "text", min_jaccard=0.7, bands=4, rows_per_band=2,
+        shingle_n=3, max_bucket_size=20,
+    )
+    assert out.where((F.col("id_a") == 2001) & (F.col("id_b") == 2002)).count() == 1

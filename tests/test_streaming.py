@@ -249,3 +249,38 @@ def test_stream_session_window_emits_closed_sessions(spark, events_dir):
     expected = sorted((r.user_id, r.sw.start, r.n) for r in closed.collect())
     assert streamed == expected
     assert len(streamed) > 0
+
+
+def test_stream_merge_into_recovers_from_mid_swap_crash(spark, tmp_path):
+    """Crash simulation: a process dying between 'rename target aside' and
+    'move staging in' leaves only the ._old copy on disk. The next batch must
+    RESTORE it before merging — otherwise the table silently rebuilds from
+    the new batch alone and the old rows are lost."""
+    import os
+
+    from hybrid_vector_search_spark.streaming.ingest import stream_merge_into
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = spark.range(100).select(F.col("id").alias("k"), F.lit("v1").alias("v"))
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+    q = stream_merge_into(spark, src, tgt, ckpt, ["k"])
+    q.awaitTermination(120)
+    assert spark.read.parquet(tgt).count() == 100
+
+    # simulate the crash window: target renamed aside, staging never moved in
+    os.replace(tgt, f"{tgt}._old")
+    assert not os.path.exists(tgt)
+
+    ins = spark.range(100, 105).select(F.col("id").alias("k"), F.lit("v1").alias("v"))
+    ins.coalesce(1).write.mode("append").parquet(src)
+    q = stream_merge_into(spark, src, tgt, ckpt, ["k"])
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(tgt)
+    # pre-crash rows restored AND the new batch merged — no silent data loss
+    assert out.count() == 105
+    assert out.where("k < 100").count() == 100
+    assert not os.path.exists(f"{tgt}._old")
