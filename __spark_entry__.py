@@ -319,19 +319,19 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_CACHE: dict[str, object] = {}
-_IVF_TMPDIR: list[str] = []  # one session tempdir, removed at exit
+_TMPDIR: list[str] = []  # one session tempdir (IVF layouts, sink roundtrips), removed at exit
 
 
-def _ivf_session_dir() -> str:
+def _session_tmpdir() -> str:
     import atexit
     import shutil
     import tempfile
 
-    if not _IVF_TMPDIR:
-        d = tempfile.mkdtemp(prefix="hvs_ivf_session_")
-        _IVF_TMPDIR.append(d)
+    if not _TMPDIR:
+        d = tempfile.mkdtemp(prefix="hvs_session_")
+        _TMPDIR.append(d)
         atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return _IVF_TMPDIR[0]
+    return _TMPDIR[0]
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,7 +349,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # all IVF layouts live under ONE session tempdir (removed atexit) —
         # repeated driver runs no longer strand hvs_ivf_* dirs in /tmp
         safe = sf_dir.strip("/").replace("/", "_")
-        path = f"{_ivf_session_dir()}/{safe}/index"
+        path = f"{_session_tmpdir()}/ivf/{safe}/index"
         index = ivf_op.build_ivf(spark, emb, path, n_clusters=8)
         _IVF_CACHE[sf_dir] = index
     row = emb.where(F.col("vec_id") == 0).select("embedding").head()
@@ -486,66 +486,194 @@ def q_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------ sketches / sinks / embed / F7
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (operators.sketch exact path): top-20 most active
+    users by event count — one partial-agg shuffle + TakeOrderedAndProject."""
+    from hybrid_vector_search_spark.operators.sketch import exact_heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return exact_heavy_hitters(ev, "user_id", 20)
+
+
+def q_heavy_hitters_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters: same top-20, served from the merged
+    per-partition sketch (shuffle O(partitions·depth·width), value column
+    never globally shuffled — the 100 TB path when the domain is huge).
+
+    No oracle entry: count-min estimates are sketch-specific (estimate ≥
+    true, ≤ εN over); the overestimate bound and exact-agreement-at-this-
+    width property are pinned in tests/test_sketch.py."""
+    from hybrid_vector_search_spark.operators.sketch import count_min_heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return count_min_heavy_hitters(ev, "user_id", 20)
+
+
+_HEAVY_HITTERS_ORACLE = """
+SELECT user_id AS value, count(*)::BIGINT AS n
+FROM events
+GROUP BY user_id
+ORDER BY n DESC, value ASC
+LIMIT 20
+"""
+
+
+def q_embed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 oracle-checked end-to-end: HashingEmbedder (reference
+    embed.py:135-153's pipeline slot) is pure md5 arithmetic — tokenize,
+    bigram, md5→bucket/sign, L2-normalize, float32 — so DuckDB can replay it
+    exactly. Bucket sums are ±1 integers (exact in float64), the norm is a
+    sqrt of an exact integer, and BOTH engines round through float32, so the
+    6-dp values are bit-identical. Output: every nonzero (doc, bucket, val)."""
+    from hybrid_vector_search_spark.operators.embed import embed_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = embed_documents(docs, "text")
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("bucket", "val"))
+        .where(F.col("val") != 0.0)
+        .select(
+            "doc_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round(F.col("val").cast("double"), 6).alias("val"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
+
+
+_EMBED_ROUNDTRIP_ORACLE = """
+WITH tokl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, unnest(list_concat(
+           ts, [ts[i] || '_' || ts[i+1] FOR i IN range(1, len(ts))])) AS f
+  FROM tokl
+),
+hits AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(f), 1, 8))::UBIGINT % 64)::INT AS bucket,
+         CASE WHEN ('0x' || substr(md5(f), 9, 2))::UBIGINT % 2 = 1
+              THEN 1 ELSE -1 END AS sgn
+  FROM feats
+),
+bsum AS (
+  SELECT doc_id, bucket, sum(sgn)::BIGINT AS s
+  FROM hits GROUP BY doc_id, bucket
+),
+nrm AS (
+  SELECT doc_id, sqrt(sum((s * s)::DOUBLE)) AS n FROM bsum GROUP BY doc_id
+)
+SELECT b.doc_id, b.bucket,
+       round(((b.s::DOUBLE) / nrm.n)::FLOAT::DOUBLE, 6) AS val
+FROM bsum b JOIN nrm USING (doc_id)
+WHERE b.s <> 0
+ORDER BY b.doc_id, b.bucket
+"""
+
+
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4/S5 driver-checked in one roundtrip: bulk_write overwrite
+    (drop-and-replace + batched files), column_add_rewrite (the parquet
+    point-update analog), read back, aggregate. The oracle aggregates the
+    source directly — equality proves the write/rewrite/read path loses and
+    alters nothing. Overwrite semantics make repeated runs idempotent."""
+    from hybrid_vector_search_spark.sources.sinks import bulk_write, column_add_rewrite
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    safe = sf_dir.strip("/").replace("/", "_")
+    base = f"{_session_tmpdir()}/sink/{safe}"
+    bulk_write(docs, f"{base}/raw", mode="overwrite", max_records_per_file=200)
+    readback = column_add_rewrite(
+        spark, f"{base}/raw", f"{base}/enriched",
+        lambda df: F.col("n_chars") * 2, "n_chars_2x",
+    )
+    return (
+        readback.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("n_chars_2x").alias("sum_chars_2x"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SINK_ROUNDTRIP_ORACLE = """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       sum(n_chars * 2)::BIGINT AS sum_chars_2x
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q_hybrid_fusion_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/U3 driver-checked: the hybrid query with scoreDetails serialized
+    via to_json (the extended-JSON path api._sanitize exposes; reference
+    backend/api.py:53-81 + $scoreFusion scoreDetails). Numeric fields are
+    %.6f-formatted on both engines (round-6 first, so the printf halfway
+    behavior can't diverge), nulls spelled 'null', making the JSON string
+    byte-identical to DuckDB's json_object."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    q = _query_vector_df(spark, sf_dir)
+    vec_branch = knn_op.knn_join(q, emb, k=25, metric="cosine").select(
+        F.col("vec_id").alias("id"), "score"
+    )
+    stats = bm25_op.build_text_stats(docs, "doc_id", "text")
+    txt_branch = bm25_op.bm25_scores(stats, FT_QUERY.split())
+    fused = fusion_op.score_fusion(
+        {"vector": vec_branch, "text": txt_branch},
+        {"vector": fusion_op.VECTOR_WEIGHT, "text": fusion_op.TEXT_WEIGHT},
+        include_details=True,
+    )
+
+    def fmt(c):
+        return F.coalesce(F.format_string("%.6f", F.round(c, 6)), F.lit("null"))
+
+    details_json = F.to_json(
+        F.struct(
+            F.struct(
+                fmt(F.col("score_details.text.raw")).alias("raw"),
+                fmt(F.col("score_details.text.normalized")).alias("normalized"),
+                fmt(F.col("score_details.text.weight")).alias("weight"),
+            ).alias("text"),
+            F.struct(
+                fmt(F.col("score_details.vector.raw")).alias("raw"),
+                fmt(F.col("score_details.vector.normalized")).alias("normalized"),
+                fmt(F.col("score_details.vector.weight")).alias("weight"),
+            ).alias("vector"),
+        )
+    )
+    return (
+        fused.select("id", "score", details_json.alias("score_details_json"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is the driver's correctness-check priority: the driver
-    verifies a prefix window (r1: first 50), so never-yet-verified operators
-    come FIRST, the queries that failed in r1 (events nanos, now fixed) next,
-    then a small canary set of r1-green queries, then the r1-green remainder."""
+    verifies a prefix window (~50), so the round-3 layout is: (1) queries
+    NEW this round, (2) the 38 queries last verified in r1 — stale since
+    round 2 changed load_table / knn_join / the session bootstrap — then
+    (3) r2-green canaries covering every operator family, (4) the r2-green
+    remainder. Union r2+r3 covers all declared queries."""
     return {
-        # --- never driver-checked in r1: LLM-pipeline + flatten + streaming-batch
-        "flatten_roundtrip": relational.flatten_roundtrip,
-        "dedup_exact": pipeline.dedup_exact,
-        "dedup_minhash_lsh": pipeline.dedup_minhash_lsh,
-        "ngram_jaccard_pairs": pipeline.ngram_jaccard_pairs,
-        "dedup_components": pipeline.dedup_components,
-        "dedup_simhash": pipeline.dedup_simhash,
-        "dedup_embedding_cosine": pipeline.dedup_embedding_cosine,
-        "dedup_components_star": pipeline.dedup_components_star,
-        "decontaminate": pipeline.decontaminate,
-        "pii_redact": pipeline.pii_redact,
-        "corpus_clean": pipeline.corpus_clean,
-        "token_stats": pipeline.token_stats,
-        "language_id": pipeline.language_id,
-        "quality_score": pipeline.quality_score,
-        "doc_fingerprints": pipeline.doc_fingerprints,
-        "unigram_logprob_score": pipeline.unigram_logprob_score,
-        "doc_repetition": pipeline.doc_repetition,
-        "sample_deterministic": pipeline.sample_deterministic,
-        "stratified_sample": pipeline.stratified_sample,
-        "dataset_split_counts": pipeline.dataset_split_counts,
-        "multimodal_binary_stats": pipeline.multimodal_binary_stats,
-        "events_hourly_rollup": q_events_hourly_rollup,
-        "events_sessionize": q_events_sessionize,
-        "events_session_window": q_events_session_window,
-        "events_asof_signup": q_events_asof_signup,
-        "events_interval_join": q_events_interval_join,
-        "knn_bulk_topk": q_knn_bulk_topk,
-        "events_pivot": q_events_pivot,
-        "events_json_extract": q_events_json_extract,
-        "lineitem_self_join": q_lineitem_self_join,
-        "value_percentiles": q_value_percentiles,
-        "set_ops_customers": relational.set_ops_customers,
-        "daily_revenue_running_total": relational.daily_revenue_running_total,
-        "approx_distinct_users": relational.approx_distinct_users,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "cli_range_bounds": q_cli_range_bounds,
-        "knn_limit_clamped": q_knn_limit_clamped,
-        # --- failed in r1 (events TIMESTAMP(NANOS) under the driver session; fixed)
-        "events_value_deciles": relational.events_value_deciles,
-        "value_percentiles_approx": relational.value_percentiles_approx,
-        "events_latest_per_user": relational.events_latest_per_user,
-        "value_histogram": relational.value_histogram,
-        "purchase_gaps": relational.purchase_gaps,
-        "events_dow_hour": relational.events_dow_hour,
-        # --- r1-green canaries (regression guard inside the window)
-        "knn_cosine": q_knn_cosine,
-        "knn_cosine_prefilter": q_knn_cosine_prefilter,
-        "fulltext_bm25": q_fulltext_bm25,
-        "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
-        "hybrid_fusion": q_hybrid_fusion,
-        "distinct_values": q_distinct_values,
-        # --- r1-green remainder (rotates into the window as it widens)
+        # --- new in r3: sketches, sink roundtrip, embed oracle, F7 scoreDetails
+        "heavy_hitters": q_heavy_hitters,
+        "heavy_hitters_cm": q_heavy_hitters_cm,
+        "embed_roundtrip": q_embed_roundtrip,
+        "sink_roundtrip": q_sink_roundtrip,
+        "hybrid_fusion_details": q_hybrid_fusion_details,
+        # --- last verified in r1: TPC-H shapes + remaining KNN/fusion variants
         "knn_dot": q_knn_dot,
         "knn_euclidean": q_knn_euclidean,
         "knn_takeordered": q_knn_takeordered,
@@ -584,6 +712,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_ranks": relational.order_price_ranks,
         "segment_conditional_stats": relational.segment_conditional_stats,
         "segment_nation_arrays": relational.segment_nation_arrays,
+        # --- r2-green canaries (one per operator family, inside the window)
+        "flatten_roundtrip": relational.flatten_roundtrip,
+        "dedup_minhash_lsh": pipeline.dedup_minhash_lsh,
+        "dedup_components_star": pipeline.dedup_components_star,
+        "pii_redact": pipeline.pii_redact,
+        "knn_bulk_topk": q_knn_bulk_topk,
+        "events_sessionize": q_events_sessionize,
+        "hybrid_fusion": q_hybrid_fusion,
+        # --- r2-green remainder (rotates into the window as it widens)
+        "dedup_exact": pipeline.dedup_exact,
+        "ngram_jaccard_pairs": pipeline.ngram_jaccard_pairs,
+        "dedup_components": pipeline.dedup_components,
+        "dedup_simhash": pipeline.dedup_simhash,
+        "dedup_embedding_cosine": pipeline.dedup_embedding_cosine,
+        "decontaminate": pipeline.decontaminate,
+        "corpus_clean": pipeline.corpus_clean,
+        "token_stats": pipeline.token_stats,
+        "language_id": pipeline.language_id,
+        "quality_score": pipeline.quality_score,
+        "doc_fingerprints": pipeline.doc_fingerprints,
+        "unigram_logprob_score": pipeline.unigram_logprob_score,
+        "doc_repetition": pipeline.doc_repetition,
+        "sample_deterministic": pipeline.sample_deterministic,
+        "stratified_sample": pipeline.stratified_sample,
+        "dataset_split_counts": pipeline.dataset_split_counts,
+        "multimodal_binary_stats": pipeline.multimodal_binary_stats,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "events_session_window": q_events_session_window,
+        "events_asof_signup": q_events_asof_signup,
+        "events_interval_join": q_events_interval_join,
+        "events_pivot": q_events_pivot,
+        "events_json_extract": q_events_json_extract,
+        "lineitem_self_join": q_lineitem_self_join,
+        "value_percentiles": q_value_percentiles,
+        "set_ops_customers": relational.set_ops_customers,
+        "daily_revenue_running_total": relational.daily_revenue_running_total,
+        "approx_distinct_users": relational.approx_distinct_users,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "cli_range_bounds": q_cli_range_bounds,
+        "knn_limit_clamped": q_knn_limit_clamped,
+        "events_value_deciles": relational.events_value_deciles,
+        "value_percentiles_approx": relational.value_percentiles_approx,
+        "events_latest_per_user": relational.events_latest_per_user,
+        "value_histogram": relational.value_histogram,
+        "purchase_gaps": relational.purchase_gaps,
+        "events_dow_hour": relational.events_dow_hour,
+        "knn_cosine": q_knn_cosine,
+        "knn_cosine_prefilter": q_knn_cosine_prefilter,
+        "fulltext_bm25": q_fulltext_bm25,
+        "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
+        "distinct_values": q_distinct_values,
     }
 
 
@@ -688,6 +868,38 @@ fused AS (
   FROM vr FULL OUTER JOIN tr ON vr.id = tr.id
 )
 SELECT id, score FROM fused
+ORDER BY score DESC, id ASC
+LIMIT 10
+"""
+
+_HYBRID_DETAILS_ORACLE = f"""
+WITH {_BM25_SCORES},
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT e.vec_id AS id, round({_COS}, 6) AS vscore
+  FROM embeddings e, q
+  ORDER BY vscore DESC, e.vec_id ASC
+  LIMIT 25
+),
+fused AS (
+  SELECT coalesce(vec.id, bm25.doc_id) AS id,
+         vec.vscore AS vraw, bm25.score AS traw,
+         coalesce(1.0 / (1.0 + exp(-vec.vscore)), 0.0) AS vnorm,
+         coalesce(1.0 / (1.0 + exp(-bm25.score)), 0.0) AS tnorm
+  FROM vec FULL OUTER JOIN bm25 ON vec.id = bm25.doc_id
+)
+SELECT id, round(10.0 * vnorm + 1.0 * tnorm, 6) AS score,
+       json_object(
+         'text', json_object(
+           'raw', coalesce(printf('%.6f', round(traw, 6)), 'null'),
+           'normalized', printf('%.6f', round(tnorm, 6)),
+           'weight', printf('%.6f', 1.0)),
+         'vector', json_object(
+           'raw', coalesce(printf('%.6f', round(vraw, 6)), 'null'),
+           'normalized', printf('%.6f', round(vnorm, 6)),
+           'weight', printf('%.6f', 10.0))
+       )::VARCHAR AS score_details_json
+FROM fused
 ORDER BY score DESC, id ASC
 LIMIT 10
 """
@@ -1379,6 +1591,12 @@ ORDER BY user_id, session_seq
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "heavy_hitters": _HEAVY_HITTERS_ORACLE,
+        # heavy_hitters_cm intentionally has no oracle: count-min estimates
+        # are sketch-specific (rows-only check; εN bound pinned in tests)
+        "embed_roundtrip": _EMBED_ROUNDTRIP_ORACLE,
+        "sink_roundtrip": _SINK_ROUNDTRIP_ORACLE,
+        "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),
         "knn_dot": _KNN_ORACLE.format(score_expr=_DOT, where="e.vec_id <> 0"),
         "knn_euclidean": _KNN_ORACLE.format(score_expr=_EUC, where="e.vec_id <> 0"),
