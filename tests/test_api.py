@@ -147,3 +147,58 @@ def test_dim_mismatch_fails_loudly(engine, spark):
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     with _pytest.raises(ValueError, match="dims"):
         knn(emb, [0.1] * 32, 3, expected_dim=64)
+
+
+# ------------------------------------------------------------ HTTP binding
+
+
+@pytest.fixture(scope="module")
+def client(engine):
+    flask = pytest.importorskip("flask")  # noqa: F841 - binding is optional
+    from hybrid_vector_search_spark.http_app import create_app
+
+    app = create_app(engine)
+    app.testing = True
+    return app.test_client()
+
+
+def test_http_restaurants_returns_sorted_list(client, engine):
+    resp = client.get("/api/restaurants")
+    assert resp.status_code == 200
+    assert resp.get_json() == engine.restaurants()
+
+
+def test_http_search_vector_roundtrip(client):
+    resp = client.post(
+        "/api/search", json={"mode": "vector", "description": "fast spark table", "limit": 3}
+    )
+    assert resp.status_code == 200
+    body = resp.get_json()
+    assert body["mode"] == "vector"
+    assert len(body["results"]) == 3
+    assert all("score" in r for r in body["results"])
+
+
+def test_http_search_maps_apierror_to_status_and_message(client):
+    resp = client.post("/api/search", json={"mode": "nope", "description": "x"})
+    assert resp.status_code == 400
+    assert resp.get_json() == {"message": "Modo de búsqueda no válido."}
+
+    resp = client.post("/api/search", json={"mode": "vector", "description": "  "})
+    assert resp.status_code == 400
+    assert resp.get_json() == {
+        "message": "La descripción es obligatoria para la búsqueda seleccionada."
+    }
+
+    resp = client.post(
+        "/api/search",
+        json={"mode": "vector", "description": "x", "maxPrice": "not-a-price"},
+    )
+    assert resp.status_code == 400
+    assert resp.get_json() == {"message": "El formato del precio máximo no es válido."}
+
+
+def test_http_search_empty_body_defaults_to_vector_400(client):
+    # reference: missing JSON body → mode defaults to vector → description required
+    resp = client.post("/api/search", content_type="application/json", data="")
+    assert resp.status_code == 400
