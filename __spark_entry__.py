@@ -673,6 +673,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_roundtrip": q_embed_roundtrip,
         "sink_roundtrip": q_sink_roundtrip,
         "hybrid_fusion_details": q_hybrid_fusion_details,
+        "gopher_quality_rules": pipeline.gopher_quality_rules,
+        "duplicate_spans": pipeline.duplicate_spans,
+        "char_entropy_score": pipeline.char_entropy_score,
+        "dedup_canonical": pipeline.dedup_canonical,
+        "embedding_sign_buckets": pipeline.embedding_sign_buckets,
         # --- last verified in r1: TPC-H shapes + remaining KNN/fusion variants
         "knn_dot": q_knn_dot,
         "knn_euclidean": q_knn_euclidean,

@@ -79,3 +79,24 @@ def atlas_score(a: Column, b: Column | list[float], metric: str = "cosine") -> C
     if metric == "euclidean":
         return F.lit(1.0) / (F.lit(1.0) + euclidean_dist(a, b))
     raise ValueError(f"unknown metric {metric!r}; expected one of {SIMILARITIES}")
+
+
+def sign_bucket(v: Column, bits: int = 8) -> Column:
+    """Axis-aligned random-hyperplane bucket id: bit i is set iff v[i] >= 0.
+
+    The degenerate (identity-projection) member of the SimHash/RHP-LSH
+    family (Charikar 2002) — a pure Catalyst expression (unrolled per bit;
+    `bits` is small by construction), so semantic bucketing of an embedding
+    column is a map-only projection the oracle can replay exactly. Use
+    `operators.lsh_ann` for the seeded-projection variant; this exists for
+    cheap, engine-portable coarse clustering.
+    """
+    vv = _as_double(v)
+    expr = F.lit(0).cast("long")
+    for i in range(bits):
+        expr = expr + (
+            F.when(F.element_at(vv, i + 1) >= 0, F.lit(1 << i))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    return expr

@@ -535,3 +535,88 @@ def embedding_near_dups(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .mapInPandas(kern, out_schema)
     )
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 5
+) -> DataFrame:
+    """Cross-document duplicated-span profile (exact-substring-dedup proxy,
+    the shingle-counting flavor of RefinedWeb/CCNet rather than a suffix
+    array — a published, shuffle-friendly approximation).
+
+    For each document: the number of distinct word n-grams it contains, how
+    many of those also occur in at least one OTHER document, and the
+    duplicated fraction. Downstream policies drop or trim docs whose
+    duplicated fraction exceeds a threshold.
+
+    Plan shape: one shingle explosion (md5 keys), one groupBy(shingle) to
+    count containing docs — the only corpus-wide shuffle, on 32-char keys
+    proportional to DISTINCT shingles — then a shuffle-local re-join on the
+    same key and a per-doc aggregate. At 100 TB the shingle relation is the
+    big mover; `shingle_table`'s `max_shingle_df`-style stopword guard
+    applies upstream if hot n-grams dominate.
+    """
+    sh = shingle_table(df, id_col, text_col, n=n)
+    docs_per = sh.groupBy("sh").agg(F.count("*").alias("n_docs"))
+    return (
+        sh.join(docs_per, "sh")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("dup_frac"),
+        )
+    )
+
+
+def canonicalize(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Near-duplicate cluster canonicalization: given the doc table and the
+    verified near-dup pair list (id_a, id_b), label EVERY document with the
+    id of its cluster's canonical representative (longest doc wins, ties to
+    the smallest id — the keep-best policy real pipelines apply after LSH)
+    and whether it is the kept copy.
+
+    Composition: connected components over the pair graph (operators.graph,
+    O(log n) rounds), then one window over the clustered docs to elect the
+    canonical, then a broadcast-sized left join back onto the corpus —
+    clusters are vanishingly small relative to the corpus at any scale, so
+    the corpus itself is never shuffled.
+    """
+    from .graph import connected_components
+
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges)
+
+    clustered = comp.join(
+        docs.select(F.col(id_col).alias("node"), F.col(length_col).alias("_len")),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("_len").desc(), F.col("node").asc()
+    )
+    canon = (
+        clustered.withColumn("_canon", F.first("node").over(w))
+        .select(F.col("node").alias(id_col), F.col("_canon"))
+    )
+    return (
+        docs.select(id_col)
+        .join(F.broadcast(canon), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_canon"), F.col(id_col)).alias("canonical_id"),
+            (F.coalesce(F.col("_canon"), F.col(id_col)) == F.col(id_col)).alias(
+                "is_kept"
+            ),
+        )
+    )

@@ -18,7 +18,7 @@ Definitions are pinned (and mirrored in the DuckDB oracle):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import char_ngrams, tokens
@@ -257,4 +257,74 @@ def repetition_stats(
     par = df.sparkSession.sparkContext.defaultParallelism
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).repartition(par)
     out = src.mapInPandas(kern, "id long, n_grams int, n_distinct int, rep_ratio double")
+    return out.withColumnRenamed("id", id_col)
+
+
+def char_entropy(
+    df: DataFrame, id_col: str, text_col: str, *, kernel: str = "pandas"
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the lowercased character
+    distribution — a compression-proxy quality signal: natural text sits in
+    a band, while boilerplate / repeated filler (low) and random noise
+    (high) fall outside it.
+
+    kernel="pandas" (default): per-doc Counter in an Arrow batch kernel,
+    summing -p·ln p over chars in sorted order (deterministic float path) —
+    map-only, zero shuffle, the 100 TB shape. kernel="sql": explode chars →
+    groupBy(doc, char) → per-doc aggregate; shuffles corpus-size char rows,
+    kept as the Catalyst cross-check pinned equal in tests (rounding to 6dp
+    absorbs summation-order float drift).
+    """
+    if kernel == "sql":
+        chars = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.filter(F.split(F.lower(F.col(text_col)), ""), lambda c: c != "")
+            ).alias("ch"),
+        )
+        counts = chars.groupBy("id", "ch").agg(F.count("*").alias("cnt"))
+        tot = Window.partitionBy("id")
+        p = F.col("cnt") / F.sum("cnt").over(tot)
+        return (
+            counts.withColumn("term", -p * F.log(p))
+            .groupBy("id")
+            .agg(
+                F.round(F.sum("term"), 6).alias("entropy"),
+                F.sum("cnt").alias("n_chars_counted"),
+            )
+            .withColumnRenamed("id", id_col)
+        )
+
+    from collections import Counter
+    from typing import Iterator
+
+    import math
+
+    import pandas as pd
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ents, ns = [], [], []
+            for i, text in zip(pdf["id"], pdf["t"]):
+                c = Counter((text or "").lower())
+                n = sum(c.values())
+                if n:
+                    ent = -sum(
+                        (v / n) * math.log(v / n) for _, v in sorted(c.items())
+                    )
+                else:
+                    ent = 0.0
+                ids.append(i)
+                ents.append(round(ent, 6))
+                ns.append(n)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype=pdf["id"].dtype),
+                    "entropy": pd.Series(ents, dtype="float64"),
+                    "n_chars_counted": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    out = src.mapInPandas(kern, "id long, entropy double, n_chars_counted long")
     return out.withColumnRenamed("id", id_col)

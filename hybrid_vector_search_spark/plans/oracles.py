@@ -375,6 +375,132 @@ FROM planted
 """
 
 
+# operators.quality_rules.gopher_rules — same tokenizer, same thresholds
+_STOP_PROBE_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+GOPHER_RULES = f"""
+WITH {TOKL},
+base AS (
+  SELECT d.doc_id, t.ts,
+         list_filter(list_transform(string_split(d.text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS ls,
+         ((length(d.text) - length(replace(d.text, '#', ''))) / 1)::INT
+         + ((length(d.text) - length(replace(d.text, '...', ''))) / 3)::INT AS n_symbols
+  FROM documents d JOIN tokl t USING (doc_id)
+),
+m AS (
+  SELECT doc_id,
+         len(ts)::INT AS n_words,
+         CASE WHEN len(ts) > 0 THEN round(
+           list_sum(list_transform(ts, t -> length(t)))::DOUBLE / len(ts)::DOUBLE, 6)
+           ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(ts) > 0 THEN round(
+           len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+           / len(ts)::DOUBLE, 6) ELSE 0.0 END AS frac_alpha,
+         CASE WHEN len(ls) > 0 THEN round(
+           len(list_filter(ls, l -> regexp_matches(l, '^[-*\u2022]')))::DOUBLE
+           / len(ls)::DOUBLE, 6) ELSE 0.0 END AS frac_bullet_lines,
+         CASE WHEN len(ls) > 0 THEN round(
+           len(list_filter(ls, l -> regexp_matches(l, '\\.\\.\\.$')))::DOUBLE
+           / len(ls)::DOUBLE, 6) ELSE 0.0 END AS frac_ellipsis_lines,
+         CASE WHEN len(ts) > 0 THEN round(
+           n_symbols::DOUBLE / len(ts)::DOUBLE, 6) ELSE 0.0 END AS symbol_word_ratio,
+         len(list_filter({_STOP_PROBE_SQL},
+                         s -> list_contains(list_distinct(ts), s)))::INT AS stop_hits
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, frac_alpha, frac_bullet_lines,
+       frac_ellipsis_lines, symbol_word_ratio, stop_hits,
+       (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_word_ratio <= 0.1 AND frac_bullet_lines <= 0.9
+        AND frac_ellipsis_lines <= 0.3 AND frac_alpha >= 0.8
+        AND stop_hits >= 1) AS passes
+FROM m ORDER BY doc_id
+"""
+
+# operators.dedup.duplicate_spans(n=5)
+DUPLICATE_SPANS = f"""
+WITH {TOKL},
+{SHINGLES5},
+per AS (SELECT sh, count(*) AS n_docs FROM sh5 GROUP BY sh)
+SELECT id AS doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+       round(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS dup_frac
+FROM sh5 JOIN per USING (sh)
+GROUP BY id ORDER BY doc_id
+"""
+
+# operators.textstats.char_entropy (pandas kernel ground truth)
+CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(lower(text), '')) AS c FROM documents
+),
+cnt AS (SELECT doc_id, c, count(*)::BIGINT AS k FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, sum(k)::BIGINT AS n FROM cnt GROUP BY doc_id)
+SELECT doc_id,
+       round(sum(-(k::DOUBLE / n::DOUBLE) * ln(k::DOUBLE / n::DOUBLE)), 6) AS entropy,
+       n AS n_chars_counted
+FROM cnt JOIN tot USING (doc_id)
+GROUP BY doc_id, n ORDER BY doc_id
+"""
+
+# operators.dedup.canonicalize over the >=0.5-jaccard component graph
+DEDUP_CANONICAL = f"""
+WITH RECURSIVE {TOKL},
+{SHINGLES3},
+{JACCARD},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5
+  UNION
+  SELECT id_b AS a, id_a AS b FROM jac WHERE jaccard >= 0.5
+),
+reach(n, m) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+),
+comp AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n),
+clustered AS (
+  SELECT c.node, c.component, d.n_chars FROM comp c
+  JOIN documents d ON d.doc_id = c.node
+),
+canon AS (
+  SELECT component, node AS canon_id FROM (
+    SELECT component, node,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, node ASC) AS rn
+    FROM clustered) WHERE rn = 1
+),
+lab AS (SELECT cl.node, ca.canon_id FROM clustered cl JOIN canon ca USING (component))
+SELECT d.doc_id,
+       coalesce(l.canon_id, d.doc_id)::BIGINT AS canonical_id,
+       (coalesce(l.canon_id, d.doc_id) = d.doc_id) AS is_kept
+FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _sign_bucket_sql(bits: int) -> str:
+    terms = " + ".join(
+        f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+WITH b AS (
+  SELECT ({terms})::BIGINT AS bucket,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT bucket, count(*)::BIGINT AS n_vectors, round(avg(nrm), 6) AS mean_norm
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+EMBEDDING_SIGN_BUCKETS = _sign_bucket_sql(8)
+
+
 PII_REDACT = _pii_sql()
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -398,4 +524,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     "stratified_sample": STRATIFIED_SAMPLE,
     "dataset_split_counts": DATASET_SPLIT_COUNTS,
     "corpus_clean": CORPUS_CLEAN,
+    "gopher_quality_rules": GOPHER_RULES,
+    "duplicate_spans": DUPLICATE_SPANS,
+    "char_entropy_score": CHAR_ENTROPY,
+    "dedup_canonical": DEDUP_CANONICAL,
+    "embedding_sign_buckets": EMBEDDING_SIGN_BUCKETS,
 }

@@ -267,3 +267,58 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("split", "lang")
     )
+
+
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style structural quality gate (operators.quality_rules): one
+    map-only projection per doc, rule metrics + pass/fail conjunction."""
+    from ..operators.quality_rules import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    # min_stop_hits=1: the synthetic corpus has a thin stopword profile, and
+    # a pass column that actually discriminates exercises the conjunction
+    return gopher_rules(docs, "doc_id", "text", min_stop_hits=1).orderBy("doc_id")
+
+
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated 5-gram profile (exact-substring-dedup proxy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, "doc_id", "text", n=5).orderBy("doc_id")
+
+
+def char_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-distribution Shannon entropy (textstats.char_entropy,
+    Arrow kernel path — the sql twin is pinned equal in tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.char_entropy(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup canonicalization: exact-jaccard pair graph →
+    connected components → longest-doc-wins canonical election → every doc
+    labeled (canonical_id, is_kept). The full LSH→verify→cluster→keep-best
+    sequence a production dedup pass runs, as ONE lazy plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5)
+    return dedup.canonicalize(docs, pairs, "doc_id", length_col="n_chars").orderBy(
+        "doc_id"
+    )
+
+
+def embedding_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse semantic clustering of the embeddings table: 8-bit axis-sign
+    bucket (functions.vector.sign_bucket) → per-bucket size and mean L2
+    norm. Map-only projection + one tiny aggregate (≤256 groups)."""
+    from ..functions.vector import norm, sign_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            sign_bucket(F.col("embedding"), bits=8).alias("bucket"),
+            norm(F.col("embedding")).alias("_n"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.round(F.avg("_n"), 6).alias("mean_norm"))
+        .orderBy("bucket")
+    )
