@@ -678,6 +678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy_score": pipeline.char_entropy_score,
         "dedup_canonical": pipeline.dedup_canonical,
         "embedding_sign_buckets": pipeline.embedding_sign_buckets,
+        "dedup_simhash_pairs": pipeline.dedup_simhash_pairs,
+        "doc_keywords_tfidf": pipeline.doc_keywords_tfidf,
+        "source_mixture_weights": pipeline.source_mixture_weights,
         # --- last verified in r1: TPC-H shapes + remaining KNN/fusion variants
         "knn_dot": q_knn_dot,
         "knn_euclidean": q_knn_euclidean,

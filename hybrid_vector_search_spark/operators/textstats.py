@@ -328,3 +328,43 @@ def char_entropy(
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     out = src.mapInPandas(kern, "id long, entropy double, n_chars_counted long")
     return out.withColumnRenamed("id", id_col)
+
+
+def doc_keywords(df: DataFrame, id_col: str, text_col: str, *, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (sklearn's ln((1+N)/(1+df))+1 idf; tf = raw in-doc count). Classic
+    corpus summarization / near-dup explanation surface.
+
+    Plan shape: one explode → (doc, term, tf) aggregate; document frequency
+    aggregates the SAME relation again (map-side, vocab-sized result) and
+    broadcasts back with the corpus size — the corpus shuffles once, on
+    token keys. Ranking rounds the score to 6dp FIRST and tie-breaks on the
+    term text so the top-k is engine-deterministic.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((1 + F.col("n_docs")) / (1 + F.col("df")))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "tfidf", "rank")
+    )

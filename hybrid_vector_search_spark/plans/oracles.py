@@ -501,6 +501,51 @@ FROM b GROUP BY bucket ORDER BY bucket
 EMBEDDING_SIGN_BUCKETS = _sign_bucket_sql(8)
 
 
+# operators.dedup.simhash_pairs — oracle is the EXHAUSTIVE popcount join,
+# pinning that 4-band bucketing is lossless at Hamming radius 3
+DEDUP_SIMHASH_PAIRS = f"""
+WITH fps AS ({DEDUP_SIMHASH})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+# operators.textstats.doc_keywords (k=3, smoothed sklearn idf)
+DOC_KEYWORDS = f"""
+WITH {TOKL},
+toks AS (SELECT doc_id AS id, unnest(ts) AS term FROM tokl),
+tf AS (SELECT id, term, count(*)::BIGINT AS tf FROM toks GROUP BY id, term),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT id, term,
+         round(tf * (ln((1 + n_docs)::DOUBLE / (1 + df)::DOUBLE) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+  SELECT id, term, tfidf,
+         row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT id AS doc_id, term, tfidf, rank::INT AS rank
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+# plans.pipeline.source_mixture_weights (alpha = 0.3)
+SOURCE_MIXTURE = """
+WITH per AS (
+  SELECT source,
+         sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+r AS (SELECT source, n_tokens, pow(n_tokens::DOUBLE, 0.3) AS raw FROM per)
+SELECT source, n_tokens, round(raw / sum(raw) OVER (), 6) AS weight
+FROM r ORDER BY source
+"""
+
 PII_REDACT = _pii_sql()
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -529,4 +574,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "char_entropy_score": CHAR_ENTROPY,
     "dedup_canonical": DEDUP_CANONICAL,
     "embedding_sign_buckets": EMBEDDING_SIGN_BUCKETS,
+    "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS,
+    "doc_keywords_tfidf": DOC_KEYWORDS,
+    "source_mixture_weights": SOURCE_MIXTURE,
 }

@@ -322,3 +322,51 @@ def embedding_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vectors"), F.round(F.avg("_n"), 6).alias("mean_norm"))
         .orderBy("bucket")
     )
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming≤3 near-dup pairs via exact band-bucketing
+    (dedup.simhash_pairs; the oracle does the exhaustive O(n²) popcount
+    join, pinning that banding loses nothing at this Hamming radius)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.simhash_pairs(docs, "doc_id", "text", bits=32, bands=4, max_hamming=3)
+        .select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by smoothed TF-IDF
+    (textstats.doc_keywords)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.doc_keywords(docs, "doc_id", "text", k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: per-source token totals and
+    temperature-scaled sampling weights ∝ tokens^0.3 (the multilingual-
+    sampling exponent family of Conneau & Lample 2019). Token counts are a
+    zero-explode HOF aggregate; the weight normalization is a window over
+    the ~|sources| aggregate, never the corpus."""
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).alias("n_tokens"))
+        .withColumn("_raw", F.pow(F.col("n_tokens").cast("double"), F.lit(0.3)))
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("_raw") / F.sum("_raw").over(Window.partitionBy()), 6).alias(
+            "weight"
+        ),
+    ).orderBy("source")

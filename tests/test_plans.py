@@ -173,3 +173,49 @@ def test_knn_join_prunes_before_shuffle(spark):
     # the pruned side must locally sort, not globally
     seg = plan[i_prune:i_join]
     assert "Sort" in seg and "Exchange" not in seg, f"local sort only below the prune:\n{plan}"
+
+
+def test_gopher_rules_map_only(spark):
+    from hybrid_vector_search_spark.operators.quality_rules import gopher_rules
+    from hybrid_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = _plan(gopher_rules(docs, "doc_id", "text"))
+    assert "Exchange" not in plan, f"quality gate must be map-only:\n{plan}"
+
+
+def test_duplicate_spans_single_corpus_shuffle(spark):
+    from hybrid_vector_search_spark.operators.dedup import duplicate_spans
+    from hybrid_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = _plan(duplicate_spans(docs, "doc_id", "text"))
+    # one shuffle for the shingle window, one for the final per-doc agg —
+    # never a third pass over the shingle relation (the old groupBy+join)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_doc_keywords_stats_broadcast(spark):
+    from hybrid_vector_search_spark.operators.textstats import doc_keywords
+    from hybrid_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = _plan(doc_keywords(docs, "doc_id", "text"))
+    # df/N relations join back map-side (hash-broadcast for terms, nested-
+    # loop broadcast for the scalar corpus count); the token relation must
+    # never sort-merge
+    assert "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # Spark 4's WindowGroupLimit prunes to k rows per doc BEFORE the window
+    # shuffle — the property that keeps top-k-per-group scan-bound
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_sign_bucket_stays_codegen(spark):
+    from hybrid_vector_search_spark.functions.vector import sign_bucket
+    from hybrid_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    plan = _plan(emb.select(sign_bucket(F.col("embedding"))))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -158,3 +158,68 @@ class TestSignBucket:
             for r in df.select("id", sign_bucket(F.col("v"), bits=4).alias("b")).collect()
         }
         assert got == {1: 15, 2: 0, 3: 5, 4: 9}
+
+
+class TestSimhashPairs:
+    def test_identical_docs_distance_zero(self, spark):
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        df = _docs(spark, [(1, text), (2, text), (3, "totally different words")])
+        out = {
+            (r.id_a, r.id_b): r.hamming
+            for r in dedup.simhash_pairs(df, "doc_id", "text").collect()
+        }
+        assert out.get((1, 2)) == 0
+
+    def test_banding_matches_exhaustive(self, spark):
+        rows = [
+            (i, f"doc {i % 4} shares words with group {i % 4} members plus {i}")
+            for i in range(20)
+        ]
+        df = _docs(spark, rows)
+        banded = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_pairs(
+                df, "doc_id", "text", bits=32, bands=4, max_hamming=3
+            ).collect()
+        }
+        fp = {r.id: r.simhash for r in dedup.simhash(df, "doc_id", "text").collect()}
+        ids = sorted(fp)
+        exhaustive = {
+            (a, b, bin(fp[a] ^ fp[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(fp[a] ^ fp[b]).count("1") <= 3
+        }
+        assert banded == exhaustive
+
+
+class TestDocKeywords:
+    def test_rare_term_outranks_common(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "common common common zebra"),
+                (2, "common words here"),
+                (3, "common words again"),
+            ],
+        )
+        out = textstats.doc_keywords(df, "doc_id", "text", k=2).collect()
+        doc1 = {r.rank: r.term for r in out if r.doc_id == 1}
+        # tf(common)=3 outweighs idf, but zebra (df=1) beats rank-2 terms
+        assert set(doc1.values()) == {"common", "zebra"}
+        for r in out:
+            assert r.rank <= 2
+
+
+class TestSourceMixture:
+    def test_weights_normalized_and_sublinear(self, spark):
+        from hybrid_vector_search_spark.plans import pipeline
+
+        out = pipeline.source_mixture_weights(spark, "/root/testdata/sf0.001").collect()
+        total = sum(r.weight for r in out)
+        assert total == pytest.approx(1.0, abs=1e-4)
+        # temperature 0.3 compresses the spread: max/min weight ratio must be
+        # far smaller than the token ratio
+        toks = [r.n_tokens for r in out]
+        ws = [r.weight for r in out]
+        assert max(ws) / min(ws) < (max(toks) / min(toks)) ** 0.5
