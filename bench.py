@@ -53,13 +53,23 @@ def main() -> None:
     # regression, not noise.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    # Fault isolation: one broken query must never zero out the round's bench
+    # (BENCH_r03 was rc=1/no numbers because a single query threw). A failed
+    # query is recorded in "errors", excluded from the timing total, and the
+    # contract lines still print.
     for name, fn in entry_mod.queries().items():
         best, rows = None, []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            rows = fn(spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
+        try:
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                rows = fn(spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
 
@@ -72,6 +82,8 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": n_runs,
     }
+    if errors:
+        summary["errors"] = errors
     # Full details to a file (the per-query map is too long to trust to a
     # tail-truncating stdout capture — BENCH_r01 lost its headline that way).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_details.json"), "w") as f:
@@ -88,6 +100,7 @@ def main() -> None:
                 "queries": {"total": total},
                 "sf": sf,
                 "n_queries": len(timings),
+                "n_errors": len(errors),
                 "details": "bench_details.json",
             }
         )

@@ -25,6 +25,14 @@ def create_app(engine: SearchEngine):
 
     app = Flask(__name__)
 
+    @app.route("/", methods=["GET"])
+    def index():
+        # the reference's browser client (frontend/templates/index.html +
+        # static/js/main.js) rebuilt as one inline page — see frontend.py
+        from .frontend import INDEX_HTML
+
+        return INDEX_HTML, 200, {"Content-Type": "text/html; charset=utf-8"}
+
     @app.route("/api/restaurants", methods=["GET"])
     def list_restaurants():
         # reference backend/api.py:84-95: the $group/$match/$sort pipeline,

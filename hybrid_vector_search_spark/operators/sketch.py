@@ -95,7 +95,9 @@ def count_min_heavy_hitters(
                 "v": None,
             }
         )
-        top = counts.most_common(m)
+        # deterministic tie-break (count desc, value asc) — most_common()
+        # breaks ties by insertion order, which varies with batch boundaries
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
         yield pd.DataFrame(
             {
                 "kind": "cand",

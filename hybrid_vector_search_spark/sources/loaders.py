@@ -30,36 +30,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     so Catalyst can push query-specific filters/projections into the scan."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name != "events":
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_ts(df)
+    return df
 
+
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Pin events.ts to session-local TIMESTAMP regardless of how the file
+    encodes it. The driver-generated parquet stores ``timestamp[us]`` with no
+    timezone, which Spark scans as TIMESTAMP_NTZ; time functions such as
+    ``unix_micros``/``window`` require TIMESTAMP. The session timezone is UTC
+    (session.py), so the cast relabels the same wall-clock instant the DuckDB
+    oracle reads — values, not just types, stay comparable. The dtype guard
+    keeps a future plain-TIMESTAMP file a no-op."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    # events.ts is TIMESTAMP(NANOS) in the file, which Spark's vectorized
-    # parquet reader rejects outright. nanosAsLong is runtime-settable, so
-    # set it here rather than at session-build time — callers (the
-    # correctness driver included) supply their own SparkSession and never
-    # go through our session.py. Save/restore the prior value: leaving it
-    # set session-wide would make any LATER read of a TIMESTAMP(NANOS)
-    # column silently scan as LongType instead of erroring.
-    key = "spark.sql.legacy.parquet.nanosAsLong"
-    prior = spark.conf.get(key, None)
-    spark.conf.set(key, "true")
-    try:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # With nanosAsLong the column scans as epoch-nanos LongType; convert
-        # to a proper timestamp (micros — matches DuckDB's precision). Guard
-        # on the scanned dtype so a future file with a plain TIMESTAMP column
-        # passes through untouched. Force schema resolution inside the
-        # conf-restore window (the read itself is lazy).
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    finally:
-        if prior is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prior)
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -60,12 +60,13 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
 
 def _event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """Parquet file-source stream of events with the same ts normalization as
-    sources.loaders.load_table (TIMESTAMP(NANOS) scanned as long → micros)."""
+    sources.loaders.load_table (TIMESTAMP_NTZ relabelled as UTC TIMESTAMP so
+    watermarks/windows and the batch path agree)."""
+    from ..sources.loaders import _normalize_ts
+
     schema = spark.read.parquet(source_dir).schema
     stream = spark.readStream.schema(schema).parquet(source_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return stream
+    return _normalize_ts(stream)
 
 
 def stream_hourly_rollup(
@@ -201,8 +202,6 @@ def stream_sessionize(spark: SparkSession, source_dir: str) -> DataFrame:
 def view_click_join(events: DataFrame, *, max_lag_minutes: int = 30) -> DataFrame:
     """Batch semantics for the stream-stream join: each click matched to the
     same user's views in the preceding ``max_lag_minutes`` window."""
-    if dict(events.dtypes).get("ts") == "bigint":  # nanos-as-long parquet scan
-        events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     views = events.where(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user"),
         F.col("event_id").alias("view_id"),

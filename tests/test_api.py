@@ -202,3 +202,25 @@ def test_http_search_empty_body_defaults_to_vector_400(client):
     # reference: missing JSON body → mode defaults to vector → description required
     resp = client.post("/api/search", content_type="application/json", data="")
     assert resp.status_code == 400
+
+
+def test_http_index_serves_ui(client):
+    """The demo page must ship the reference UI's observable pieces: the two
+    API endpoints, the three search modes, and the hybrid scoreDetails
+    unpacking (searchOne/searchTwo with the rawScore fallback)."""
+    resp = client.get("/")
+    assert resp.status_code == 200
+    assert resp.content_type.startswith("text/html")
+    html = resp.get_data(as_text=True)
+    for needle in (
+        "/api/restaurants",
+        "/api/search",
+        'value="vector"',
+        'value="hybrid"',
+        'value="fulltext"',
+        "scoreDetails",
+        "searchone",
+        "searchtwo",
+        "inputPipelineRawScore",
+    ):
+        assert needle in html, needle

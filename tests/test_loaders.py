@@ -1,7 +1,8 @@
 """load_table must work under a SparkSession the caller built themselves.
 
 The correctness driver builds its own bare SparkSession (no session.py
-configs), so the TIMESTAMP(NANOS) handling for events.parquet has to be
+configs), so the events.ts normalization (the driver-generated parquet is
+``timestamp[us]`` with no timezone → TIMESTAMP_NTZ under Spark) has to be
 applied at runtime inside load_table, not at session-build time.
 """
 
@@ -14,16 +15,14 @@ from tests.conftest import SF_SMALL
 
 
 def test_events_reads_under_bare_session(spark):
-    # newSession() gives a sibling session with its own SQLConf — unset the
-    # legacy flag to simulate a driver-built session that never saw session.py.
+    # newSession() gives a sibling session with its own SQLConf — simulates a
+    # driver-built session that never saw session.py's configs.
     bare = spark.newSession()
-    try:
-        bare.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    except Exception:
-        pass
-    assert bare.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
+    bare.conf.set("spark.sql.session.timeZone", "UTC")
 
     df = load_table(bare, SF_SMALL, "events")
+    # unix_micros/window/watermark require TIMESTAMP, so the loader must hand
+    # back TimestampType no matter how the file spells its ts column
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
     n = df.count()
     assert n > 0
@@ -41,6 +40,6 @@ def test_events_ts_roundtrip_vs_duckdb(spark, duck):
         f"FROM read_parquet('{SF_SMALL}/events.parquet')"
     ).fetchone()
     assert s["n"] == o[0]
-    # DuckDB reads nanos natively; compare at millisecond tolerance
+    # both engines read micros; UTC session tz means the values line up exactly
     assert abs((s["lo"] - o[1]).total_seconds()) < 1e-3
     assert abs((s["hi"] - o[2]).total_seconds()) < 1e-3

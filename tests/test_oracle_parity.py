@@ -43,3 +43,27 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.schema is not None
+
+
+def _no_oracle_pairs():
+    """queries() entries with NO oracle_sql() twin (sketch estimates, ANN).
+
+    The oracle-parity params above already execute every oracle-checkable
+    query; these would otherwise only ever run under the driver — which
+    is exactly how r3's testdata regeneration broke two queries without any
+    pytest turning red. Together the two parametrizations execute the WHOLE
+    declared surface, so schema drift fails here in seconds, not in the
+    driver's round artifacts."""
+    import __spark_entry__ as entry_mod
+
+    o = entry_mod.oracle_sql()
+    return [(name, fn) for name, fn in entry_mod.queries().items() if name not in o]
+
+
+@pytest.mark.parametrize(
+    "name,qfn", _no_oracle_pairs(), ids=[n for n, _ in _no_oracle_pairs()]
+)
+def test_no_oracle_queries_execute(spark, name, qfn):
+    df = qfn(spark, SF_SMALL)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0

@@ -231,11 +231,10 @@ def test_stream_session_window_emits_closed_sessions(spark, events_dir):
             "user_id", F.session_window("ts", "30 minutes").alias("sw")
         ).agg(F.count("*").alias("n"))
 
-    batch_src = spark.read.parquet(events_dir)
-    if dict(batch_src.dtypes).get("ts") == "bigint":
-        batch_src = batch_src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-
+    from hybrid_vector_search_spark.sources.loaders import _normalize_ts
     from hybrid_vector_search_spark.streaming.events import _event_stream
+
+    batch_src = _normalize_ts(spark.read.parquet(events_dir))
 
     stream = _event_stream(spark, events_dir).withWatermark("ts", "2 hours")
     name = f"sw_{uuid.uuid4().hex[:8]}"
