@@ -706,9 +706,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (1) the events family — two of these (sessionize, interval_join) crashed
     in r3 on the regenerated testdata's TIMESTAMP_NTZ ts and are now fixed,
     so they lead; (2) segment_nation_arrays, r1-green but never re-checked
-    since (missed r3's window by one slot); (3) every remaining query whose
-    last driver verification predates r3 (r2-green canaries + remainder);
-    (4) the 50 queries verified green in r3. Union r3+r4 covers all 101."""
+    since (missed r3's window by one slot); then the two queries NEW in r4
+    (bigram LM, RAG chunking); (3) every remaining query whose last driver
+    verification predates r3 (r2-green canaries + remainder — the final two
+    sit just past the ~50 cut and lead r5's rotation); (4) the 50 queries
+    verified green in r3. Union r3+r4 covers 101 of the 103 declared."""
     return {
         # --- (1) events family: r3 ts-crash fixes first, then ts-adjacent kin
         "events_sessionize": q_events_sessionize,
@@ -719,6 +721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_gaps": relational.purchase_gaps,
         # --- (2) oldest verification in the repo (r1 only)
         "segment_nation_arrays": relational.segment_nation_arrays,
+        # --- NEW in r4: bigram-LM perplexity filter + RAG token chunking
+        "bigram_logprob_score": pipeline.bigram_logprob_score,
+        "doc_chunks": pipeline.doc_chunks,
         # --- (3) r2-green, stale since the testdata regeneration
         "events_pivot": q_events_pivot,
         "events_json_extract": q_events_json_extract,
@@ -760,8 +765,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles_approx": relational.value_percentiles_approx,
         "value_histogram": relational.value_histogram,
         "knn_cosine": q_knn_cosine,
-        "knn_cosine_prefilter": q_knn_cosine_prefilter,
         "fulltext_bm25": q_fulltext_bm25,
+        # --- r2-green, lowest regression risk (operator paths re-verified via
+        # r3-green kin: prefilter via knn_takeordered/cli_range_bounds, post-
+        # filter + distinct via the hybrid family); first in line for r5
+        "knn_cosine_prefilter": q_knn_cosine_prefilter,
         "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
         "distinct_values": q_distinct_values,
         # --- (4) verified green in r3 (CORRECTNESS_r03): freshest, so last

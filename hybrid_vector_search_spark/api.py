@@ -34,12 +34,17 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .observability import get_logger, timed
 from .operators import bm25 as bm25_op
 from .operators import fusion as fusion_op
 from .operators.embed import HashingEmbedder, query_vector
 from .operators.knn import clamp_limit, knn
 
 MODES = {"vector", "hybrid", "fulltext"}
+
+# reference backend/api.py:92,101 — a module logger named "api" that records
+# each pipeline before executing it; see observability.py for the contract
+_LOG = get_logger("api")
 
 
 class ApiError(Exception):
@@ -88,13 +93,19 @@ class SearchEngine:
         (reference backend/api.py:84-95)."""
         if not self.cfg.restaurant_col:
             return []
-        rows = (
-            self.df.select(F.col(self.cfg.restaurant_col).alias("v"))
-            .where(F.col("v").isNotNull())
-            .distinct()
-            .orderBy(F.asc("v"))
-            .collect()
+        # reference backend/api.py:93 logs the aggregation before running it
+        _LOG.info(
+            "Executing restaurants aggregation: distinct(%s) not-null asc",
+            self.cfg.restaurant_col,
         )
+        with timed(_LOG, "restaurants"):
+            rows = (
+                self.df.select(F.col(self.cfg.restaurant_col).alias("v"))
+                .where(F.col("v").isNotNull())
+                .distinct()
+                .orderBy(F.asc("v"))
+                .collect()
+            )
         return [r.v for r in rows]
 
     def search(self, payload: dict[str, Any] | None) -> dict[str, Any]:
@@ -132,13 +143,21 @@ class SearchEngine:
 
         pre_filter = self._filter(available, max_price, restaurant)
 
-        if mode == "vector":
-            out = self._vector(description, limit, pre_filter)
-        elif mode == "hybrid":
-            out = self._hybrid(description, title_value, limit, pre_filter)
-        else:
-            out = self._fulltext(title_value, limit, residual=pre_filter)
-        return {"mode": mode, "results": [self._sanitize(r.asDict(True)) for r in out.collect()]}
+        # reference backend/api.py:202,254,281 log each mode's pipeline
+        # before running it; wall time is the Spark-side addition
+        _LOG.info(
+            "Executing %s pipeline: limit=%d available=%s maxPrice=%s restaurant=%s",
+            mode, limit, available, max_price, restaurant,
+        )
+        with timed(_LOG, f"search[{mode}]"):
+            if mode == "vector":
+                out = self._vector(description, limit, pre_filter)
+            elif mode == "hybrid":
+                out = self._hybrid(description, title_value, limit, pre_filter)
+            else:
+                out = self._fulltext(title_value, limit, residual=pre_filter)
+            results = [self._sanitize(r.asDict(True)) for r in out.collect()]
+        return {"mode": mode, "results": results}
 
     # ------------------------------------------------------------ internals
 

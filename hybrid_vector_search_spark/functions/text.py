@@ -46,3 +46,24 @@ def char_ngrams(text: Column, n: int = 5) -> Column:
     idx = F.when(k >= F.lit(1), F.sequence(F.lit(1), k)).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.substring(s, i, F.lit(n)))
     return F.array_distinct(grams)
+
+
+def chunk_index(n_tokens: Column, size: int, stride: int) -> Column:
+    """array<int> of 0-based chunk ids covering ``n_tokens`` tokens with
+    windows of ``size`` advancing by ``stride`` (the RAG/training-context
+    chunking layout: the last window may be short, empty docs get none).
+
+    Chunk count is exact integer arithmetic — 1 + ceil((n - size)/stride)
+    via (n - size + stride - 1) div stride — so the DuckDB oracle reproduces
+    the boundaries bit-for-bit, no float rounding at the edges."""
+    if size <= 0 or stride <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    extra = (n_tokens - F.lit(size) + F.lit(stride - 1)) / F.lit(stride)
+    n_chunks = (
+        F.when(n_tokens <= F.lit(0), F.lit(0))
+        .when(n_tokens <= F.lit(size), F.lit(1))
+        .otherwise(F.lit(1) + extra.cast("int"))
+    )
+    return F.when(
+        n_chunks > F.lit(0), F.sequence(F.lit(0), n_chunks - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))

@@ -198,6 +198,63 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Bigram-LM quality score (the CCNet/KenLM perplexity-filter shape, one
+    order up from :func:`unigram_logprob`): per-doc mean negative log
+    P(w_i | w_{i-1}) under the corpus's own bigram counts —
+    -ln(cnt(w_{i-1} w_i) / cnt(w_{i-1} as left context)). Every bigram a doc
+    contains is by construction in the corpus LM, so no smoothing term is
+    needed and the score is exactly reproducible in SQL.
+
+    Plan shape mirrors unigram_logprob at one order higher: bigrams come
+    from a codegen `transform` over the token array (no UDF); the LM is two
+    vocab-sized aggregates (bigram counts; left-context counts derived from
+    them map-side) broadcast to the scoring join. The corpus text itself
+    never shuffles — at 100 TB only the bigram vocabulary relation moves,
+    and a skewed head word costs nothing because the join is broadcast, not
+    shuffled-by-key.
+
+    Local-mode fixture: small testdata arrives as ONE parquet split, which
+    would serialize the (CPU-heavy) bigram transform on one core — fan out
+    to defaultParallelism first, same as fingerprint_stats. On a real
+    cluster the input is already many splits and this repartition is a
+    cheap no-op to remove."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .repartition(par)
+        .select("id", tokens(F.col("t")).alias("ts"))
+    )
+    k = F.size("ts") - F.lit(1)
+    idx = F.when(k >= F.lit(1), F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(F.col("ts"), i, 2), " "))
+        ).alias("gram"),
+    )
+    bi = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+    # left-context totals: sum bigram counts per first token (vocab-sized
+    # input, so this reduction is tiny — never the corpus)
+    ctx = bi.groupBy(F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("left")).agg(
+        F.sum("cnt").alias("ctx_cnt")
+    )
+    lm = bi.join(
+        F.broadcast(ctx),
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(1)) == F.col("left"),
+    ).select("gram", (-F.log(F.col("cnt") / F.col("ctx_cnt"))).alias("neg_logp"))
+    return (
+        grams.join(F.broadcast(lm), "gram")
+        .groupBy("id")
+        .agg(
+            F.round(F.avg("neg_logp"), 6).alias("mean_neg_logp"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 3, kernel: str = "pandas"
 ) -> DataFrame:

@@ -548,7 +548,59 @@ FROM r ORDER BY source
 
 PII_REDACT = _pii_sql()
 
+# operators.textstats.bigram_logprob: -ln(cnt(bigram)/cnt(left-context)),
+# averaged per doc. Same TOKL tokenizer; bigram list via adjacent-pair
+# slicing; context counts derived from the bigram relation exactly as the
+# engine does (so both sides share one definition of "left context").
+BIGRAM_LOGPROB = f"""
+WITH {TOKL},
+g AS (
+  SELECT doc_id AS id,
+         unnest(CASE WHEN len(ts) >= 2
+                THEN [array_to_string(ts[i:i+1], ' ') FOR i IN range(1, len(ts))]
+                ELSE [] END) AS gram
+  FROM tokl
+),
+bi AS (SELECT gram, count(*)::BIGINT AS cnt FROM g GROUP BY gram),
+ctx AS (
+  SELECT split_part(gram, ' ', 1) AS l, sum(cnt)::BIGINT AS ctx_cnt
+  FROM bi GROUP BY 1
+),
+lm AS (
+  SELECT gram, -ln(cnt::DOUBLE / ctx_cnt::DOUBLE) AS neg_logp
+  FROM bi JOIN ctx ON split_part(gram, ' ', 1) = ctx.l
+)
+SELECT id AS doc_id, round(avg(neg_logp), 6) AS mean_neg_logp,
+       count(*)::BIGINT AS n_bigrams
+FROM g JOIN lm USING (gram)
+GROUP BY id ORDER BY doc_id
+"""
+
+# plans.pipeline.doc_chunks: token windows of 32 advancing by 24; integer
+# chunk-count arithmetic matches functions.text.chunk_index exactly
+DOC_CHUNKS = f"""
+WITH {TOKL},
+n AS (SELECT doc_id, ts, len(ts) AS nt FROM tokl),
+c AS (
+  SELECT doc_id, ts, nt,
+         CASE WHEN nt <= 0 THEN 0
+              WHEN nt <= 32 THEN 1
+              ELSE 1 + (nt - 32 + 23) // 24 END AS n_chunks
+  FROM n
+),
+x AS (
+  SELECT doc_id, ts, nt, unnest(range(0, n_chunks)) AS chunk_id FROM c
+)
+SELECT doc_id, chunk_id::INT AS chunk_id,
+       len(ts[chunk_id*24 + 1 : least(chunk_id*24 + 32, nt)])::INT AS n_tokens,
+       array_to_string(ts[chunk_id*24 + 1 : least(chunk_id*24 + 32, nt)], ' ')
+         AS chunk_text
+FROM x ORDER BY doc_id, chunk_id
+"""
+
 PIPELINE_ORACLES: dict[str, str] = {
+    "bigram_logprob_score": BIGRAM_LOGPROB,
+    "doc_chunks": DOC_CHUNKS,
     "pii_redact": PII_REDACT,
     "dedup_components_star": DEDUP_COMPONENTS,
     "dedup_exact": DEDUP_EXACT,

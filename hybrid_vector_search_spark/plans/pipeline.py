@@ -72,6 +72,52 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity-filter score (textstats.bigram_logprob) — the
+    order-2 companion of unigram_logprob_score."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = textstats.bigram_logprob(docs, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"), "mean_neg_logp", "n_bigrams"
+    ).orderBy("doc_id")
+
+
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/training-context chunking: overlapping token windows of
+    CHUNK_SIZE advancing by CHUNK_STRIDE per document. Pure Catalyst
+    (tokens → chunk_index sequence → posexplode-free transform+explode),
+    map-only — the corpus never shuffles; at 100 TB this is an embarrassing-
+    parallel projection whose output partitioning inherits the input's."""
+    from ..functions.text import chunk_index, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    # single-split local fixture → fan the tokenize+slice work across cores
+    # (cluster inputs arrive pre-split; see textstats.bigram_logprob note)
+    par = spark.sparkContext.defaultParallelism
+    toks = docs.select("doc_id", "text").repartition(par).select(
+        "doc_id", tokens(F.col("text")).alias("ts")
+    )
+    with_idx = toks.select(
+        "doc_id",
+        "ts",
+        F.explode(chunk_index(F.size("ts"), CHUNK_SIZE, CHUNK_STRIDE)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * F.lit(CHUNK_STRIDE) + F.lit(1)
+    piece = F.slice(F.col("ts"), start, CHUNK_SIZE)
+    return (
+        with_idx.select(
+            "doc_id",
+            "chunk_id",
+            F.size(piece).alias("n_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
 def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column pipeline over real testdata: utf-8 document
     bytes play the media blob; the Arrow kernel emits fixed-width features
