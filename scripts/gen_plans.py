@@ -73,6 +73,29 @@ PICKS = {
         "(BroadcastExchange); the corpus side is a map-side hash semi-join plus\n"
         "per-doc count - zero corpus shuffles regardless of corpus size."
     ),
+    "bigram_logprob_score": (
+        "Bigram-LM perplexity filter: bigrams via codegen transform (no UDF);\n"
+        "the LM is two vocab-sized aggregates joined BROADCAST into the scoring\n"
+        "pass - the corpus text itself never shuffles, and a skewed head word\n"
+        "costs nothing because no join is keyed on it."
+    ),
+    "doc_chunks": (
+        "RAG token chunking: tokens -> chunk-id sequence -> explode -> slice,\n"
+        "all inside WholeStageCodegen; map-only after the local-fixture\n"
+        "repartition, so output partitioning inherits the input's - at 100 TB\n"
+        "an embarrassingly parallel projection."
+    ),
+    "heavy_hitters_cm": (
+        "Count-min heavy hitters: per-partition Arrow sketches merge by cell\n"
+        "sum (shuffle is partitions x depth x width, independent of rows and\n"
+        "cardinality); candidates are per-partition top-m, estimates are\n"
+        "broadcast-joined lookups - the value column never globally shuffles.\n"
+        "The plan below is just `Scan ExistingRDD`: the operator RETURNS an\n"
+        "eager localCheckpoint of the 20-row result so the persisted sketch\n"
+        "relation can be unpersisted without a recompute hazard - the real\n"
+        "pipeline shape (mapInPandas sketch -> cell-sum agg -> broadcast\n"
+        "lookup join) lives in operators/sketch.py:66-150."
+    ),
 }
 
 
