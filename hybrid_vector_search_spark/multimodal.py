@@ -13,9 +13,16 @@ and unused VOYAGE_MM_MODEL env, reference transform-seed.py:74-77,
                             partitioning, iterator shape); the decode kernel
                             is deterministic-fake because no image/audio
                             codec libraries exist in this container.
-- ``decode_image`` / ``resize_images`` / ``sample_frames`` — the real-codec
-  slots, gated behind import-try: with Pillow/av installed they run; here
-  they raise NotImplementedError with a clear message.
+- ``decode_image``          — the real-codec slot (Pillow), import-gated;
+                              ``fake_decode`` is the deterministic stand-in
+                              with the same (H, W, 3) uint8 contract.
+- ``resize_images``         — REAL nearest-neighbor resize (pure index
+                              math, ``resize_array``) over the decode slot;
+                              full Arrow plumbing, raw-rgb output.
+- ``sample_frames``         — REAL sampling schedule + per-frame fan-out
+                              (one row per (media_id, frame_idx)); the frame
+                              extraction itself is the deterministic fake
+                              until a video codec (`av`) is installed.
 
 Design rule: media bytes NEVER transit a shuffle. Every kernel is a narrow
 map over the scan; derived small columns (features, dims, hashes) are what
@@ -126,20 +133,102 @@ def extract_features(df: DataFrame, *, dim: int = 64, batch_note_col: str | None
     return df.mapInPandas(kernel, schema)
 
 
+def _md5_expand(seed: bytes, n: int) -> bytes:
+    """Deterministic n-byte stream from a seed (md5 chain)."""
+    out = bytearray()
+    h = hashlib.md5(seed).digest()
+    while len(out) < n:
+        out.extend(h)
+        h = hashlib.md5(h).digest()
+    return bytes(out[:n])
+
+
+def fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake decode: content bytes → HxWx3 uint8 array. Stands
+    in for a codec so the resize/sampling MATH and all Spark plumbing run
+    for real in this codec-less container; with Pillow installed,
+    decode_image takes over and everything downstream is unchanged because
+    both return the same (H, W, 3) uint8 contract."""
+    raw = _md5_expand(content, width * height * 3)
+    return np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
+
+
+def resize_array(img: np.ndarray, *, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize as pure index math — REAL resize logic (the
+    same gather a codec-backed pipeline would run), no codec needed."""
+    src_h, src_w = img.shape[:2]
+    rows = (np.arange(height) * src_h // height).astype(np.int64)
+    cols = (np.arange(width) * src_w // width).astype(np.int64)
+    return img[rows][:, cols]
+
+
 def resize_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
-    raise NotImplementedError(
-        "resize_images requires an image codec (Pillow) not present in this "
-        "environment. Plumbing shape: mapInPandas(content -> content', meta') "
-        "with the same batch/iterator contract as extract_features."
-    )
+    """Batch image resize over mapInPandas: content → resized content, meta
+    updated to the new dims. Decode prefers the real codec (Pillow) and
+    falls back to the deterministic fake; the resize itself (resize_array)
+    and every piece of Spark plumbing — schema, Arrow batches, bytes never
+    shuffling — are real either way. Output format is raw-rgb (H·W·3 bytes)
+    so downstream kernels need no codec to consume it."""
+    schema = df.schema
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, metas = [], []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                m = dict(meta) if meta is not None else {}
+                src_w = int(m.get("width") or 64)
+                src_h = int(m.get("height") or 64)
+                try:
+                    img = decode_image(bytes(content))
+                except NotImplementedError:
+                    img = fake_decode(bytes(content), src_w, src_h)
+                out = resize_array(img, width=width, height=height)
+                contents.append(out.tobytes())
+                m.update(width=width, height=height, format="raw-rgb")
+                metas.append(m)
+            res = pdf.copy()
+            res["content"] = contents
+            res["meta"] = metas
+            yield res
+
+    return df.mapInPandas(kernel, schema)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("t_ms", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
 
 
 def sample_frames(df: DataFrame, *, every_ms: int) -> DataFrame:
-    raise NotImplementedError(
-        "sample_frames requires a video codec (av) not present in this "
-        "environment. Plumbing shape: mapInPandas with posexplode of sampled "
-        "frames — one output row per (media_id, frame_idx)."
-    )
+    """Video frame sampling: one output row per (media_id, frame_idx) at
+    timestamps 0, every_ms, 2·every_ms, … < duration_ms. The sampling
+    schedule, fan-out shape, and Arrow plumbing are real; frame extraction
+    is the deterministic fake (a real build swaps the per-timestamp seek
+    into `av` inside the same kernel). Fan-out happens INSIDE the kernel so
+    the source bytes are read once per video, never duplicated per frame
+    before sampling."""
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "t_ms": [], "frame": []}
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                m = dict(meta) if meta is not None else {}
+                duration = int(m.get("duration_ms") or 0)
+                for idx, t in enumerate(range(0, duration, every_ms)):
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(idx)
+                    rows["t_ms"].append(t)
+                    rows["frame"].append(_md5_expand(bytes(content) + t.to_bytes(4, "big"), 64))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, FRAME_SCHEMA)
 
 
 def binary_stats(df: DataFrame, id_col: str, content_col: str) -> DataFrame:

@@ -35,10 +35,70 @@ def test_features_usable_by_knn(spark):
     assert top[0].media_id == 3 and top[0].score == 1.0
 
 
-def test_codec_slots_gated(spark):
-    from hybrid_vector_search_spark.multimodal import decode_image, resize_images, synthetic_media
+def test_real_codec_slot_still_gated():
+    from hybrid_vector_search_spark.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG fake")
-    with pytest.raises(NotImplementedError):
-        resize_images(synthetic_media(spark, 1), width=32, height=32)
+
+
+def test_resize_array_matches_reference():
+    """The resize math is real: nearest-neighbor gather against a hand
+    reference, exact."""
+    import numpy as np
+
+    from hybrid_vector_search_spark.multimodal import resize_array
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = resize_array(img, width=3, height=2)
+    assert out.shape == (2, 3, 3)
+    # rows map 0,1 -> 0,2 ; cols 0,1,2 -> 0,2,4
+    ref = img[[0, 2]][:, [0, 2, 4]]
+    assert (out == ref).all()
+    # upscale repeats samples, never interpolates out-of-range values
+    up = resize_array(img, width=12, height=8)
+    assert up.shape == (8, 12, 3)
+    assert set(np.unique(up)) <= set(np.unique(img))
+
+
+def test_resize_images_plumbing(spark):
+    """resize_images: same schema out, meta updated, raw-rgb payload of
+    exactly h*w*3 bytes, deterministic across runs."""
+    from hybrid_vector_search_spark.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, 10, kind="image").repartition(3)
+    out = resize_images(media, width=16, height=8)
+    assert out.schema == media.schema
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 10
+    for r in rows.values():
+        assert r.meta.width == 16 and r.meta.height == 8
+        assert r.meta.format == "raw-rgb"
+        assert len(r.content) == 16 * 8 * 3
+    again = {r.media_id: bytes(r.content) for r in resize_images(media, width=16, height=8).collect()}
+    assert all(bytes(rows[i].content) == again[i] for i in rows)
+
+
+def test_sample_frames_schedule(spark):
+    """sample_frames: one row per (media_id, frame_idx) at 0, step, 2·step
+    … < duration; deterministic frame bytes."""
+    import math
+
+    from hybrid_vector_search_spark.multimodal import sample_frames, synthetic_media
+
+    media = synthetic_media(spark, 5, kind="video")  # duration_ms = 1000
+    out = sample_frames(media, every_ms=300)
+    rows = out.collect()
+    per = math.ceil(1000 / 300)  # t = 0, 300, 600, 900
+    assert len(rows) == 5 * per
+    one = sorted((r for r in rows if r.media_id == 2), key=lambda r: r.frame_idx)
+    assert [r.t_ms for r in one] == [0, 300, 600, 900]
+    assert all(len(r.frame) == 64 for r in one)
+    again = sorted(
+        (r for r in sample_frames(media, every_ms=300).collect() if r.media_id == 2),
+        key=lambda r: r.frame_idx,
+    )
+    assert [bytes(r.frame) for r in one] == [bytes(r.frame) for r in again]
+
+    with pytest.raises(ValueError):
+        sample_frames(media, every_ms=0)
