@@ -537,6 +537,89 @@ def embedding_near_dups(
     )
 
 
+def embedding_near_dups_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    seed: int = 42,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Sub-quadratic embedding near-dup: the scale sibling of the exact
+    :func:`embedding_near_dups` (which is O(n²) flops by definition). This
+    is the "pre-group by IVF cluster, run per bucket" recipe implemented:
+
+    - KMeans (seeded) fits ``n_clusters`` centroids on the vectors;
+    - each row is assigned to its ``nprobe`` nearest centroids (multi-probe
+      assignment: a pair is compared iff the two rows SHARE a bucket, so
+      boundary pairs survive as long as one of their probes overlaps);
+    - each bucket computes its exact all-pairs cosine with the same BLAS
+      shape as the block kernel, emitting only pairs over threshold;
+    - pairs found in several shared buckets dedup with one tiny distinct
+      over (id_a, id_b, cos) — cos is identical wherever the pair appears.
+
+    Cost: Σ_b (|bucket_b|·nprobe/n_clusters-ish)² flops instead of n² —
+    sub-quadratic while clusters stay balanced, and each bucket group is
+    executor-bounded. Recall < 1 is possible (a pair split across disjoint
+    probe sets is missed); it is MEASURED against the exact kernel in
+    tests/test_dedup_ivf.py, never assumed — same policy as the ANN paths.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    nprobe = max(1, min(nprobe, n_clusters))
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    feat = src.withColumn("_features", array_to_vector(F.col("v").cast("array<double>")))
+    km = KMeans(
+        k=n_clusters, seed=seed, maxIter=20, featuresCol="_features", predictionCol="_c"
+    )
+    centroids = np.array(
+        [np.asarray(c) for c in km.fit(feat).clusterCenters()], dtype=np.float64
+    )
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value  # (k, dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            # euclidean assignment (KMeans' own geometry): argpartition the
+            # nprobe nearest centroids per row
+            d2 = ((a[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            near = np.argpartition(d2, nprobe - 1, axis=1)[:, :nprobe]
+            out = pdf.loc[pdf.index.repeat(nprobe), ["id", "v"]].reset_index(drop=True)
+            out["bucket"] = near.reshape(-1).astype("int64")
+            yield out
+
+    assigned = src.mapInPandas(assign, "id long, v array<float>, bucket long")
+
+    def bucket_kern(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-300)
+        sims = a @ a.T
+        if round_dp is not None:
+            sims = np.round(sims, round_dp)
+        hit = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bj = np.nonzero(hit)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bj], "cos": sims[ai, bj]})
+
+    return (
+        assigned.groupBy("bucket")
+        .applyInPandas(bucket_kern, "id_a long, id_b long, cos double")
+        .distinct()  # pair may surface in up to nprobe shared buckets
+    )
+
+
 def duplicate_spans(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 5
 ) -> DataFrame:
