@@ -219,3 +219,17 @@ def test_sign_bucket_stays_codegen(spark):
     plan = _plan(emb.select(sign_bucket(F.col("embedding"))))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_events_filter_pushes_through_ts_normalization(spark):
+    """load_table("events") inserts a Project (the TIMESTAMP_NTZ → TIMESTAMP
+    cast); predicates on OTHER columns must still reach the parquet scan as
+    PushedFilters — the cast must not fence off pushdown."""
+    from hybrid_vector_search_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").where(F.col("event_type") == "click")
+    plan = _plan(ev.select("event_id", "user_id"))
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan, plan
+    # column pruning: the cast column ts (and value) are not read when unused
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "ts:" not in read_schema and "value:" not in read_schema, read_schema
