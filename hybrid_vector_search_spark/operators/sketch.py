@@ -12,6 +12,17 @@ sketch serves point estimates.
 
 Count-min guarantees estimate ≥ true count (one-sided error ≤ εN with
 ε = e/width at depth ln(1/δ) rows) — pinned by property tests, not assumed.
+Because the merge is a plain sum, the merged sketch equals the one-pass
+global sketch under ANY partitioning or batching — which is what makes the
+estimate (a) oracle-checkable in SQL (__spark_entry__._CM_HEAVY_HITTERS_ORACLE
+replays the md5 cells) and (b) incrementally maintainable by the streaming
+variant (streaming/sketch.py merges per-micro-batch partials into the same
+state shape).
+
+The two composable halves:
+- :func:`sketch_partials`  — corpus → (cells ∪ candidates) mixed relation
+- :func:`cm_topk`          — merged cells + candidate set → top-k estimates
+:func:`count_min_heavy_hitters` is their one-shot batch composition.
 """
 
 from __future__ import annotations
@@ -44,22 +55,22 @@ def exact_heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     )
 
 
-def count_min_heavy_hitters(
+MIXED_SCHEMA = "kind string, row long, col long, n long, v string"
+
+
+def sketch_partials(
     df: DataFrame,
     col: str,
-    k: int,
     *,
     depth: int = 4,
     width: int = 2048,
+    k: int = 20,
     candidates_per_partition: int | None = None,
 ) -> DataFrame:
-    """(value, n_est) for the top-k values by count-min ESTIMATE.
-
-    Plan: one Arrow pass per partition emits (a) the partition's local
+    """One Arrow pass per partition emitting (a) the partition's local
     count-min cells as (row, col, n) triples and (b) its exact top-m local
-    candidates; cells groupBy-sum into the merged sketch (bounded size),
-    candidate estimates are min-over-rows lookups joined against it. The
-    value column is never globally shuffled.
+    candidates, as one mixed relation (``kind`` = cell | cand). The value
+    column is never globally shuffled — only these fixed-size partials are.
     """
     import numpy as np
     import pandas as pd
@@ -108,21 +119,23 @@ def count_min_heavy_hitters(
             }
         )
 
-    mixed = src.mapInPandas(
-        part_kernel, "kind string, row long, col long, n long, v string"
-    ).persist()
-    merged = (
-        mixed.where(F.col("kind") == "cell")
-        .groupBy("row", "col")
-        .agg(F.sum("n").alias("n"))
-    )
-    cands = (
-        mixed.where(F.col("kind") == "cand").select("v").distinct()
-    )
+    return src.mapInPandas(part_kernel, MIXED_SCHEMA)
 
-    # estimate = min over depth rows of the merged sketch at the value's
-    # cells; cell coordinates via the same Python hash in a tiny Arrow kernel
-    # over the candidate set only (≤ partitions·m rows — never the data).
+
+def cm_topk(
+    merged: DataFrame,
+    cands: DataFrame,
+    k: int,
+    *,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Top-k (value, n_est) from a merged cell relation (row, col, n) and a
+    candidate value relation (v). Estimate = min over the value's depth
+    cells; cell coordinates via the same md5 hash in a tiny Arrow kernel
+    over the candidate set only — never the data."""
+    import pandas as pd
+
     def cand_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
@@ -135,18 +148,42 @@ def count_min_heavy_hitters(
                     out["col"].append(c)
             yield pd.DataFrame(out)
 
-    cells = cands.mapInPandas(cand_cells, "v string, row long, col long")
+    cells = cands.select("v").distinct().mapInPandas(cand_cells, "v string, row long, col long")
     est = (
         cells.join(merged, ["row", "col"], "left")
         .fillna(0, subset=["n"])
         .groupBy("v")
         .agg(F.min("n").alias("n_est"))
     )
-    out = (
+    return (
         est.orderBy(F.desc("n_est"), F.asc("v"))
         .limit(k)
         .select(F.col("v").alias("value"), "n_est")
     )
+
+
+def count_min_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int,
+    *,
+    depth: int = 4,
+    width: int = 2048,
+    candidates_per_partition: int | None = None,
+) -> DataFrame:
+    """(value, n_est) for the top-k values by count-min ESTIMATE — the
+    one-shot composition of sketch_partials + cm_topk."""
+    mixed = sketch_partials(
+        df, col, depth=depth, width=width, k=k,
+        candidates_per_partition=candidates_per_partition,
+    ).persist()
+    merged = (
+        mixed.where(F.col("kind") == "cell")
+        .groupBy("row", "col")
+        .agg(F.sum("n").alias("n"))
+    )
+    cands = mixed.where(F.col("kind") == "cand").select("v").distinct()
+    out = cm_topk(merged, cands, k, depth=depth, width=width)
     # the result is k rows — materialize it (cutting lineage) so the persisted
     # per-partition sketch can be released instead of leaking executor memory
     out = out.localCheckpoint(eager=True)

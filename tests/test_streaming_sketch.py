@@ -1,0 +1,90 @@
+"""Streaming count-min parity: folding per-micro-batch partials into the
+persisted state must reproduce the one-shot batch sketch exactly (the cell
+merge is a sum, so the algebra guarantees it — these pin the plumbing)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMALL
+
+
+def _topk(df):
+    return [(r.value, r.n_est) for r in df.collect()]
+
+
+def test_stream_sketch_matches_batch_over_multiple_batches(spark, tmp_path):
+    from hybrid_vector_search_spark.operators.sketch import count_min_heavy_hitters
+    from hybrid_vector_search_spark.streaming.sketch import (
+        heavy_hitters_from_state,
+        stream_heavy_hitters,
+    )
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    # stage as TWO files and cap the trigger at one file per batch, so the
+    # parity must survive a genuinely incremental two-batch fold
+    src = str(tmp_path / "src")
+    events.where("event_id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(src)
+    events.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    q = stream_heavy_hitters(
+        spark, src, "user_id", state, ckpt, k=20, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    got = _topk(heavy_hitters_from_state(spark, state, 20))
+    want = _topk(count_min_heavy_hitters(spark.read.parquet(src), "user_id", 20))
+    assert got == want
+    assert len(got) > 0  # sf0.001 has fewer than k distinct users
+
+
+def test_stream_sketch_restart_folds_only_new_files(spark, tmp_path):
+    """Restart with the same checkpoint after new data arrives: only the new
+    file folds in (no double counting), and the state tracks the union."""
+    from hybrid_vector_search_spark.operators.sketch import count_min_heavy_hitters
+    from hybrid_vector_search_spark.streaming.sketch import (
+        heavy_hitters_from_state,
+        stream_heavy_hitters,
+    )
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    src = str(tmp_path / "src")
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    first = events.where("event_id % 3 = 0")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    q = stream_heavy_hitters(spark, src, "user_id", state, ckpt, k=20)
+    q.awaitTermination(120)
+    assert _topk(heavy_hitters_from_state(spark, state, 20)) == _topk(
+        count_min_heavy_hitters(first, "user_id", 20)
+    )
+
+    events.where("event_id % 3 <> 0").coalesce(1).write.mode("append").parquet(src)
+    q = stream_heavy_hitters(spark, src, "user_id", state, ckpt, k=20)
+    q.awaitTermination(120)
+    assert _topk(heavy_hitters_from_state(spark, state, 20)) == _topk(
+        count_min_heavy_hitters(spark.read.parquet(src), "user_id", 20)
+    )
+
+
+def test_stream_sketch_candidate_cap_keeps_heavy_hitters(spark, tmp_path):
+    """A tight max_candidates must still surface the true top values: the
+    trim keeps the strongest by estimate, and estimates only over-count."""
+    from hybrid_vector_search_spark.operators.sketch import exact_heavy_hitters
+    from hybrid_vector_search_spark.streaming.sketch import (
+        heavy_hitters_from_state,
+        stream_heavy_hitters,
+    )
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    src = str(tmp_path / "src")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    q = stream_heavy_hitters(
+        spark, src, "user_id", state, ckpt, k=5, max_candidates=8
+    )
+    q.awaitTermination(120)
+    got_values = {v for v, _ in _topk(heavy_hitters_from_state(spark, state, 5))}
+    exact_top3 = [r.value for r in exact_heavy_hitters(events, "user_id", 3).collect()]
+    # the unambiguous head of the exact ranking must survive the cap
+    assert {str(v) for v in exact_top3} <= got_values
