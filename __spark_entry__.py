@@ -507,13 +507,19 @@ def q_heavy_hitters_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches, so it equals the one-pass global sketch no matter how the data
     is partitioned — and the hash family is md5, which DuckDB can replay
     cell-for-cell (see _CM_HEAVY_HITTERS_ORACLE). The estimate algebra is
-    therefore deterministic and engine-portable; only candidate completeness
-    (per-partition top-m covers the global top-k — the SpaceSaving argument)
-    stays a property pinned in tests/test_sketch.py."""
+    therefore deterministic and engine-portable. The oracle ranks EVERY
+    distinct value by estimate, so this query sizes the candidate pool above
+    the testdata's distinct-user count (150 at sf0.01): engine and oracle
+    then rank the same universe, and not even a collision-inflated
+    low-count value can appear on one side only. (The partition-scaled
+    default m is the 100 TB setting; its top-k-by-true-count completeness
+    stays pinned in tests/test_sketch.py.)"""
     from hybrid_vector_search_spark.operators.sketch import count_min_heavy_hitters
 
     ev = load_table(spark, sf_dir, "events")
-    return count_min_heavy_hitters(ev, "user_id", 20)
+    return count_min_heavy_hitters(
+        ev, "user_id", 20, candidates_per_partition=100_000
+    )
 
 
 _HEAVY_HITTERS_ORACLE = """
@@ -529,7 +535,11 @@ def _cm_cell_sql(d_expr: str, v_expr: str, width: int = 2048) -> str:
     """DuckDB expression for operators.sketch._cm_rows' cell index: first 8
     bytes of md5(f"{d}#{v}") big-endian, mod width. md5 hex chars 1-16 are
     those 8 bytes; for width 2048 (2^11) only the low 12 bits matter, i.e.
-    hex chars 14-16: int(chars[14:17], 16) % width."""
+    hex chars 14-16: int(chars[14:17], 16) % width. The 3-hex-char shortcut
+    is valid ONLY when width divides 4096 — guarded so a future width retune
+    can't silently desync this oracle from operators.sketch._cm_rows."""
+    if width <= 0 or 4096 % width:
+        raise ValueError(f"width {width} must divide 4096 (use more hex chars otherwise)")
     h = f"md5({d_expr} || '#' || {v_expr})"
     hx = lambda pos: f"(strpos('0123456789abcdef', substr({h},{pos},1))-1)"
     return f"(({hx(14)}*256 + {hx(15)}*16 + {hx(16)}) % {width})"

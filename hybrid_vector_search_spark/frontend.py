@@ -12,6 +12,12 @@ to ``inputPipelineRawScore``; main.js:104-151). This module reproduces that
 observable behavior as one self-contained page (inline CSS/JS, no template
 engine, no static directory) so the engine's HTTP surface is a complete
 swap-in: same endpoints, same payloads, same score rendering.
+
+The page renders BOTH hybrid wire shapes: the reference's ``scoreDetails``
+(value + details[] as above) AND this engine's ``score_details``
+({vector,text} branch structs from api._sanitize) — plus field fallbacks so
+both a reference-shaped catalog (nested ``product`` struct) and a flat
+engine-configured corpus render sensibly.
 """
 
 from __future__ import annotations
@@ -111,10 +117,13 @@ fetch("/api/restaurants").then((r) => {
   }
 }).catch((e) => console.error(e));
 
-// hybrid scoreDetails unpacking: combined score is scoreDetails.value; the
-// per-pipeline entries live in scoreDetails.details keyed by
-// inputPipelineName (searchOne = vector, searchTwo = text), each scored by
-// its `value` with `inputPipelineRawScore` as the fallback
+// Hybrid score unpacking handles BOTH wire shapes:
+// - the reference's Atlas shape (main.js:104-151): scoreDetails.value is the
+//   combined score; per-pipeline entries live in scoreDetails.details keyed
+//   by inputPipelineName (searchOne = vector, searchTwo = text), each scored
+//   by its `value` with `inputPipelineRawScore` as the fallback;
+// - this engine's shape (api._sanitize): score_details = {vector: {raw,
+//   normalized, weight}, text: {...}} with the combined score in `score`.
 function pipelineScore(details, name) {
   const d = (details || []).find(
     (x) => (x.inputPipelineName || "").toLowerCase() === name
@@ -122,6 +131,13 @@ function pipelineScore(details, name) {
   if (!d) return null;
   if (typeof d.value === "number") return d.value;
   if (typeof d.inputPipelineRawScore === "number") return d.inputPipelineRawScore;
+  return null;
+}
+
+function branchScore(branch) {
+  if (!branch) return null;
+  if (typeof branch.raw === "number") return branch.raw;
+  if (typeof branch.normalized === "number") return branch.normalized;
   return null;
 }
 
@@ -136,6 +152,10 @@ function scoreBits(item, mode) {
         ? item.scoreDetails.value : null);
     add("Score vector", pipelineScore(item.scoreDetails.details, "searchone"));
     add("Score texto", pipelineScore(item.scoreDetails.details, "searchtwo"));
+  } else if (mode === "hybrid" && item.score_details) {
+    add("Score combinado", typeof item.score === "number" ? item.score : null);
+    add("Score vector", branchScore(item.score_details.vector));
+    add("Score texto", branchScore(item.score_details.text));
   } else if (typeof item.score === "number") {
     add(mode === "fulltext" ? "Score texto" : "Score vector", item.score);
   }
@@ -159,17 +179,27 @@ function render(items, mode, message) {
     return;
   }
   for (const it of items) {
-    const price = Number(it.product?.price?.amount ?? 0).toFixed(2);
+    // field fallbacks: reference catalog docs carry a nested `product`
+    // struct + restaurantName; an engine-configured corpus is flat (title/
+    // text/source/...). Render whichever exists, hide what doesn't.
+    const name = it.product?.name ?? it.name ?? it.title ?? it.text
+      ?? "Producto sin nombre";
+    const desc = it.product?.description ?? it.description;
+    const restaurant = it.restaurantName ?? it.source;
+    const amount = it.product?.price?.amount ?? it.price;
+    const available = it.product?.available ?? it.available;
     const card = document.createElement("article");
     card.className = "card";
     card.innerHTML =
-      `<h3>${esc(it.product?.name ?? it.title ?? "Producto sin nombre")}</h3>` +
-      (it.title ? `<p><i>${esc(it.title)}</i></p>` : "") +
-      (it.product?.description ? `<p>${esc(it.product.description)}</p>` : "") +
+      `<h3>${esc(name)}</h3>` +
+      (it.title && it.title !== name ? `<p><i>${esc(it.title)}</i></p>` : "") +
+      (desc ? `<p>${esc(desc)}</p>` : "") +
       `<div class="scores">` +
-      `<span><b>Restaurante:</b> ${esc(it.restaurantName ?? "N/D")}</span>` +
-      `<span><b>Disponible:</b> ${it.product?.available ? "Sí" : "No"}</span>` +
-      `<span><b>Precio:</b> S/${price}</span>` +
+      (restaurant ? `<span><b>Restaurante:</b> ${esc(restaurant)}</span>` : "") +
+      (available !== undefined
+        ? `<span><b>Disponible:</b> ${available ? "Sí" : "No"}</span>` : "") +
+      (amount !== undefined
+        ? `<span><b>Precio:</b> S/${Number(amount).toFixed(2)}</span>` : "") +
       scoreBits(it, mode) +
       `</div>`;
     out.append(card);

@@ -60,18 +60,25 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def _md5_expand(seed: bytes, n: int) -> bytes:
+    """Deterministic n-byte stream from a seed (md5 chain) — the ONE
+    expansion all fake media/feature/frame fixtures share, so a tweak can't
+    silently desync them."""
+    out = bytearray()
+    h = hashlib.md5(seed).digest()
+    while len(out) < n:
+        out.extend(h)
+        h = hashlib.md5(h).digest()
+    return bytes(out[:n])
+
+
 def synthetic_media(spark: SparkSession, n: int, *, kind: str = "image") -> DataFrame:
     """Deterministic fake media: content = md5-chain keyed by (kind, id)."""
     rows = []
     for i in range(n):
-        seed = f"{kind}#{i}".encode()
-        chunks = []
-        h = hashlib.md5(seed).digest()
-        for _ in range(8):  # 128 deterministic bytes
-            chunks.append(h)
-            h = hashlib.md5(h).digest()
+        content = _md5_expand(f"{kind}#{i}".encode(), 128)
         meta = (64, 64, None, None, "fake") if kind == "image" else (None, None, 16000, 1000, "fake")
-        rows.append((i, kind, b"".join(chunks), meta))
+        rows.append((i, kind, content, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -92,13 +99,7 @@ def decode_image(content: bytes) -> "np.ndarray":
 def fake_feature_vector(content: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in for a learned feature extractor: md5-expanded
     bytes → dim floats in [-1, 1), L2-normalized."""
-    need = dim * 4
-    out = bytearray()
-    h = hashlib.md5(content).digest()
-    while len(out) < need:
-        out.extend(h)
-        h = hashlib.md5(h).digest()
-    raw = np.frombuffer(bytes(out[:need]), dtype=np.uint32).astype(np.float64)
+    raw = np.frombuffer(_md5_expand(content, dim * 4), dtype=np.uint32).astype(np.float64)
     v = raw / 2**31 - 1.0
     n = float(np.linalg.norm(v))
     return (v / n if n else v).astype(np.float32)
@@ -131,16 +132,6 @@ def extract_features(df: DataFrame, *, dim: int = 64, batch_note_col: str | None
             yield out
 
     return df.mapInPandas(kernel, schema)
-
-
-def _md5_expand(seed: bytes, n: int) -> bytes:
-    """Deterministic n-byte stream from a seed (md5 chain)."""
-    out = bytearray()
-    h = hashlib.md5(seed).digest()
-    while len(out) < n:
-        out.extend(h)
-        h = hashlib.md5(h).digest()
-    return bytes(out[:n])
 
 
 def fake_decode(content: bytes, width: int, height: int) -> np.ndarray:

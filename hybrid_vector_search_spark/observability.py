@@ -35,24 +35,47 @@ _cache: dict[str, logging.Logger] = {}
 _file_handler: logging.Handler | None = None
 
 
-def _daily_log_path(log_dir: str) -> str:
-    os.makedirs(log_dir, exist_ok=True)
-    return os.path.join(log_dir, f"log-{datetime.now():%Y-%m-%d}.log")
+class _DatedFileHandler(logging.FileHandler):
+    """FileHandler writing to LOG_DIR/log-YYYY-MM-DD.log, rolling AT EMIT
+    TIME when the date changes. Rolling inside emit (not inside get_logger)
+    means cached loggers — e.g. a module-level api logger created at import
+    — roll at midnight too, and the one shared instance is never closed out
+    from under other loggers."""
+
+    def __init__(self, log_dir: str):
+        self._log_dir = log_dir
+        self._date = f"{datetime.now():%Y-%m-%d}"
+        os.makedirs(log_dir, exist_ok=True)
+        super().__init__(self._path(), mode="a", encoding="utf-8")
+
+    def _path(self) -> str:
+        return os.path.join(self._log_dir, f"log-{self._date}.log")
+
+    def emit(self, record: logging.LogRecord) -> None:
+        today = f"{datetime.now():%Y-%m-%d}"
+        if today != self._date:
+            self._date = today
+            self.close()
+            self.baseFilename = os.path.abspath(self._path())
+            self.stream = None  # FileHandler reopens lazily on next emit
+        super().emit(record)
 
 
 def _shared_file_handler() -> logging.Handler | None:
-    """One file handler shared by every logger, rolled by date on access —
-    the reference's scheme. None when LOG_DIR is unset (console-only)."""
+    """The one file handler every logger shares (the reference's scheme);
+    None when LOG_DIR is unset (console-only)."""
     global _file_handler
     log_dir = os.environ.get("LOG_DIR")
     if not log_dir:
         return None
-    path = os.path.abspath(_daily_log_path(log_dir))
-    if _file_handler is not None and getattr(_file_handler, "baseFilename", None) == path:
+    if (
+        _file_handler is not None
+        and getattr(_file_handler, "_log_dir", None) == log_dir
+    ):
         return _file_handler
     if _file_handler is not None:
         _file_handler.close()
-    handler = logging.FileHandler(path, mode="a", encoding="utf-8")
+    handler = _DatedFileHandler(log_dir)
     handler.setLevel(logging.INFO)
     handler.setFormatter(logging.Formatter(_FORMAT))
     _file_handler = handler

@@ -30,10 +30,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     so Catalyst can push query-specific filters/projections into the scan."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = _normalize_ts(df)
-    return df
+        return _normalize_ts(_read_events(spark, f"{sf_dir}/{name}.parquet"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _read_events(spark: SparkSession, path: str):
+    """Read events.parquet under EITHER ts encoding the driver has shipped.
+    Round r2's testdata used TIMESTAMP(NANOS), which the vectorized reader
+    rejects at schema-resolution time; r3+ uses timestamp[us] (NTZ). The
+    regeneration has flipped encodings between rounds before, so keep the
+    nanos fallback: on the Illegal-Parquet-type error, re-read with
+    nanosAsLong (save/restore the conf — leaving it set session-wide would
+    make a LATER nanos column scan silently as LongType) and let
+    _normalize_ts convert the long to a timestamp."""
+    try:
+        return spark.read.parquet(path)
+    except Exception as exc:
+        if "TIMESTAMP(NANOS" not in str(exc):
+            raise
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force resolution inside the conf-restore window
+        return df
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
 
 
 def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
@@ -42,14 +69,17 @@ def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     timezone, which Spark scans as TIMESTAMP_NTZ; time functions such as
     ``unix_micros``/``window`` require TIMESTAMP. The session timezone is UTC
     (session.py), so the cast relabels the same wall-clock instant the DuckDB
-    oracle reads — values, not just types, stay comparable. The dtype guard
-    keeps a future plain-TIMESTAMP file a no-op."""
+    oracle reads — values, not just types, stay comparable. The dtype guards
+    keep a plain-TIMESTAMP file a no-op and convert a nanos-as-long scan
+    (_read_events' fallback) at microsecond precision."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     dt = df.schema[col].dataType
     if isinstance(dt, T.TimestampNTZType):
         return df.withColumn(col, F.col(col).cast("timestamp"))
+    if isinstance(dt, T.LongType):  # epoch nanos via nanosAsLong
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     return df
 
 

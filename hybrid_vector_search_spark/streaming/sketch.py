@@ -13,12 +13,20 @@ fixed-size sketch partials touch the state, so state size is
 O(depth·width + candidates) no matter the stream rate or cardinality. The
 candidate set grows by ≤ partitions·m per batch and is the one component
 that needs a trim policy on an unbounded stream: ``max_candidates`` keeps
-the top ones BY CURRENT SKETCH ESTIMATE at each fold, which preserves every
-true heavy hitter (estimates only over-count) while bounding state.
+the top ones BY CURRENT SKETCH ESTIMATE at each fold — once a value has
+entered the candidate set, the trim cannot drop a true heavy hitter
+(estimates only over-count). Entry itself is per-batch top-m, the standard
+candidate-based-CM caveat: a value must be batch-locally heavy at least
+once to be discovered, so a value that is globally heavy only by summing a
+thin presence across MANY batches can be missed — if that distribution
+matters, raise m (``candidates_per_partition``) or run the exact batch
+top-k over the retained corpus as the periodic verifier.
 
 State swap uses the same crash-safe staging/rename pattern as
-ingest.stream_merge_into; the checkpoint makes redelivered batches
-idempotent at the file level.
+ingest.stream_merge_into. foreachBatch is at-least-once, so fold_batch
+records the last applied epoch in the state dir and skips a replayed
+epoch — without this, a crash after the swap but before the checkpoint
+commit would double-count the batch on restart.
 """
 
 from __future__ import annotations
@@ -33,22 +41,16 @@ from ..operators.sketch import cm_topk, sketch_partials
 
 CELLS = "cells"
 CANDS = "cands"
+CURRENT = "current"
 
 
-def _swap_in(df: DataFrame, path: str) -> None:
-    """Crash-safe overwrite: write staging, rename old aside, move staging
-    in, drop old (ingest.stream_merge_into's pattern on a tiny table)."""
-    old, staging = f"{path}._old", f"{path}._staging"
-    if not os.path.exists(path) and os.path.exists(old):
-        os.replace(old, path)
-    df.write.mode("overwrite").parquet(staging)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(path):
-        os.replace(path, old)
-    os.replace(staging, path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+def _current_dir(state_dir: str) -> str:
+    """Resolve the live state version, restoring the crash-recovery copy if
+    a previous swap died between rename-aside and move-in."""
+    current, old = os.path.join(state_dir, CURRENT), os.path.join(state_dir, f"{CURRENT}._old")
+    if not os.path.exists(current) and os.path.exists(old):
+        os.replace(old, current)
+    return current
 
 
 def stream_heavy_hitters(
@@ -77,11 +79,21 @@ def stream_heavy_hitters(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
-    cells_path = os.path.join(state_dir, CELLS)
-    cands_path = os.path.join(state_dir, CANDS)
     os.makedirs(state_dir, exist_ok=True)
 
     def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        current = _current_dir(state_dir)
+        epoch_file = os.path.join(current, "_epoch")
+        # at-least-once guard: a replayed epoch (crash between the state swap
+        # below and Spark's checkpoint commit) must not fold twice. The epoch
+        # lives INSIDE the versioned state dir and the whole version swaps as
+        # ONE rename, so a crash at any point leaves either the pre-fold
+        # state (epoch absent/old → replay refolds cleanly) or the post-fold
+        # state (epoch current → replay is skipped) — never a half-fold.
+        if os.path.exists(epoch_file):
+            with open(epoch_file) as fh:
+                if int(fh.read().strip() or -1) >= epoch_id:
+                    return
         sess = batch_df.sparkSession
         mixed = sketch_partials(
             batch_df, value_col, depth=depth, width=width, k=k
@@ -92,24 +104,39 @@ def stream_heavy_hitters(
             .agg(F.sum("n").alias("n"))
         )
         cands = mixed.where(F.col("kind") == "cand").select("v").distinct()
+        cells_path = os.path.join(current, CELLS)
         if os.path.exists(cells_path):
             prior = sess.read.parquet(cells_path)
             cells = (
                 cells.unionByName(prior).groupBy("row", "col").agg(F.sum("n").alias("n"))
             )
+        cands_path = os.path.join(current, CANDS)
         if os.path.exists(cands_path):
             cands = cands.unionByName(sess.read.parquet(cands_path)).distinct()
         # bound candidate state on unbounded streams: keep the strongest by
-        # CURRENT estimate (over-counts only, so no true heavy hitter drops)
+        # CURRENT estimate (over-counts only, so no entered heavy hitter drops)
         cells = cells.localCheckpoint(eager=True)
-        n_cands = cands.count()
-        if n_cands > max_candidates:
+        if cands.count() > max_candidates:
             cands = (
                 cm_topk(cells, cands, max_candidates, depth=depth, width=width)
                 .select(F.col("value").alias("v"))
             )
-        _swap_in(cells, cells_path)
-        _swap_in(cands, cands_path)
+        # build the next version in staging, then ONE atomic rename
+        staging = os.path.join(state_dir, f"{CURRENT}._staging")
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        cells.write.mode("overwrite").parquet(os.path.join(staging, CELLS))
+        cands.write.mode("overwrite").parquet(os.path.join(staging, CANDS))
+        with open(os.path.join(staging, "_epoch"), "w") as fh:
+            fh.write(str(epoch_id))
+        old = os.path.join(state_dir, f"{CURRENT}._old")
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(current):
+            os.replace(current, old)
+        os.replace(staging, current)
+        if os.path.exists(old):
+            shutil.rmtree(old)
         mixed.unpersist()
 
     return (
@@ -130,7 +157,11 @@ def heavy_hitters_from_state(
 ) -> DataFrame:
     """Current top-k (value, n_est) from the maintained state — the same
     cm_topk finisher the batch path uses, over the incrementally merged
-    cells."""
-    cells = spark.read.parquet(os.path.join(state_dir, CELLS))
-    cands = spark.read.parquet(os.path.join(state_dir, CANDS))
-    return cm_topk(cells, cands, k, depth=depth, width=width)
+    cells. The result is materialized eagerly (localCheckpoint) against one
+    state version; read contract is read-between-folds (availableNow drained
+    or between triggers) — a read racing an in-flight swap can still lose
+    the version directory between listing and scan, in which case retry."""
+    current = _current_dir(state_dir)
+    cells = spark.read.parquet(os.path.join(current, CELLS))
+    cands = spark.read.parquet(os.path.join(current, CANDS))
+    return cm_topk(cells, cands, k, depth=depth, width=width).localCheckpoint(eager=True)

@@ -219,6 +219,7 @@ def test_http_index_serves_ui(client):
         'value="hybrid"',
         'value="fulltext"',
         "scoreDetails",
+        "score_details",  # the engine's own hybrid shape must render too
         "searchone",
         "searchtwo",
         "inputPipelineRawScore",

@@ -43,3 +43,31 @@ def test_events_ts_roundtrip_vs_duckdb(spark, duck):
     # both engines read micros; UTC session tz means the values line up exactly
     assert abs((s["lo"] - o[1]).total_seconds()) < 1e-3
     assert abs((s["hi"] - o[2]).total_seconds()) < 1e-3
+
+
+def test_events_nanos_encoding_fallback(spark, tmp_path):
+    """The driver's regeneration has shipped events.ts as TIMESTAMP(NANOS)
+    in past rounds; load_table must read that encoding too (nanosAsLong
+    fallback + long→timestamp conversion), and restore the session conf."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = str(tmp_path)
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000_000, 1_700_000_060_000_000_000],
+                           pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(table, f"{sf_dir}/events.parquet", store_schema=False)
+
+    bare = spark.newSession()
+    bare.conf.set("spark.sql.session.timeZone", "UTC")
+    df = load_table(bare, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    lo, hi = df.selectExpr("min(ts) AS lo", "max(ts) AS hi").first()
+    assert (hi - lo).total_seconds() == 60.0
+    assert lo.year == 2023
+    # conf restored: a later nanos read in the same session must still error
+    assert bare.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"

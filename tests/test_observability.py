@@ -92,3 +92,19 @@ def test_plan_string_shows_physical_plan(spark):
     df = spark.range(10).where("id > 3").select("id")
     plan = obs.plan_string(df)
     assert "Range" in plan  # the scan node Catalyst chose
+
+
+def test_file_handler_rolls_at_emit_when_date_changes(monkeypatch, tmp_path):
+    """Cached loggers must roll to the new day's file at EMIT time — the
+    handler created at import must not pin the startup date forever."""
+    monkeypatch.setenv("LOG_DIR", str(tmp_path / "logs"))
+    logger = obs.get_logger("roll")
+    logger.info("day one")
+    handler = next(h for h in logger.handlers if isinstance(h, logging.FileHandler))
+    # simulate a process that started yesterday: rewind the handler's date
+    handler._date = "2000-01-01"
+    handler.baseFilename = handler._path()
+    logger.info("day two")
+    files = sorted(p.name for p in (tmp_path / "logs").glob("log-*.log"))
+    assert len(files) == 1  # rolled back to TODAY's file, not the stale date
+    assert "day two" in next((tmp_path / "logs").glob("log-*.log")).read_text()
