@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from functools import lru_cache
 from typing import Callable, Iterator
 
 import numpy as np
@@ -55,12 +56,20 @@ class HashingEmbedder:
         toks = [t for t in _split_tokens(text)]
         return toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
 
+    @staticmethod
+    @lru_cache(maxsize=1 << 20)
+    def _hash_feature(feat: str, dim: int) -> tuple[int, float]:
+        """md5 → (bucket, sign), memoized per executor process: text token
+        frequencies are Zipfian, so the hit rate approaches 1 and the md5
+        cost collapses to the distinct-vocabulary size. Values are untouched
+        (same hash arithmetic) — the embed_roundtrip oracle stays bit-exact."""
+        h = hashlib.md5(feat.encode("utf-8")).digest()
+        return int.from_bytes(h[:4], "big") % dim, 1.0 if h[4] & 1 else -1.0
+
     def embed_one(self, text: str) -> np.ndarray:
         v = np.zeros(self.dim, dtype=np.float64)
         for feat in self._features(text):
-            h = hashlib.md5(feat.encode("utf-8")).digest()
-            bucket = int.from_bytes(h[:4], "big") % self.dim
-            sign = 1.0 if h[4] & 1 else -1.0
+            bucket, sign = self._hash_feature(feat, self.dim)
             v[bucket] += sign
         n = math.sqrt(float(v @ v))
         if n > 0:
