@@ -399,7 +399,92 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_CACHE: dict[str, object] = {}
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN (operators/pq.py): vectors stored as M=8 uint8
+    codes (32× smaller scan at dim 64), query served by broadcast ADC
+    tables, then an exact rerank of the top 4·k ADC candidates.
+
+    No oracle entry: the codebook is KMeans-trained (sample/seed specific),
+    so like ann_ivf_topk / ann_lsh_topk this is a rows-only driver row; the
+    recall floor vs exact KNN and the rerank's bit-equality to the float
+    scoring path are pinned in tests/test_pq.py."""
+    from hybrid_vector_search_spark.operators import pq as pq_op
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    cached = _PQ_CACHE.get(sf_dir)
+    if cached is None:
+        # same one-sf_dir cache policy as _LSH_CACHE: rotating scale factors
+        # releases the previous encoded corpus
+        for stale_key in [k for k in _PQ_CACHE if k != sf_dir]:
+            _, stale_df = _PQ_CACHE.pop(stale_key)
+            stale_df.unpersist()
+        cb = pq_op.train_pq(
+            corpus, "embedding", n_subspaces=8, ksub=32, seed=42
+        )
+        enc = pq_op.encode_pq(
+            corpus, cb, id_col="vec_id", vector_col="embedding"
+        ).cache()
+        enc.count()
+        cached = (cb, enc)
+        _PQ_CACHE[sf_dir] = cached
+    cb, enc = cached
+    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in row.embedding]
+    return pq_op.pq_search(
+        enc, cb, qv, 10,
+        rerank=corpus, rerank_factor=4, id_col="vec_id", vector_col="embedding",
+    ).select("id", "score")
+
+
 # ------------------------------------------------------- streaming (batch parity)
+
+
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min heavy hitters (streaming/sketch.py) as a driver
+    query: events.user_id is staged as 4 parquet files, streamed availableNow
+    at 2 files per micro-batch, each batch's sketch partials folded into the
+    versioned on-disk state, and the final top-20 read off the merged state.
+
+    Oracle-checked by the SAME cell-replay SQL as heavy_hitters_cm: the cell
+    merge is a sum, so the multi-batch incremental fold equals the one-pass
+    global sketch no matter how the stream is batched — the oracle needs no
+    notion of batching at all. The candidate pool is oversized for the
+    testdata's distinct-user count (same argument as q_heavy_hitters_cm), so
+    engine and oracle rank the same universe; the bounded-candidate trim
+    policy for unbounded streams stays pinned in tests/test_streaming_sketch.
+    """
+    import shutil
+    import tempfile
+
+    from hybrid_vector_search_spark.streaming.sketch import (
+        heavy_hitters_from_state,
+        stream_heavy_hitters,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="stream_hh_", dir=_session_tmpdir())
+    src = f"{workdir}/src"
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    q = stream_heavy_hitters(
+        spark, src, "user_id",
+        state_dir=f"{workdir}/state", checkpoint_path=f"{workdir}/ckpt",
+        k=20, max_files_per_trigger=2,
+        candidates_per_partition=100_000, max_candidates=1_000_000,
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    # heavy_hitters_from_state localCheckpoints (eager) the 20-row result, so
+    # the staging dirs can be dropped before returning
+    out = heavy_hitters_from_state(spark, f"{workdir}/state", 20)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
 
 
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,79 +797,30 @@ def q_hybrid_fusion_details(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is the driver's correctness-check priority: the driver
-    verifies a prefix window (~50), so the round-4 layout is freshness-first:
-    (1) the events family — two of these (sessionize, interval_join) crashed
-    in r3 on the regenerated testdata's TIMESTAMP_NTZ ts and are now fixed,
-    so they lead; (2) segment_nation_arrays, r1-green but never re-checked
-    since (missed r3's window by one slot); then the two queries NEW in r4
-    (bigram LM, RAG chunking); (3) every remaining query whose last driver
-    verification predates r3 (r2-green canaries + remainder — the final two
-    sit just past the ~50 cut and lead r5's rotation); (4) the 50 queries
-    verified green in r3. Union r3+r4 covers 101 of the 103 declared."""
+    verifies a prefix window (~50), so the round-5 layout retires the oldest
+    evidence first: (1) the 3 queries whose last driver hash-match is r2 —
+    two testdata regenerations ago — plus heavy_hitters_cm, whose r4-added
+    cell-replay oracle has never actually been driver-run; (2) the 4 queries
+    NEW in r5 (PQ ANN, degenerate-exact IVF near-dup, streaming count-min,
+    multimodal resize); (3) 42 of the 49 queries last verified in r3 —
+    ordered non-relational/complex first; the 7 simplest relational ones sit
+    just past the ~50 cut and lead r6's rotation; (4) the 46 queries
+    verified green in r4 (CORRECTNESS_r04), freshest, so last. After r5's
+    window runs, no query's latest driver row predates r3, and only those 7
+    r3-green rows predate r4."""
     return {
-        # --- (1) events family: r3 ts-crash fixes first, then ts-adjacent kin
-        "events_sessionize": q_events_sessionize,
-        "events_interval_join": q_events_interval_join,
-        "events_session_window": q_events_session_window,
-        "events_hourly_rollup": q_events_hourly_rollup,
-        "events_asof_signup": q_events_asof_signup,
-        "purchase_gaps": relational.purchase_gaps,
-        # --- (2) oldest verification in the repo (r1 only)
-        "segment_nation_arrays": relational.segment_nation_arrays,
-        # --- NEW in r4: bigram-LM perplexity filter + RAG token chunking
-        "bigram_logprob_score": pipeline.bigram_logprob_score,
-        "doc_chunks": pipeline.doc_chunks,
-        # --- (3) r2-green, stale since the testdata regeneration
-        "events_pivot": q_events_pivot,
-        "events_json_extract": q_events_json_extract,
-        "events_value_deciles": relational.events_value_deciles,
-        "events_latest_per_user": relational.events_latest_per_user,
-        "events_dow_hour": relational.events_dow_hour,
-        "flatten_roundtrip": relational.flatten_roundtrip,
-        "dedup_minhash_lsh": pipeline.dedup_minhash_lsh,
-        "dedup_components_star": pipeline.dedup_components_star,
-        "pii_redact": pipeline.pii_redact,
-        "knn_bulk_topk": q_knn_bulk_topk,
-        "hybrid_fusion": q_hybrid_fusion,
-        "dedup_exact": pipeline.dedup_exact,
-        "ngram_jaccard_pairs": pipeline.ngram_jaccard_pairs,
-        "dedup_components": pipeline.dedup_components,
-        "dedup_simhash": pipeline.dedup_simhash,
-        "dedup_embedding_cosine": pipeline.dedup_embedding_cosine,
-        "decontaminate": pipeline.decontaminate,
-        "corpus_clean": pipeline.corpus_clean,
-        "token_stats": pipeline.token_stats,
-        "language_id": pipeline.language_id,
-        "quality_score": pipeline.quality_score,
-        "doc_fingerprints": pipeline.doc_fingerprints,
-        "unigram_logprob_score": pipeline.unigram_logprob_score,
-        "doc_repetition": pipeline.doc_repetition,
-        "sample_deterministic": pipeline.sample_deterministic,
-        "stratified_sample": pipeline.stratified_sample,
-        "dataset_split_counts": pipeline.dataset_split_counts,
-        "multimodal_binary_stats": pipeline.multimodal_binary_stats,
-        "lineitem_self_join": q_lineitem_self_join,
-        "value_percentiles": q_value_percentiles,
-        "set_ops_customers": relational.set_ops_customers,
-        "daily_revenue_running_total": relational.daily_revenue_running_total,
-        "approx_distinct_users": relational.approx_distinct_users,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "cli_range_bounds": q_cli_range_bounds,
-        "knn_limit_clamped": q_knn_limit_clamped,
-        "value_percentiles_approx": relational.value_percentiles_approx,
-        "value_histogram": relational.value_histogram,
-        "knn_cosine": q_knn_cosine,
-        "fulltext_bm25": q_fulltext_bm25,
-        # --- r2-green, lowest regression risk (operator paths re-verified via
-        # r3-green kin: prefilter via knn_takeordered/cli_range_bounds, post-
-        # filter + distinct via the hybrid family); first in line for r5
-        "knn_cosine_prefilter": q_knn_cosine_prefilter,
+        # --- (1) r2-stale re-attestation + first-ever heavy_hitters_cm oracle run
         "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
         "distinct_values": q_distinct_values,
-        # --- (4) verified green in r3 (CORRECTNESS_r03): freshest, so last
-        "heavy_hitters": q_heavy_hitters,
+        "knn_cosine_prefilter": q_knn_cosine_prefilter,
         "heavy_hitters_cm": q_heavy_hitters_cm,
+        # --- (2) NEW in r5: promoted library operators
+        "ann_pq_topk": q_ann_pq_topk,
+        "dedup_embedding_ivf": pipeline.dedup_embedding_ivf,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
+        "multimodal_resize_stats": pipeline.multimodal_resize_stats,
+        # --- (3) last verified r3: operator-heavy first
+        "heavy_hitters": q_heavy_hitters,
         "embed_roundtrip": q_embed_roundtrip,
         "sink_roundtrip": q_sink_roundtrip,
         "hybrid_fusion_details": q_hybrid_fusion_details,
@@ -826,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lone_late_suppliers": relational.lone_late_suppliers,
         "high_balance_inactive": relational.high_balance_inactive,
         "revenue_moving_avg": relational.revenue_moving_avg,
+        # --- ~50-window cut: these 7 r3-green rows head r6's rotation
         "cube_revenue": relational.cube_revenue,
         "revenue_calendar_fill": relational.revenue_calendar_fill,
         "nation_revenue_share": relational.nation_revenue_share,
@@ -833,6 +870,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_unpivot": relational.lineitem_unpivot,
         "order_price_ranks": relational.order_price_ranks,
         "segment_conditional_stats": relational.segment_conditional_stats,
+        # --- (4) verified green in r4 (CORRECTNESS_r04): freshest, so last
+        "events_sessionize": q_events_sessionize,
+        "events_interval_join": q_events_interval_join,
+        "events_session_window": q_events_session_window,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "events_asof_signup": q_events_asof_signup,
+        "purchase_gaps": relational.purchase_gaps,
+        "segment_nation_arrays": relational.segment_nation_arrays,
+        "bigram_logprob_score": pipeline.bigram_logprob_score,
+        "doc_chunks": pipeline.doc_chunks,
+        "events_pivot": q_events_pivot,
+        "events_json_extract": q_events_json_extract,
+        "events_value_deciles": relational.events_value_deciles,
+        "events_latest_per_user": relational.events_latest_per_user,
+        "events_dow_hour": relational.events_dow_hour,
+        "flatten_roundtrip": relational.flatten_roundtrip,
+        "dedup_minhash_lsh": pipeline.dedup_minhash_lsh,
+        "dedup_components_star": pipeline.dedup_components_star,
+        "pii_redact": pipeline.pii_redact,
+        "knn_bulk_topk": q_knn_bulk_topk,
+        "hybrid_fusion": q_hybrid_fusion,
+        "dedup_exact": pipeline.dedup_exact,
+        "ngram_jaccard_pairs": pipeline.ngram_jaccard_pairs,
+        "dedup_components": pipeline.dedup_components,
+        "dedup_simhash": pipeline.dedup_simhash,
+        "dedup_embedding_cosine": pipeline.dedup_embedding_cosine,
+        "decontaminate": pipeline.decontaminate,
+        "corpus_clean": pipeline.corpus_clean,
+        "token_stats": pipeline.token_stats,
+        "language_id": pipeline.language_id,
+        "quality_score": pipeline.quality_score,
+        "doc_fingerprints": pipeline.doc_fingerprints,
+        "unigram_logprob_score": pipeline.unigram_logprob_score,
+        "doc_repetition": pipeline.doc_repetition,
+        "sample_deterministic": pipeline.sample_deterministic,
+        "stratified_sample": pipeline.stratified_sample,
+        "dataset_split_counts": pipeline.dataset_split_counts,
+        "multimodal_binary_stats": pipeline.multimodal_binary_stats,
+        "lineitem_self_join": q_lineitem_self_join,
+        "value_percentiles": q_value_percentiles,
+        "set_ops_customers": relational.set_ops_customers,
+        "daily_revenue_running_total": relational.daily_revenue_running_total,
+        "approx_distinct_users": relational.approx_distinct_users,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "cli_range_bounds": q_cli_range_bounds,
+        "knn_limit_clamped": q_knn_limit_clamped,
+        "value_percentiles_approx": relational.value_percentiles_approx,
+        "value_histogram": relational.value_histogram,
+        "knn_cosine": q_knn_cosine,
+        "fulltext_bm25": q_fulltext_bm25,
     }
 
 
@@ -1665,6 +1753,11 @@ def oracle_sql() -> dict[str, str]:
         # estimate itself is oracle-checked (candidate completeness stays a
         # tests/test_sketch.py property — it is the one partition-dependent part)
         "heavy_hitters_cm": _CM_HEAVY_HITTERS_ORACLE,
+        # r5: the STREAMING fold shares the batch oracle verbatim — cell
+        # merge is a sum, so the multi-batch incremental state equals the
+        # one-pass global sketch regardless of batching (ann_pq_topk stays
+        # rows-only: KMeans codebooks, like ann_ivf/ann_lsh)
+        "stream_heavy_hitters": _CM_HEAVY_HITTERS_ORACLE,
         "embed_roundtrip": _EMBED_ROUNDTRIP_ORACLE,
         "sink_roundtrip": _SINK_ROUNDTRIP_ORACLE,
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,

@@ -153,13 +153,33 @@ def resize_array(img: np.ndarray, *, width: int, height: int) -> np.ndarray:
     return img[rows][:, cols]
 
 
+def decode_media(content: bytes, meta: dict) -> np.ndarray:
+    """Decode dispatch keyed on ``meta['format']`` — the content's declared
+    encoding, NOT the environment: ``raw-rgb`` reshapes the bytes directly
+    (the output format of resize_images, and the zero-codec input path),
+    ``fake``/unset runs the deterministic fake, and anything else (a real
+    codec name) goes to decode_image, whose Pillow gate raises honestly when
+    no codec library exists. Dispatching on environment instead (try real,
+    fall back on NotImplementedError) would mis-decode fake/raw-rgb blobs
+    the moment Pillow appeared."""
+    fmt = (meta.get("format") or "").lower()
+    src_w = int(meta.get("width") or 64)
+    src_h = int(meta.get("height") or 64)
+    if fmt == "raw-rgb":
+        return np.frombuffer(content, dtype=np.uint8).reshape(src_h, src_w, 3)
+    if fmt in ("", "fake"):
+        return fake_decode(content, src_w, src_h)
+    return decode_image(content)
+
+
 def resize_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
     """Batch image resize over mapInPandas: content → resized content, meta
-    updated to the new dims. Decode prefers the real codec (Pillow) and
-    falls back to the deterministic fake; the resize itself (resize_array)
-    and every piece of Spark plumbing — schema, Arrow batches, bytes never
-    shuffling — are real either way. Output format is raw-rgb (H·W·3 bytes)
-    so downstream kernels need no codec to consume it."""
+    updated to the new dims. Decode dispatches on the declared format
+    (decode_media: raw-rgb reshape / deterministic fake / real codec); the
+    resize itself (resize_array) and every piece of Spark plumbing — schema,
+    Arrow batches, bytes never shuffling — are real either way. Output
+    format is raw-rgb (H·W·3 bytes) so downstream kernels (including a
+    second resize) need no codec to consume it."""
     schema = df.schema
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -167,12 +187,7 @@ def resize_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
             contents, metas = [], []
             for content, meta in zip(pdf["content"], pdf["meta"]):
                 m = dict(meta) if meta is not None else {}
-                src_w = int(m.get("width") or 64)
-                src_h = int(m.get("height") or 64)
-                try:
-                    img = decode_image(bytes(content))
-                except NotImplementedError:
-                    img = fake_decode(bytes(content), src_w, src_h)
+                img = decode_media(bytes(content), m)
                 out = resize_array(img, width=width, height=height)
                 contents.append(out.tobytes())
                 m.update(width=width, height=height, format="raw-rgb")

@@ -63,23 +63,42 @@ class _DatedFileHandler(logging.FileHandler):
 
 def _shared_file_handler() -> logging.Handler | None:
     """The one file handler every logger shares (the reference's scheme);
-    None when LOG_DIR is unset (console-only)."""
+    None when LOG_DIR is unset (console-only). When LOG_DIR changes, the
+    replacement handler is swapped onto every CACHED logger too — closing
+    the old handler alone is not enough, because FileHandler.emit lazily
+    reopens a closed stream, so loggers still holding it would silently keep
+    appending to the old directory."""
     global _file_handler
     log_dir = os.environ.get("LOG_DIR")
     if not log_dir:
+        if _file_handler is not None:
+            _swap_cached(_file_handler, None)
+            _file_handler.close()
+            _file_handler = None
         return None
     if (
         _file_handler is not None
         and getattr(_file_handler, "_log_dir", None) == log_dir
     ):
         return _file_handler
-    if _file_handler is not None:
-        _file_handler.close()
     handler = _DatedFileHandler(log_dir)
     handler.setLevel(logging.INFO)
     handler.setFormatter(logging.Formatter(_FORMAT))
+    if _file_handler is not None:
+        _swap_cached(_file_handler, handler)
+        _file_handler.close()
     _file_handler = handler
     return handler
+
+
+def _swap_cached(old: logging.Handler, new: logging.Handler | None) -> None:
+    """Replace ``old`` with ``new`` (or just detach, when None) on every
+    cached logger."""
+    for logger in _cache.values():
+        if old in logger.handlers:
+            logger.removeHandler(old)
+            if new is not None:
+                logger.addHandler(new)
 
 
 def get_logger(name: str = "engine") -> logging.Logger:

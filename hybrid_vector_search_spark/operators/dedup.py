@@ -600,7 +600,13 @@ def embedding_near_dups_ivf(
             out["bucket"] = near.reshape(-1).astype("int64")
             yield out
 
-    assigned = src.mapInPandas(assign, "id long, v array<float>, bucket long")
+    # mirror the INPUT element type in the re-emitted vector column: declaring
+    # a fixed array<float> here would silently downcast array<double> vectors
+    # to float32 before the bucket cosine kernel, breaking the exact-subset
+    # contract (cosines would differ from embedding_near_dups at the 6-dp
+    # rounding boundary) for double-precision corpora
+    elem = src.schema["v"].dataType.elementType.simpleString()
+    assigned = src.mapInPandas(assign, f"id long, v array<{elem}>, bucket long")
 
     def bucket_kern(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy()

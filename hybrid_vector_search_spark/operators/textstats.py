@@ -198,7 +198,9 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, *, broadcast_lm: bool = True
+) -> DataFrame:
     """Bigram-LM quality score (the CCNet/KenLM perplexity-filter shape, one
     order up from :func:`unigram_logprob`): per-doc mean negative log
     P(w_i | w_{i-1}) under the corpus's own bigram counts —
@@ -209,10 +211,17 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Plan shape mirrors unigram_logprob at one order higher: bigrams come
     from a codegen `transform` over the token array (no UDF); the LM is two
     vocab-sized aggregates (bigram counts; left-context counts derived from
-    them map-side) broadcast to the scoring join. The corpus text itself
-    never shuffles — at 100 TB only the bigram vocabulary relation moves,
-    and a skewed head word costs nothing because the join is broadcast, not
-    shuffled-by-key.
+    them map-side) joined back to the scoring relation. The corpus text
+    itself never shuffles — only the bigram relation moves.
+
+    Scale caveat: a BIGRAM vocabulary grows roughly quadratically in the
+    unigram vocabulary, so unlike the unigram LM it can exceed broadcast /
+    driver limits on a very large corpus. ``broadcast_lm=True`` (default,
+    right for bench-scale and most bounded-vocab corpora) broadcasts the LM
+    into the scoring join; set ``broadcast_lm=False`` on corpora whose
+    bigram vocab is too large to broadcast — the scoring join then shuffles
+    both sides by the 2-token gram key (sort-merge; a skewed head gram costs
+    more here, which is the price of an un-broadcastable LM).
 
     Local-mode fixture: small testdata arrives as ONE parquet split, which
     would serialize the (CPU-heavy) bigram transform on one core — fan out
@@ -242,11 +251,11 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.sum("cnt").alias("ctx_cnt")
     )
     lm = bi.join(
-        F.broadcast(ctx),
+        F.broadcast(ctx) if broadcast_lm else ctx,
         F.split_part(F.col("gram"), F.lit(" "), F.lit(1)) == F.col("left"),
     ).select("gram", (-F.log(F.col("cnt") / F.col("ctx_cnt"))).alias("neg_logp"))
     return (
-        grams.join(F.broadcast(lm), "gram")
+        grams.join(F.broadcast(lm) if broadcast_lm else lm, "gram")
         .groupBy("id")
         .agg(
             F.round(F.avg("neg_logp"), 6).alias("mean_neg_logp"),

@@ -598,8 +598,40 @@ SELECT doc_id, chunk_id::INT AS chunk_id,
 FROM x ORDER BY doc_id, chunk_id
 """
 
+# plans.pipeline.multimodal_resize_stats: replay the nearest-neighbor gather
+# byte-for-byte. Src image = text rpadded to 32·32·3 bytes (ASCII corpus, so
+# rpad/substring char positions ARE byte positions in both engines); out
+# pixel (r, c) = the 3 bytes at src offset ((2r)·32 + 2c)·3 (0-based;
+# SQL substring is 1-based). Aggregating in (r, c) order rebuilds the
+# kernel's row-major output, and md5 over that ASCII string equals Spark's
+# md5 over the binary column.
+_RS, _RO = 32, 16  # must match plans.pipeline.RESIZE_SRC / RESIZE_OUT
+MULTIMODAL_RESIZE = f"""
+WITH padded AS (
+  SELECT doc_id, rpad(text, {_RS * _RS * 3}, ' ') AS p FROM documents
+),
+px AS (
+  SELECT doc_id, r.r AS r, c.c AS c,
+         substring(p, ((2*r.r)*{_RS} + 2*c.c)*3 + 1, 3) AS b
+  FROM padded
+  CROSS JOIN (SELECT unnest(range(0, {_RO})) AS r) r
+  CROSS JOIN (SELECT unnest(range(0, {_RO})) AS c) c
+),
+gathered AS (
+  SELECT doc_id, string_agg(b, '' ORDER BY r, c) AS out_bytes
+  FROM px GROUP BY doc_id
+)
+SELECT doc_id, {_RO} AS out_w, {_RO} AS out_h,
+       {_RO * _RO * 3}::BIGINT AS n_bytes, md5(out_bytes) AS content_md5
+FROM gathered ORDER BY doc_id
+"""
+
 PIPELINE_ORACLES: dict[str, str] = {
     "bigram_logprob_score": BIGRAM_LOGPROB,
+    # nprobe == n_clusters degenerates the IVF near-dup to the exact
+    # all-pairs kernel, so it shares dedup_embedding_cosine's oracle
+    "dedup_embedding_ivf": DEDUP_EMBEDDING_COSINE,
+    "multimodal_resize_stats": MULTIMODAL_RESIZE,
     "doc_chunks": DOC_CHUNKS,
     "pii_redact": PII_REDACT,
     "dedup_components_star": DEDUP_COMPONENTS,

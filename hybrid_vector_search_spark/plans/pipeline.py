@@ -416,3 +416,65 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight"
         ),
     ).orderBy("source")
+
+
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed embedding near-dup (dedup.embedding_near_dups_ivf) in
+    its degenerate-EXACT configuration: nprobe == n_clusters (= 2) assigns
+    every row to every cluster, so every pair shares a bucket and the output
+    provably equals the exact all-pairs kernel — which makes the full
+    KMeans-fit → multi-probe assign → per-bucket BLAS → cross-bucket
+    distinct code path hash-checkable against the SAME oracle SQL as
+    dedup_embedding_cosine. The sub-quadratic configuration
+    (nprobe < n_clusters, Σ bucket² ≪ n²) is the 100 TB path; its
+    soundness + recall floor are pinned in tests/test_dedup_ivf.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_dups_ivf(
+        emb, "vec_id", "embedding", threshold=0.45, n_clusters=2, nprobe=2
+    )
+    return out.select(
+        F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "cos"
+    )
+
+
+# multimodal resize fixture: each doc's text bytes (ASCII in this corpus, so
+# char == byte in BOTH engines' rpad/substring) play a raw-rgb image
+RESIZE_SRC, RESIZE_OUT = 32, 16
+
+
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize pipeline over raw-rgb media built from real testdata
+    bytes: each document's text, right-padded/truncated to 32·32·3 bytes,
+    is a 32×32 raw-rgb image; resize_images nearest-neighbor-downsamples it
+    to 16×16 inside the Arrow kernel, and the result is fingerprinted
+    (dims, byte length, md5). The DuckDB oracle replays the exact gather —
+    out pixel (r, c) reads the 3 src bytes at ((2r)·32 + 2c)·3 — so the
+    resize index math, the raw-rgb decode dispatch, and the meta rewrite
+    are hash-checked, not just smoke-run. (The md5-chain fake-decode path
+    is deliberately NOT under this query: it is not SQL-expressible; its
+    pixel contract lives in tests/test_multimodal.py.)"""
+    from ..multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_src_bytes = RESIZE_SRC * RESIZE_SRC * 3
+    par = spark.sparkContext.defaultParallelism
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.rpad(F.col("text"), n_src_bytes, " "), "utf-8").alias("content"),
+        F.struct(
+            F.lit(RESIZE_SRC).alias("width"),
+            F.lit(RESIZE_SRC).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("raw-rgb").alias("format"),
+        ).alias("meta"),
+    ).repartition(par)  # single-split local fixture; pre-split on a cluster
+    resized = resize_images(media, width=RESIZE_OUT, height=RESIZE_OUT)
+    return resized.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("meta.width").alias("out_w"),
+        F.col("meta.height").alias("out_h"),
+        F.length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    ).orderBy("doc_id")

@@ -24,13 +24,17 @@ top-k over the retained corpus as the periodic verifier.
 
 State swap uses the same crash-safe staging/rename pattern as
 ingest.stream_merge_into. foreachBatch is at-least-once, so fold_batch
-records the last applied epoch in the state dir and skips a replayed
-epoch — without this, a crash after the swap but before the checkpoint
-commit would double-count the batch on restart.
+records the last applied (checkpoint, epoch) in the state dir and skips a
+replayed epoch — without this, a crash after the swap but before the
+checkpoint commit would double-count the batch on restart. The guard keys
+on checkpoint identity, not the bare epoch number: epoch ids restart at 0
+under a fresh checkpoint, so state built by a different checkpoint fails
+loudly instead of silently skipping batches.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -65,6 +69,7 @@ def stream_heavy_hitters(
     k: int = 20,
     max_candidates: int = 4096,
     max_files_per_trigger: int | None = None,
+    candidates_per_partition: int | None = None,
 ):
     """Start (availableNow) the sketch-maintenance stream; returns the query.
 
@@ -81,6 +86,8 @@ def stream_heavy_hitters(
     stream = reader.parquet(source_dir)
     os.makedirs(state_dir, exist_ok=True)
 
+    ckpt_id = os.path.abspath(checkpoint_path)
+
     def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
         current = _current_dir(state_dir)
         epoch_file = os.path.join(current, "_epoch")
@@ -90,13 +97,29 @@ def stream_heavy_hitters(
         # ONE rename, so a crash at any point leaves either the pre-fold
         # state (epoch absent/old → replay refolds cleanly) or the post-fold
         # state (epoch current → replay is skipped) — never a half-fold.
+        # The guard is keyed on (checkpoint identity, epoch): epoch ids are
+        # only monotonic WITHIN one checkpoint, so a fresh checkpoint pointed
+        # at existing state would restart at epoch 0 and silently skip every
+        # batch until the counter caught up — that mismatch fails loudly
+        # instead.
         if os.path.exists(epoch_file):
             with open(epoch_file) as fh:
-                if int(fh.read().strip() or -1) >= epoch_id:
-                    return
+                stored = json.loads(fh.read() or "{}")
+            if stored.get("checkpoint") != ckpt_id:
+                raise RuntimeError(
+                    f"state dir {state_dir!r} was built by checkpoint "
+                    f"{stored.get('checkpoint')!r} but this stream runs under "
+                    f"{ckpt_id!r}; epoch ids are not comparable across "
+                    "checkpoints, so folding would silently drop or double-"
+                    "count batches. Use the original checkpoint, or start "
+                    "from a fresh state_dir."
+                )
+            if int(stored.get("epoch", -1)) >= epoch_id:
+                return
         sess = batch_df.sparkSession
         mixed = sketch_partials(
-            batch_df, value_col, depth=depth, width=width, k=k
+            batch_df, value_col, depth=depth, width=width, k=k,
+            candidates_per_partition=candidates_per_partition,
         ).persist()
         cells = (
             mixed.where(F.col("kind") == "cell")
@@ -128,7 +151,7 @@ def stream_heavy_hitters(
         cells.write.mode("overwrite").parquet(os.path.join(staging, CELLS))
         cands.write.mode("overwrite").parquet(os.path.join(staging, CANDS))
         with open(os.path.join(staging, "_epoch"), "w") as fh:
-            fh.write(str(epoch_id))
+            json.dump({"epoch": epoch_id, "checkpoint": ckpt_id}, fh)
         old = os.path.join(state_dir, f"{CURRENT}._old")
         if os.path.exists(old):
             shutil.rmtree(old)
