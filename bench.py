@@ -27,6 +27,33 @@ import sys
 import time
 
 
+def _previous_round_timings(sf: float) -> tuple[str, dict[str, float]] | None:
+    """(label, per-query timings) of the PREVIOUS bench run, read from the
+    bench_details.json this run is about to overwrite. (The driver's
+    BENCH_r{N}.json records only the tail-safe summary line — queries
+    collapsed to {"total": ...} — so the details file is the only per-query
+    history that survives between rounds.)"""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
+    )
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        queries = rec.get("queries")
+        if (
+            isinstance(queries, dict)
+            and len(queries) > 1
+            and abs(float(rec.get("sf", -1)) - sf) < 1e-9
+        ):
+            total = rec.get("value")
+            return f"bench_details.json (previous run, total={total})", {
+                k: float(v) for k, v in queries.items()
+            }
+    except Exception:  # noqa: BLE001 — absent/malformed history is just skipped
+        pass
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -84,6 +111,16 @@ def main() -> None:
     }
     if errors:
         summary["errors"] = errors
+    # Per-query regression surface: carry the PREVIOUS round's recorded
+    # timing (latest BENCH_r*.json with a parseable per-query map at the
+    # same sf) so a per-query delta is one file-read away instead of
+    # cross-round archaeology.
+    prev = _previous_round_timings(sf)
+    if prev:
+        summary["prev"] = {
+            "source": prev[0],
+            "queries": {k: prev[1][k] for k in timings if k in prev[1]},
+        }
     # Full details to a file (the per-query map is too long to trust to a
     # tail-truncating stdout capture — BENCH_r01 lost its headline that way).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_details.json"), "w") as f:

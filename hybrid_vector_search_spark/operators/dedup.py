@@ -547,6 +547,7 @@ def embedding_near_dups_ivf(
     nprobe: int = 2,
     seed: int = 42,
     round_dp: int | None = 6,
+    kmeans_max_iter: int = 20,
 ) -> DataFrame:
     """Sub-quadratic embedding near-dup: the scale sibling of the exact
     :func:`embedding_near_dups` (which is O(n²) flops by definition). This
@@ -578,8 +579,12 @@ def embedding_near_dups_ivf(
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     feat = src.withColumn("_features", array_to_vector(F.col("v").cast("array<double>")))
+    # kmeans_max_iter trades bucket balance for fit time; correctness never
+    # depends on it (soundness is re-verified per pair, and nprobe ==
+    # n_clusters is exact under ANY centroids), only recall/balance do
     km = KMeans(
-        k=n_clusters, seed=seed, maxIter=20, featuresCol="_features", predictionCol="_c"
+        k=n_clusters, seed=seed, maxIter=kmeans_max_iter,
+        featuresCol="_features", predictionCol="_c",
     )
     centroids = np.array(
         [np.asarray(c) for c in km.fit(feat).clusterCenters()], dtype=np.float64

@@ -42,6 +42,7 @@ def rank_fusion(
     rank_k: int = 60,
     weights: dict[str, float] | None = None,
     round_dp: int | None = 6,
+    max_branch_rows: int | None = 1024,
 ) -> DataFrame:
     """Reciprocal-rank fusion (RRF): Σ_b w_b / (rank_k + rank_b(id)).
 
@@ -51,7 +52,17 @@ def rank_fusion(
     distributions between branches — at the cost of discarding score
     magnitudes. Ranks are dense per branch, ties broken by id ascending so
     the result is engine-reproducible. Missing-from-branch contributes 0.
-    """
+
+    Ranking needs a global total order per branch, which Spark can only
+    compute in one partition — safe for the intended inputs (top-k branch
+    results; the reference clamps k to ≤ 25, backend/api.py:115-119) but a
+    scale trap for an arbitrary DataFrame. ``max_branch_rows`` therefore
+    bounds every branch with a TakeOrderedAndProject top-N (per-partition
+    top-N, THEN a single-partition merge of ≤ N·partitions rows — never a
+    global sort) before the rank window; ranks 1..N are identical to the
+    unbounded ranks, and rows past N contribute 0 exactly like
+    missing-from-branch ids (truncated-list RRF, the standard IR practice).
+    Pass None to disable ONLY when the caller guarantees bounded input."""
     from pyspark.sql import Window
 
     weights = weights or {n: 1.0 for n in branches}
@@ -60,8 +71,13 @@ def rank_fusion(
     names = sorted(branches)
     fused: DataFrame | None = None
     for name in names:
+        b = branches[name]
+        if max_branch_rows is not None:
+            b = b.orderBy(
+                F.col(score_col).desc(), F.col(id_col).asc()
+            ).limit(max_branch_rows)
         w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
-        b = branches[name].select(
+        b = b.select(
             F.col(id_col).alias("id"),
             F.row_number().over(w).alias(f"_rank_{name}"),
         )

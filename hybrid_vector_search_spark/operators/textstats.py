@@ -401,14 +401,23 @@ def doc_keywords(df: DataFrame, id_col: str, text_col: str, *, k: int = 3) -> Da
     (sklearn's ln((1+N)/(1+df))+1 idf; tf = raw in-doc count). Classic
     corpus summarization / near-dup explanation surface.
 
-    Plan shape: one explode → (doc, term, tf) aggregate; document frequency
-    aggregates the SAME relation again (map-side, vocab-sized result) and
-    broadcasts back with the corpus size — the corpus shuffles once, on
-    token keys. Ranking rounds the score to 6dp FIRST and tie-breaks on the
-    term text so the top-k is engine-deterministic.
+    Plan shape: ONE fact-relation exchange, on the doc id. The source is
+    repartitioned by id up front; hashpartitioning(id) satisfies the
+    required distribution of BOTH the (id, term) tf aggregate (same-key rows
+    can't cross docs) AND the per-doc ranking window, so neither re-shuffles
+    the token relation — previously the window re-exchanged the full
+    (doc, term, tf) relation after the tf aggregate had already exchanged it
+    on (id, term). Document frequency aggregates the tf relation map-side
+    (vocab-sized partials) and broadcasts back with the corpus size. The
+    up-front repartition doubles as the single-split local-fixture fan-out
+    (tokenization runs on every core; pre-split cluster inputs make it a
+    near-free re-key). Ranking rounds the score to 6dp FIRST and tie-breaks
+    on the term text so the top-k is engine-deterministic.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .repartition("id")
+        .select("id", F.explode(tokens(F.col("t"))).alias("term"))
     )
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))

@@ -429,8 +429,11 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nprobe < n_clusters, Σ bucket² ≪ n²) is the 100 TB path; its
     soundness + recall floor are pinned in tests/test_dedup_ivf.py."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # few KMeans iterations: under nprobe == n_clusters ANY centroids are
+    # exact, so the fit only needs to exist, not converge
     out = dedup.embedding_near_dups_ivf(
-        emb, "vec_id", "embedding", threshold=0.45, n_clusters=2, nprobe=2
+        emb, "vec_id", "embedding", threshold=0.45, n_clusters=2, nprobe=2,
+        kmeans_max_iter=2,
     )
     return out.select(
         F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "cos"

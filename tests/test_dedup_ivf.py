@@ -53,3 +53,22 @@ def test_ivf_near_dups_recall_rises_with_nprobe(spark):
         )
     )
     assert full == exact
+
+
+def test_ivf_near_dups_preserves_double_precision(spark):
+    """The assign kernel re-emits vectors with the INPUT element type: for an
+    array<double> corpus the degenerate-exact configuration must reproduce
+    the exact kernel's cosines bit-for-bit (a fixed array<float> schema here
+    would downcast and flip pairs at the 6-dp rounding boundary)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    exact = _pairs(dedup.embedding_near_dups(emb, "vec_id", "embedding", threshold=0.45))
+    full = _pairs(
+        dedup.embedding_near_dups_ivf(
+            emb, "vec_id", "embedding", threshold=0.45, n_clusters=2, nprobe=2
+        )
+    )
+    assert full == exact

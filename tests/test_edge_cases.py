@@ -86,3 +86,42 @@ def test_binary_stats_empty_and_null_free(spark):
         "doc_id", F.encode("text", "utf-8").alias("content")
     )
     assert binary_stats(empty, "doc_id", "content").count() == 0
+
+
+def test_rank_fusion_branch_bound_is_takeordered(spark):
+    """rank_fusion's global rank window funnels to one partition by nature;
+    the max_branch_rows fence must bound what reaches it with a
+    TakeOrderedAndProject (per-partition top-N, never a global sort), and
+    the bounded ranks must equal the unbounded ranks on the surviving
+    prefix."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.operators.fusion import rank_fusion
+
+    n = 500
+    a = spark.range(n).select(F.col("id"), (F.col("id") % 97).cast("double").alias("score"))
+    b = spark.range(n).select(F.col("id"), (F.col("id") % 89).cast("double").alias("score"))
+
+    bounded = rank_fusion({"a": a, "b": b}, max_branch_rows=50)
+    plan = bounded._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+    unbounded = rank_fusion({"a": a, "b": b}, max_branch_rows=None)
+    got = {r.id: r.score for r in bounded.collect()}
+    want = {r.id: r.score for r in unbounded.collect()}
+
+    def branch_ranks(df):
+        rows = sorted(df.collect(), key=lambda r: (-r.score, r.id))
+        return {r.id: i + 1 for i, r in enumerate(rows)}
+
+    ra, rb = branch_ranks(a), branch_ranks(b)
+    # truncated-list RRF contract: an id whose rank survives the cut in BOTH
+    # branches scores bit-identically to the unbounded ranking (top-N ranks
+    # are a prefix of the global ranking); an id past the cut in one branch
+    # loses only that branch's term, so bounded ≤ unbounded always
+    survivors = [i for i in got if ra.get(i, 99) <= 50 and rb.get(i, 99) <= 50]
+    assert survivors, "fixture must produce ids inside both cuts"
+    for doc_id in survivors:
+        assert abs(want[doc_id] - got[doc_id]) < 1e-9, (doc_id,)
+    for doc_id, score in got.items():
+        assert score <= want[doc_id] + 1e-9, (doc_id,)

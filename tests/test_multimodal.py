@@ -102,3 +102,49 @@ def test_sample_frames_schedule(spark):
 
     with pytest.raises(ValueError):
         sample_frames(media, every_ms=0)
+
+
+def test_decode_media_dispatches_on_declared_format():
+    """decode_media routes on meta['format'], not on whether a codec library
+    happens to be importable: raw-rgb reshapes the bytes directly, fake (or
+    unset) runs the md5-chain fake, and a real codec name reaches the gated
+    decode_image (NotImplementedError in this codec-less container)."""
+    import numpy as np
+    import pytest
+
+    from hybrid_vector_search_spark.multimodal import decode_media, fake_decode
+
+    raw = bytes(range(48)) * 2  # 96 bytes = 4x8 rgb
+    img = decode_media(raw, {"format": "raw-rgb", "width": 8, "height": 4})
+    assert img.shape == (4, 8, 3) and img.dtype == np.uint8
+    assert img.tobytes() == raw  # reshape, never re-derived
+
+    blob = b"anything"
+    fake = decode_media(blob, {"format": "fake", "width": 8, "height": 4})
+    assert (fake == fake_decode(blob, 8, 4)).all()
+    assert (decode_media(blob, {"width": 8, "height": 4}) == fake).all()
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG...", {"format": "png", "width": 8, "height": 4})
+
+
+def test_resize_output_consumable_as_raw_rgb(spark):
+    """A second resize over resize_images output must go through the raw-rgb
+    reshape path (the output meta declares raw-rgb), not the fake decode —
+    downsampling twice equals downsampling once for integer-ratio
+    nearest-neighbor gathers with aligned grids."""
+    from hybrid_vector_search_spark.multimodal import (
+        resize_array,
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 6)
+    once = resize_images(media, width=16, height=16)
+    twice = resize_images(once, width=8, height=8)
+    direct = resize_images(media, width=8, height=8)
+    got = {r.media_id: bytes(r.content) for r in twice.collect()}
+    want = {r.media_id: bytes(r.content) for r in direct.collect()}
+    assert got == want
+    meta = twice.select("meta").head().meta
+    assert (meta.width, meta.height, meta.format) == (8, 8, "raw-rgb")

@@ -209,6 +209,17 @@ def test_doc_keywords_stats_broadcast(spark):
     # Spark 4's WindowGroupLimit prunes to k rows per doc BEFORE the window
     # shuffle — the property that keeps top-k-per-group scan-bound
     assert "WindowGroupLimit" in plan, plan
+    # ONE fact-relation exchange: the explicit up-front repartition by id
+    # covers both the (id, term) tf aggregate and the per-doc window, so
+    # Catalyst must not insert any other hash exchange except the
+    # vocab-sized document-frequency aggregate (on term). Regression guard
+    # for the old shape that re-shuffled the full (doc, term, tf) relation
+    # between the tf aggregate and the window.
+    ensure_hash = [
+        l for l in plan.splitlines()
+        if "ENSURE_REQUIREMENTS" in l and "hashpartitioning" in l
+    ]
+    assert len(ensure_hash) == 1 and "term" in ensure_hash[0], ensure_hash
 
 
 def test_sign_bucket_stays_codegen(spark):
@@ -233,3 +244,22 @@ def test_events_filter_pushes_through_ts_normalization(spark):
     # column pruning: the cast column ts (and value) are not read when unused
     read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "ts:" not in read_schema and "value:" not in read_schema, read_schema
+
+
+def test_interval_join_scan_keeps_pushdown(spark):
+    """q_events_interval_join's signup-side scan must keep predicate
+    pushdown and column pruning THROUGH the ts normalization cast (the
+    sessionize pin covers the plain-filter path; this pins the bucketized
+    range-join composition — r4's 1.6× cost on this query was the cast
+    compute itself, not a fenced filter, and this guard keeps it that way)."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_events_interval_join(spark, SF_SMALL))
+    assert "EqualTo(event_type,signup)" in plan, plan
+    # neither scan reads the unused payload columns (props, value)
+    for chunk in plan.split("ReadSchema:")[1:]:
+        schema = chunk.split("\n")[0]
+        assert "props" not in schema and "value" not in schema, schema
+    # the range predicate stays an equi-join residual (broadcast hash), not
+    # a nested-loop over per-key cross products
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -88,3 +88,28 @@ def test_stream_sketch_candidate_cap_keeps_heavy_hitters(spark, tmp_path):
     exact_top3 = [r.value for r in exact_heavy_hitters(events, "user_id", 3).collect()]
     # the unambiguous head of the exact ranking must survive the cap
     assert {str(v) for v in exact_top3} <= got_values
+
+
+def test_stream_sketch_rejects_foreign_checkpoint(spark, tmp_path):
+    """State built under one checkpoint must refuse to fold under another:
+    epoch ids restart at 0 with a fresh checkpoint, so the old bare-epoch
+    guard would silently SKIP every batch until the new counter passed the
+    stored one — the guard now keys on checkpoint identity and fails loudly."""
+    import pytest
+
+    from hybrid_vector_search_spark.streaming.sketch import stream_heavy_hitters
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    src = str(tmp_path / "src")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    state = str(tmp_path / "state")
+
+    q = stream_heavy_hitters(spark, src, "user_id", state, str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+
+    events.limit(10).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_heavy_hitters(spark, src, "user_id", state, str(tmp_path / "ckpt2"))
+    with pytest.raises(Exception, match="checkpoint"):
+        q2.awaitTermination(120)
+        if q2.exception() is not None:
+            raise q2.exception()
