@@ -41,6 +41,58 @@ from .operators.embed import HashingEmbedder, query_vector
 from .operators.knn import clamp_limit, knn
 
 MODES = {"vector", "hybrid", "fulltext"}
+COMPAT_MODES = {"native", "atlas"}
+
+# reference backend/api.py:210-214 names its two fusion sub-pipelines
+# searchOne (vector) / searchTwo (text); the frontend looks details up by
+# exactly these names (main.js:108-112)
+ATLAS_PIPELINE_NAMES = {"vector": "searchOne", "text": "searchTwo"}
+_ATLAS_BRANCH_ORDER = ("vector", "text")
+_ATLAS_DESCRIPTION = (
+    "the value calculated by combining the scores (either normalized or raw) "
+    "across input pipelines from which this document is output from:"
+)
+
+
+def _atlas_score_details(score: Any, details: dict[str, Any]) -> dict[str, Any]:
+    """Re-shape the engine's per-branch score_details struct into the
+    reference's $scoreFusion scoreDetails wire format (backend/api.py:233
+    requests it; frontend main.js:104-151 consumes it): a combined ``value``
+    plus one ``details`` entry per input pipeline THAT RETURNED the document,
+    each carrying ``inputPipelineName`` / ``inputPipelineRawScore`` /
+    ``weight`` / ``value`` (the sigmoid-normalized score the combination
+    expression refers to as ``$$searchOne`` etc.)."""
+    terms: list[Any] = []
+    det_list: list[dict[str, Any]] = []
+    for branch in _ATLAS_BRANCH_ORDER:
+        d = details.get(branch)
+        if d is None:
+            continue
+        name = ATLAS_PIPELINE_NAMES.get(branch, branch)
+        w = float(d.get("weight", 1.0))
+        ref = f"$${name}"
+        terms.append({"$multiply": [ref, w]} if w != 1.0 else ref)
+        if d.get("raw") is None:  # pipeline did not return this document
+            continue
+        det_list.append(
+            {
+                "inputPipelineName": name,
+                "inputPipelineRawScore": float(d["raw"]),
+                "weight": 1.0,  # expression combination: weighting lives in the expression
+                "value": float(d["normalized"]),
+                "details": [],
+            }
+        )
+    return {
+        "value": float(score) if score is not None else None,
+        "description": _ATLAS_DESCRIPTION,
+        "normalization": "sigmoid",
+        "combination": {
+            "method": "custom expression",
+            "expression": json.dumps({"$sum": terms}),
+        },
+        "details": det_list,
+    }
 
 # reference backend/api.py:92,101 — a module logger named "api" that records
 # each pipeline before executing it; see observability.py for the contract
@@ -72,9 +124,14 @@ class SearchConfig:
 class SearchEngine:
     """DataFrame-backed search engine with the reference's query surface."""
 
-    def __init__(self, df: DataFrame, config: SearchConfig, *, embedder=None):
+    def __init__(
+        self, df: DataFrame, config: SearchConfig, *, embedder=None, compat: str = "native"
+    ):
+        if compat not in COMPAT_MODES:
+            raise ValueError(f"compat must be one of {sorted(COMPAT_MODES)}, got {compat!r}")
         self.df = df
         self.cfg = config
+        self.compat = compat
         self.embedder = embedder or HashingEmbedder()
         # "index build": corpus-global text statistics over the FULL table,
         # computed once and reused by every query (reference indexes.py is
@@ -108,8 +165,17 @@ class SearchEngine:
             )
         return [r.v for r in rows]
 
-    def search(self, payload: dict[str, Any] | None) -> dict[str, Any]:
-        """POST /api/search."""
+    def search(self, payload: dict[str, Any] | None, *, compat: str | None = None) -> dict[str, Any]:
+        """POST /api/search.
+
+        ``compat``: response wire format — "native" keeps the engine's
+        ``score`` + ``score_details`` columns as-is; "atlas" re-shapes hybrid
+        results into the reference's exact ``scoreDetails`` document (no bare
+        ``score`` field, matching reference backend/api.py:242-250's
+        projection). Defaults to the engine-level setting."""
+        compat = compat if compat is not None else self.compat
+        if compat not in COMPAT_MODES:
+            raise ApiError(400, f"compat no válido: {compat!r}")
         payload = payload or {}
         mode = (payload.get("mode") or "vector").lower()
         if mode not in MODES:
@@ -156,7 +222,7 @@ class SearchEngine:
                 out = self._hybrid(description, title_value, limit, pre_filter)
             else:
                 out = self._fulltext(title_value, limit, residual=pre_filter)
-            results = [self._sanitize(r.asDict(True)) for r in out.collect()]
+            results = [self._sanitize(r.asDict(True), compat=compat) for r in out.collect()]
         return {"mode": mode, "results": results}
 
     # ------------------------------------------------------------ internals
@@ -271,14 +337,21 @@ class SearchEngine:
         out = self._vector(query, clamp_limit(k), pre)
         return [self._sanitize(r.asDict(True)) for r in out.collect()]
 
-    def _sanitize(self, doc: dict[str, Any]) -> dict[str, Any]:
+    def _sanitize(self, doc: dict[str, Any], *, compat: str = "native") -> dict[str, Any]:
         """Reference sanitize_result (backend/api.py:53-81): stringify ids,
-        floatify scores, JSON-encode score details."""
+        floatify scores, JSON-encode score details. compat="atlas" swaps the
+        engine's (score, score_details) pair for the reference's single
+        ``scoreDetails`` document."""
         out = dict(doc)
         if self.cfg.id_col in out and out[self.cfg.id_col] is not None:
             out[self.cfg.id_col] = str(out[self.cfg.id_col])
         if out.get("score") is not None:
             out["score"] = float(out["score"])
         if "score_details" in out and out["score_details"] is not None:
-            out["score_details"] = json.loads(json.dumps(out["score_details"], default=str))
+            if compat == "atlas":
+                out["scoreDetails"] = _atlas_score_details(
+                    out.pop("score", None), out.pop("score_details")
+                )
+            else:
+                out["score_details"] = json.loads(json.dumps(out["score_details"], default=str))
         return out

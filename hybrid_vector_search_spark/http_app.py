@@ -46,7 +46,10 @@ def create_app(engine: SearchEngine):
     def search_products():
         payload = request.get_json(silent=True)
         try:
-            return jsonify(engine.search(payload))
+            # ?compat=atlas re-shapes hybrid results into the reference's
+            # exact scoreDetails wire document (api._atlas_score_details);
+            # unset → the engine-level default
+            return jsonify(engine.search(payload, compat=request.args.get("compat")))
         except ApiError as err:
             # the validation contract: status + Spanish message pass through
             return jsonify({"message": err.message}), err.status

@@ -105,6 +105,87 @@ def test_fulltext_and_hybrid_shapes(engine):
     assert set(det) == {"vector", "text"} and "normalized" in det["vector"]
 
 
+def test_hybrid_atlas_compat_wire_shape(engine):
+    """compat="atlas" emits the reference's exact scoreDetails document
+    (reference backend/api.py:233 projection, consumed main.js:104-151): a
+    single ``scoreDetails`` key (no bare score/score_details), combined
+    ``value``, and per-pipeline entries named searchOne/searchTwo carrying
+    inputPipelineRawScore + sigmoid-normalized ``value``."""
+    import math
+
+    payload = {"mode": "hybrid", "description": "spark fast table", "title": "spark fast", "limit": 5}
+    native = engine.search(payload)
+    atlas = engine.search(payload, compat="atlas")
+    assert atlas["mode"] == "hybrid" and atlas["results"]
+    for nat, doc in zip(native["results"], atlas["results"]):
+        assert "score" not in doc and "score_details" not in doc
+        sd = doc["scoreDetails"]
+        # top-level: the documented Atlas field set, byte-shape
+        assert set(sd) == {"value", "description", "normalization", "combination", "details"}
+        assert sd["value"] == pytest.approx(nat["score"])
+        assert sd["normalization"] == "sigmoid"
+        assert sd["combination"]["method"] == "custom expression"
+        # the combination expression names the pipelines the reference uses
+        assert '"$$searchOne"' in sd["combination"]["expression"].replace("'", '"') or \
+            "$$searchOne" in sd["combination"]["expression"]
+        assert "$$searchTwo" in sd["combination"]["expression"]
+        by_name = {}
+        for det in sd["details"]:
+            assert set(det) == {
+                "inputPipelineName", "inputPipelineRawScore", "weight", "value", "details",
+            }
+            assert det["details"] == [] and det["weight"] == 1.0
+            # value is the sigmoid of the raw score — what $$name binds to
+            assert det["value"] == pytest.approx(
+                1.0 / (1.0 + math.exp(-det["inputPipelineRawScore"]))
+            )
+            by_name[det["inputPipelineName"]] = det
+        assert set(by_name) <= {"searchOne", "searchTwo"}
+        # per-branch raw scores match the native shape (absent branch → no entry)
+        nat_det = nat["score_details"]
+        for branch, name in (("vector", "searchOne"), ("text", "searchTwo")):
+            if nat_det[branch]["raw"] is None:
+                assert name not in by_name
+            else:
+                assert by_name[name]["inputPipelineRawScore"] == pytest.approx(
+                    nat_det[branch]["raw"]
+                )
+        # the reference frontend's exact consumer logic resolves all 3 scores
+        details = sd["details"] if isinstance(sd["details"], list) else []
+        find = lambda n: next(
+            (d for d in details
+             if isinstance(d.get("inputPipelineName"), str)
+             and d["inputPipelineName"].lower() == n.lower()),
+            None,
+        )
+        assert isinstance(sd["value"], float)  # "Score combinado"
+        vd, td = find("searchOne"), find("searchTwo")
+        assert vd is None or isinstance(vd.get("value"), float)
+        assert td is None or isinstance(td.get("value"), float)
+    # round-trips through JSON untouched (wire-safe document)
+    import json as _json
+
+    assert _json.loads(_json.dumps(atlas)) == atlas
+
+
+def test_engine_level_compat_and_validation(engine, spark):
+    from hybrid_vector_search_spark.api import ApiError, SearchConfig, SearchEngine
+
+    with pytest.raises(ApiError):
+        engine.search({"mode": "vector", "description": "x"}, compat="nope")
+    with pytest.raises(ValueError):
+        SearchEngine(engine.df, engine.cfg, compat="nope")
+    eng2 = SearchEngine(engine.df, engine.cfg, compat="atlas")
+    hy = eng2.search(
+        {"mode": "hybrid", "description": "spark fast", "title": "spark", "limit": 3}
+    )
+    assert hy["results"] and "scoreDetails" in hy["results"][0]
+    # vector mode is shape-identical across compat modes (reference projects
+    # a bare score there, backend/api.py:192-199)
+    v = eng2.search({"mode": "vector", "description": "spark fast", "limit": 3})
+    assert v["results"] and "score" in v["results"][0] and "scoreDetails" not in v["results"][0]
+
+
 def test_fusion_missing_branch_contributes_zero(spark):
     """A doc found by only one branch still surfaces (full-outer alignment)
     and the missing branch contributes 0 — coalesce(σ(s), 0), NOT σ(0)=0.5
@@ -196,6 +277,22 @@ def test_http_search_maps_apierror_to_status_and_message(client):
     )
     assert resp.status_code == 400
     assert resp.get_json() == {"message": "El formato del precio máximo no es válido."}
+
+
+def test_http_search_atlas_compat_param(client):
+    """?compat=atlas re-shapes the hybrid response into the reference's
+    scoreDetails wire document; an unknown value is a 400 like the other
+    validation failures."""
+    payload = {"mode": "hybrid", "description": "fast spark table", "title": "spark", "limit": 3}
+    resp = client.post("/api/search?compat=atlas", json=payload)
+    assert resp.status_code == 200
+    body = resp.get_json()
+    assert body["results"] and "scoreDetails" in body["results"][0]
+    assert "score" not in body["results"][0]
+    det = body["results"][0]["scoreDetails"]
+    assert {"value", "details"} <= set(det)
+
+    assert client.post("/api/search?compat=bogus", json=payload).status_code == 400
 
 
 def test_http_search_empty_body_defaults_to_vector_400(client):

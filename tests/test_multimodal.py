@@ -1,8 +1,21 @@
-"""Multimodal plumbing: schema, Arrow batching, determinism, codec gating."""
+"""Multimodal plumbing: schema, Arrow batching, determinism, codec gating.
+
+The codec lane is environment-honest: with no Pillow in the container the
+gate tests assert the NotImplementedError contract; if Pillow ever lands,
+those auto-skip and the real-codec tests (PNG round-trip through the SAME
+decode_media dispatch and resize_images plumbing) take over — `pytest -k
+codec` is green either way, and the upgrade is zero-diff (multimodal.py:85).
+"""
 
 from __future__ import annotations
 
+import importlib.util
+
 import pytest
+
+_HAS_PIL = importlib.util.find_spec("PIL") is not None
+needs_codec = pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed")
+codecless = pytest.mark.skipif(_HAS_PIL, reason="Pillow installed — gate inactive")
 
 
 def test_feature_extraction_plumbing(spark):
@@ -35,11 +48,61 @@ def test_features_usable_by_knn(spark):
     assert top[0].media_id == 3 and top[0].score == 1.0
 
 
+@codecless
 def test_real_codec_slot_still_gated():
     from hybrid_vector_search_spark.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG fake")
+
+
+@needs_codec
+def test_real_codec_png_roundtrip():
+    """With Pillow present, decode_image round-trips a real PNG bit-exactly
+    and decode_media reaches it through the same format dispatch."""
+    import io
+
+    import numpy as np
+
+    from hybrid_vector_search_spark.multimodal import decode_image, decode_media
+
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(src).save(buf, format="PNG")
+    png = buf.getvalue()
+    assert (decode_image(png) == src).all()
+    via_dispatch = decode_media(png, {"format": "png", "width": 9, "height": 6})
+    assert (via_dispatch == src).all()
+
+
+@needs_codec
+def test_real_codec_resize_images(spark):
+    """resize_images over real PNG content: identical plumbing, real decode."""
+    import io
+
+    import numpy as np
+
+    from hybrid_vector_search_spark.multimodal import MEDIA_SCHEMA, resize_array, resize_images
+
+    from PIL import Image
+
+    rows = []
+    imgs = {}
+    for i in range(4):
+        arr = np.random.default_rng(i).integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        rows.append((i, "image", buf.getvalue(), (10, 12, None, None, "png")))
+        imgs[i] = arr
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_images(media, width=5, height=6).collect()}
+    for i, arr in imgs.items():
+        want = resize_array(arr, width=5, height=6)
+        assert bytes(out[i].content) == want.tobytes()
+        assert out[i].meta.format == "raw-rgb"
 
 
 def test_resize_array_matches_reference():
@@ -124,8 +187,9 @@ def test_decode_media_dispatches_on_declared_format():
     assert (fake == fake_decode(blob, 8, 4)).all()
     assert (decode_media(blob, {"width": 8, "height": 4}) == fake).all()
 
-    with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG...", {"format": "png", "width": 8, "height": 4})
+    if not _HAS_PIL:  # real codec name reaches the gated decode_image
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x89PNG...", {"format": "png", "width": 8, "height": 4})
 
 
 def test_resize_output_consumable_as_raw_rgb(spark):
