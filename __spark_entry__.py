@@ -807,9 +807,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verifies a prefix window (~50), so the round-5 layout retires the oldest
     evidence first: (1) the 3 queries whose last driver hash-match is r2 —
     two testdata regenerations ago — plus heavy_hitters_cm, whose r4-added
-    cell-replay oracle has never actually been driver-run; (2) the 4 queries
+    cell-replay oracle has never actually been driver-run; (2) the 7 queries
     NEW in r5 (PQ ANN, degenerate-exact IVF near-dup, streaming count-min,
-    multimodal resize); (3) 42 of the 49 queries last verified in r3 —
+    multimodal resize, sequence packing, positional phrase search,
+    per-source cap); (3) 42 of the 49 queries last verified in r3 —
     ordered non-relational/complex first; the 7 simplest relational ones sit
     just past the ~50 cut and lead r6's rotation; (4) the 46 queries
     verified green in r4 (CORRECTNESS_r04), freshest, so last. After r5's
@@ -821,11 +822,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_values": q_distinct_values,
         "knn_cosine_prefilter": q_knn_cosine_prefilter,
         "heavy_hitters_cm": q_heavy_hitters_cm,
-        # --- (2) NEW in r5: promoted library operators
+        # --- (2) NEW in r5: promoted library operators + new pipeline ops
         "ann_pq_topk": q_ann_pq_topk,
         "dedup_embedding_ivf": pipeline.dedup_embedding_ivf,
         "stream_heavy_hitters": q_stream_heavy_hitters,
         "multimodal_resize_stats": pipeline.multimodal_resize_stats,
+        "seq_pack": pipeline.seq_pack,
+        "phrase_match": pipeline.phrase_match,
+        "source_cap": pipeline.source_cap,
         # --- (3) last verified r3: operator-heavy first
         "heavy_hitters": q_heavy_hitters,
         "embed_roundtrip": q_embed_roundtrip,

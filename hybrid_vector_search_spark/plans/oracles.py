@@ -626,7 +626,84 @@ SELECT doc_id, {_RO} AS out_w, {_RO} AS out_h,
 FROM gathered ORDER BY doc_id
 """
 
+# plans.pipeline.seq_pack: grouped next-fit sequence packing. The md5 group
+# bucket mirrors sampling.hash_bucket(salt="pack") with 8 groups; the
+# next-fit fold (an inherently sequential recurrence) is replayed as a
+# recursive CTE stepping rn → rn+1 per group. Capacity 128 must match
+# pipeline.PACK_CAPACITY.
+SEQ_PACK = f"""
+WITH RECURSIVE {TOKL},
+items AS (
+  SELECT doc_id, nt, grp,
+         row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+  FROM (SELECT doc_id, len(ts)::BIGINT AS nt,
+               (('0x' || substr(md5('pack#' || doc_id::VARCHAR), 1, 8))::BIGINT
+                % 8)::INT AS grp
+        FROM tokl)
+),
+rec AS (
+  SELECT grp, rn, doc_id, nt,
+         0::BIGINT AS bin_idx, 0::BIGINT AS bin_offset, nt AS fill
+  FROM items WHERE rn = 1
+  UNION ALL
+  SELECT i.grp, i.rn, i.doc_id, i.nt,
+         CASE WHEN r.fill + i.nt <= 128 THEN r.bin_idx ELSE r.bin_idx + 1 END,
+         CASE WHEN r.fill + i.nt <= 128 THEN r.fill ELSE 0::BIGINT END,
+         CASE WHEN r.fill + i.nt <= 128 THEN r.fill + i.nt ELSE i.nt END
+  FROM rec r JOIN items i ON i.grp = r.grp AND i.rn = r.rn + 1
+)
+SELECT doc_id, nt AS n_tokens, grp AS pack_group, bin_idx, bin_offset
+FROM rec ORDER BY doc_id
+"""
+
+
+def _phrase_sql(terms: list[str]) -> str:
+    """operators.phrase.phrase_search replayed as posting-list CTEs: the
+    positional index from the shared tokenizer, one shifted posting list per
+    phrase term, intersection on (doc_id, start). Terms must match
+    pipeline.PHRASE_PROBE through the same tokenizer."""
+    posting = ", ".join(
+        f"m{i} AS (SELECT doc_id, pos - {i} AS start FROM pt WHERE term = '{t}')"
+        for i, t in enumerate(terms)
+    )
+    joins = " ".join(
+        f"JOIN m{i} ON m{i}.doc_id = m0.doc_id AND m{i}.start = m0.start"
+        for i in range(1, len(terms))
+    )
+    return f"""
+WITH {TOKL},
+px AS (
+  SELECT doc_id,
+         unnest([{{'p': i - 1, 't': ts[i]}} FOR i IN range(1, len(ts) + 1)]) AS e
+  FROM tokl
+),
+pt AS (SELECT doc_id, e.p AS pos, e.t AS term FROM px),
+{posting},
+hits AS (SELECT m0.doc_id AS doc_id, m0.start AS start FROM m0 {joins})
+SELECT doc_id, count(*) AS n_occurrences, min(start)::INT AS first_pos
+FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+PHRASE_MATCH = _phrase_sql(["fast", "table"])
+
+# plans.pipeline.source_cap: per-source cap via the same md5 hash order as
+# operators.packing.cap_per_group (salt="cap", 10000 buckets, tie by id)
+SOURCE_CAP = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_bucket('cap')} ASC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rk <= 20 ORDER BY doc_id
+"""
+
 PIPELINE_ORACLES: dict[str, str] = {
+    "seq_pack": SEQ_PACK,
+    "phrase_match": PHRASE_MATCH,
+    "source_cap": SOURCE_CAP,
     "bigram_logprob_score": BIGRAM_LOGPROB,
     # nprobe == n_clusters degenerates the IVF near-dup to the exact
     # all-pairs kernel, so it shares dedup_embedding_cosine's oracle

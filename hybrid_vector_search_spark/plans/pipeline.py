@@ -481,3 +481,50 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("content").cast("long").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     ).orderBy("doc_id")
+
+
+PACK_CAPACITY, PACK_GROUPS = 128, 8
+PHRASE_PROBE = "fast table"
+SOURCE_CAP = 20
+
+
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators.packing.pack_sequences):
+    documents hash-bucketed into PACK_GROUPS independent packers, next-fit
+    into PACK_CAPACITY-token context windows. Output = the full per-doc
+    (pack_group, bin_idx, bin_offset) layout; the DuckDB oracle replays the
+    fold as a recursive CTE, bit-for-bit."""
+    from ..functions.text import token_count
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return pack_sequences(
+        lens, "doc_id", "n_tokens", capacity=PACK_CAPACITY, n_groups=PACK_GROUPS
+    ).orderBy("doc_id")
+
+
+def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via the positional inverted index
+    (operators.phrase.phrase_search) — overlap-counting positional join,
+    not a string scan."""
+    from ..operators.phrase import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(
+        docs, PHRASE_PROBE, id_col="doc_id", text_col="text"
+    ).orderBy("doc_id")
+
+
+def source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators.packing.cap_per_group) — the
+    per-domain ceiling a crawl pipeline applies; deterministic hash-order
+    selection, never scan order."""
+    from ..operators.packing import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cap_per_group(docs, "source", "doc_id", SOURCE_CAP)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

@@ -263,3 +263,44 @@ def test_interval_join_scan_keeps_pushdown(spark):
     # the range predicate stays an equi-join residual (broadcast hash), not
     # a nested-loop over per-key cross products
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pack_sequences_shuffles_only_id_len(spark):
+    """Sequence packing shuffles (id, len, group) triples — the text column
+    is pruned before the group exchange, so at 100 TB the shuffle carries a
+    few bytes per document, never the corpus."""
+    from hybrid_vector_search_spark.functions.text import token_count
+    from hybrid_vector_search_spark.operators.packing import pack_sequences
+    from hybrid_vector_search_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    lens = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    plan = _plan(pack_sequences(lens, "doc_id", "n_tokens", capacity=128, n_groups=8))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # column pruning: only doc_id/text are read, and text never reaches the exchange
+    scan = plan[plan.index("Scan parquet"):]
+    assert "ReadSchema" in scan and "n_chars" not in scan.split("ReadSchema")[1].split("\n")[0]
+    exchange_line = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l][0]
+    assert "text" not in exchange_line
+
+
+def test_cap_per_group_single_shuffle(spark):
+    from hybrid_vector_search_spark.operators.packing import cap_per_group
+    from hybrid_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = _plan(cap_per_group(docs, "source", "doc_id", 5))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_phrase_posting_joins_stay_on_id_start(spark):
+    """Positional phrase search: every term filter sits under its branch's
+    scan side (pushable to a term-partitioned index), and the intersections
+    join on (id, start) — no cartesian, no corpus-wide shuffle of text."""
+    from hybrid_vector_search_spark.operators.phrase import phrase_search
+    from hybrid_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = _plan(phrase_search(docs, "fast table", id_col="doc_id", text_col="text"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
