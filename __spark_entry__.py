@@ -494,6 +494,163 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (streaming/events.py
+    applyInPandasWithState, event-time timeout) as a driver query: the
+    user_id % 10 = 0 event subset is staged as ONE parquet file, drained
+    availableNow (single micro-batch + a watermark pass that fires the
+    event-time timers), and the sessions CLOSED by a mid-stream gap
+    (open=false) are returned. Final sessions are watermark-evicted with
+    open=true and filtered here, so the oracle is the batch sessionization
+    minus each user's last session — independent of the engine's
+    ms-granular timeout boundary, while the stream/batch gap definition
+    stays pinned identical at microsecond precision (events.py:102-106).
+    sum_value is the state fold's float sum, rounded 6dp on both sides."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from hybrid_vector_search_spark.streaming.events import stream_sessionize
+
+    src = _STREAM_SRC_CACHE.get(("sess", sf_dir))
+    if src is None:
+        safe = sf_dir.strip("/").replace("/", "_")
+        src = f"{_session_tmpdir()}/stream_sess_src/{safe}"
+        ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+        # ONE file -> availableNow drains it as ONE batch; the state kernel
+        # sorts each user's events by ts inside the batch, so no cross-batch
+        # ordering contract is needed for this query
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[("sess", sf_dir)] = src
+    name = f"q_stream_sess_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_sess_", dir=_session_tmpdir())
+    q = (
+        stream_sessionize(spark, src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{ckpt}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    out = (
+        spark.table(name)
+        .where("not open")
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_start")
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+def q_stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/events.py): views and clicks
+    as two watermarked streams of one staged source, symmetric-hash-joined
+    on user with a 240-minute time-bound term (what lets the state store
+    evict). Drained availableNow in ONE batch, the inner join emits exactly
+    the batch join — which is what the oracle runs. user_id % 2 = 1 subset
+    keeps the fan-out bench-sized while yielding a non-trivial match set
+    (~80 pairs at sf0.01)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from hybrid_vector_search_spark.streaming.events import stream_view_click_join
+
+    src = _STREAM_SRC_CACHE.get(("vc", sf_dir))
+    if src is None:
+        safe = sf_dir.strip("/").replace("/", "_")
+        src = f"{_session_tmpdir()}/stream_vc_src/{safe}"
+        ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 2 == 1)
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[("vc", sf_dir)] = src
+    name = f"q_stream_vc_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_vc_", dir=_session_tmpdir())
+    q = (
+        stream_view_click_join(spark, src, max_lag_minutes=240, watermark="4 hours")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{ckpt}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    out = (
+        spark.table(name)
+        .select("view_id", "click_id", "view_ts", "click_ts")
+        .orderBy("view_id", "click_id")
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once feed from an at-least-once source
+    (dropDuplicatesWithinWatermark on event_id): the staged source plants a
+    redelivery of every 7th event (exact copies, as a retrying producer
+    emits); the drained stream must collapse them — the oracle is DISTINCT
+    over the planted-duplicate union. user_id % 10 = 6 subset."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from hybrid_vector_search_spark.streaming.events import stream_dedup_events
+
+    src = _STREAM_SRC_CACHE.get(("dedup", sf_dir))
+    if src is None:
+        safe = sf_dir.strip("/").replace("/", "_")
+        src = f"{_session_tmpdir()}/stream_dedup_src/{safe}"
+        ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 10 == 6)
+        staged = ev.unionAll(ev.where(F.col("event_id") % 7 == 0))
+        staged.coalesce(1).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[("dedup", sf_dir)] = src
+    name = f"q_stream_dd_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_dd_", dir=_session_tmpdir())
+    q = (
+        stream_dedup_events(spark, src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{ckpt}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    out = (
+        spark.table(name)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch semantics of the streaming tumbling-window aggregate; the
     streaming variant (availableNow) is pinned equal in tests/test_streaming."""
@@ -807,15 +964,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verifies a prefix window (~50), so the round-5 layout retires the oldest
     evidence first: (1) the 3 queries whose last driver hash-match is r2 —
     two testdata regenerations ago — plus heavy_hitters_cm, whose r4-added
-    cell-replay oracle has never actually been driver-run; (2) the 7 queries
-    NEW in r5 (PQ ANN, degenerate-exact IVF near-dup, streaming count-min,
-    multimodal resize, sequence packing, positional phrase search,
-    per-source cap); (3) 42 of the 49 queries last verified in r3 —
-    ordered non-relational/complex first; the 7 simplest relational ones sit
-    just past the ~50 cut and lead r6's rotation; (4) the 46 queries
-    verified green in r4 (CORRECTNESS_r04), freshest, so last. After r5's
-    window runs, no query's latest driver row predates r3, and only those 7
-    r3-green rows predate r4."""
+    cell-replay oracle has never actually been driver-run; (2) the 16
+    queries NEW in r5 (PQ ANN, degenerate-exact IVF near-dup, streaming
+    count-min, multimodal resize, sequence packing, positional phrase
+    search, per-source cap, NB classifier, frame sampling, salted-agg
+    equivalence, Z-order keys, incremental cross-corpus dedup, streaming
+    sessionization, stream-stream interval join, streaming dedup,
+    conversion funnel) — never driver-checked, so ahead of re-attestation;
+    (3) 30 of the 49 queries last verified in r3 — ordered
+    non-relational/complex first; the 19 simplest relational ones sit just
+    past the ~50 cut and lead r6's rotation; (4) the 46 queries verified
+    green in r4 (CORRECTNESS_r04), freshest, so last. After r5's window
+    runs, no query's latest driver row predates r3, and only those 19
+    r3-green relational rows predate r4."""
     return {
         # --- (1) r2-stale re-attestation + first-ever heavy_hitters_cm oracle run
         "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
@@ -830,6 +991,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": pipeline.seq_pack,
         "phrase_match": pipeline.phrase_match,
         "source_cap": pipeline.source_cap,
+        "nb_language_classifier": pipeline.nb_language_classifier,
+        "frame_sample": pipeline.frame_sample,
+        "skew_salted_agg": pipeline.skew_salted_agg,
+        "zorder_bucket_counts": pipeline.zorder_bucket_counts,
+        "dedup_incremental": pipeline.dedup_incremental,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_view_click_join": q_stream_view_click_join,
+        "stream_dedup_events": q_stream_dedup_events,
+        "events_funnel": relational.events_funnel,
         # --- (3) last verified r3: operator-heavy first
         "heavy_hitters": q_heavy_hitters,
         "embed_roundtrip": q_embed_roundtrip,
@@ -1732,6 +1902,96 @@ GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """
 
+# relational.events_funnel: sequential-stage funnel — each stage's first
+# timestamp is a conditional min constrained by the previous stage's
+_EVENTS_FUNNEL_ORACLE = """
+WITH u1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+),
+u2 AS (
+  SELECT e.user_id,
+         min(e.ts) FILTER (WHERE e.event_type = 'click'
+                           AND e.ts >= u1.t_view
+                           AND e.ts <= u1.t_view + INTERVAL 1 HOUR) AS t_click
+  FROM events e JOIN u1 USING (user_id) GROUP BY e.user_id
+),
+u3 AS (
+  SELECT e.user_id,
+         min(e.ts) FILTER (WHERE e.event_type = 'purchase'
+                           AND e.ts >= u2.t_click
+                           AND e.ts <= u2.t_click + INTERVAL 1 HOUR) AS t_purchase
+  FROM events e JOIN u2 USING (user_id) GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'view' AS stage, count(t_view)::BIGINT AS n_users FROM u1
+  UNION ALL
+  SELECT 2, 'click', count(t_click)::BIGINT FROM u2
+  UNION ALL
+  SELECT 3, 'purchase', count(t_purchase)::BIGINT FROM u3
+) ORDER BY stage_idx
+"""
+
+# q_stream_view_click_join: one availableNow batch makes the watermarked
+# symmetric hash join emit exactly the batch interval join
+_STREAM_VIEW_CLICK_ORACLE = """
+WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+           FROM events WHERE event_type = 'view' AND user_id % 2 = 1),
+c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click' AND user_id % 2 = 1)
+SELECT view_id, click_id, view_ts, click_ts
+FROM v JOIN c ON v.user_id = c.user_id
+ AND c.click_ts >= v.view_ts
+ AND c.click_ts <= v.view_ts + INTERVAL 240 MINUTE
+ORDER BY view_id, click_id
+"""
+
+# q_stream_dedup_events: the staged source replays every 7th event (exact
+# copies); watermarked dedup must collapse them to the DISTINCT subset
+_STREAM_DEDUP_ORACLE = """
+WITH staged AS (
+  SELECT event_id, ts, user_id, event_type, value
+  FROM events WHERE user_id % 10 = 6
+  UNION ALL
+  SELECT event_id, ts, user_id, event_type, value
+  FROM events WHERE user_id % 10 = 6 AND event_id % 7 = 0
+)
+SELECT DISTINCT event_id, ts, user_id, event_type, value
+FROM staged ORDER BY event_id
+"""
+
+# q_stream_sessionize: the batch sessionization MINUS each user's final
+# session (which stays open in streaming state — availableNow never reaches
+# the processing-time timeout that would flush it). Same gap rule at µs
+# precision; sum_value rounded 6dp on both sides (stream folds a float).
+_STREAM_SESSIONIZE_ORACLE = """
+WITH g AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WHERE user_id % 10 = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+  FROM g
+),
+sess AS (
+  SELECT user_id, session_seq,
+         min(ts) AS session_start, max(ts) AS session_end,
+         count(*)::BIGINT AS n_events,
+         round(sum(value::DECIMAL(18,4))::DOUBLE, 6) AS sum_value
+  FROM s GROUP BY user_id, session_seq
+),
+mx AS (SELECT user_id, max(session_seq) AS mxs FROM sess GROUP BY user_id)
+SELECT sess.user_id, session_start, session_end, n_events, sum_value
+FROM sess JOIN mx ON sess.user_id = mx.user_id AND sess.session_seq < mx.mxs
+ORDER BY sess.user_id, session_start
+"""
+
 _SESSIONIZE_ORACLE = """
 WITH g AS (
   SELECT event_id, user_id, ts, value,
@@ -1769,6 +2029,12 @@ def oracle_sql() -> dict[str, str]:
         # one-pass global sketch regardless of batching (ann_pq_topk stays
         # rows-only: KMeans codebooks, like ann_ivf/ann_lsh)
         "stream_heavy_hitters": _CM_HEAVY_HITTERS_ORACLE,
+        # r5: stateful streaming sessionization vs the batch window
+        # recurrence minus each user's final (still-open) session
+        "stream_sessionize": _STREAM_SESSIONIZE_ORACLE,
+        "stream_view_click_join": _STREAM_VIEW_CLICK_ORACLE,
+        "stream_dedup_events": _STREAM_DEDUP_ORACLE,
+        "events_funnel": _EVENTS_FUNNEL_ORACLE,
         "embed_roundtrip": _EMBED_ROUNDTRIP_ORACLE,
         "sink_roundtrip": _SINK_ROUNDTRIP_ORACLE,
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,

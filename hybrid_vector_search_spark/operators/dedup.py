@@ -276,6 +276,60 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_between(
+    base_sh: DataFrame,
+    new_sh: DataFrame,
+    *,
+    min_jaccard: float,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Cross-corpus exact Jaccard — the INCREMENTAL dedup primitive: a new
+    crawl snapshot is checked against the existing corpus, so the candidate
+    space is base×new shared-shingle pairs ONLY — never new×new and never
+    the base corpus against itself. At 100 TB the base side dwarfs every
+    snapshot; re-pairing it per ingest would re-run the full corpus dedup,
+    while this join's fan-out is bounded by the snapshot's shingle overlap.
+
+    Same inverted-index shape as :func:`jaccard_pairs` (shuffles carry
+    16-byte shingle hashes + ids, never text); ``max_shingle_df`` closes the
+    stopword-shingle quadratic hole with the document frequency computed
+    over the UNION of both sides (a shingle hot on either side floods the
+    join). Inputs are ``shingle_table`` outputs. Output:
+    (id_base, id_new, jaccard).
+    """
+    if max_shingle_df is not None:
+        rare = (
+            base_sh.select("sh")
+            .unionAll(new_sh.select("sh"))
+            .groupBy("sh")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") <= max_shingle_df)
+            .select("sh")
+        )
+        base_sh = base_sh.join(rare, "sh")
+        new_sh = new_sh.join(rare, "sh")
+    sz_b = base_sh.groupBy("id").agg(F.count("*").alias("sz_base"))
+    sz_n = new_sh.groupBy("id").agg(F.count("*").alias("sz_new"))
+    a = base_sh.alias("a")
+    b = new_sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .groupBy(F.col("a.id").alias("id_base"), F.col("b.id").alias("id_new"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sz_b.withColumnRenamed("id", "id_base"), "id_base")
+        .join(sz_n.withColumnRenamed("id", "id_new"), "id_new")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_base") + F.col("sz_new") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_base", "id_new", "jaccard")
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str,

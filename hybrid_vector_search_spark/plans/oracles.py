@@ -700,7 +700,132 @@ WITH ranked AS (
 SELECT doc_id, source FROM ranked WHERE rk <= 20 ORDER BY doc_id
 """
 
+# plans.pipeline.dedup_incremental: cross-corpus exact shingle Jaccard —
+# base corpus vs a planted "new snapshot" (exact re-crawls of every 25th
+# doc, half-truncated re-crawls of every 40th); pairs are base×new only.
+DEDUP_INCREMENTAL = """
+WITH inc AS (
+  SELECT doc_id + 30000 AS doc_id, text
+  FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 40000 AS doc_id,
+         substring(text, 1, (n_chars // 2)::INT) AS text
+  FROM documents WHERE doc_id % 40 = 0
+),
+tb AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+        '[^a-z0-9]+'), t -> t <> '') AS ts FROM documents),
+tn AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+        '[^a-z0-9]+'), t -> t <> '') AS ts FROM inc),
+shb AS (SELECT DISTINCT doc_id AS id, md5(g) AS sh FROM (
+  SELECT doc_id, unnest([array_to_string(ts[i:i+2], ' ')
+                         FOR i IN range(1, len(ts) - 1)]) AS g
+  FROM tb WHERE len(ts) >= 3)),
+shn AS (SELECT DISTINCT doc_id AS id, md5(g) AS sh FROM (
+  SELECT doc_id, unnest([array_to_string(ts[i:i+2], ' ')
+                         FOR i IN range(1, len(ts) - 1)]) AS g
+  FROM tn WHERE len(ts) >= 3)),
+szb AS (SELECT id, count(*) AS sz FROM shb GROUP BY id),
+szn AS (SELECT id, count(*) AS sz FROM shn GROUP BY id),
+inter AS (SELECT shb.id AS id_base, shn.id AS id_new, count(*) AS i
+          FROM shb JOIN shn USING (sh) GROUP BY 1, 2),
+jac AS (SELECT id_base, id_new,
+               i::DOUBLE / (szb.sz + szn.sz - i)::DOUBLE AS jaccard
+        FROM inter
+        JOIN szb ON szb.id = inter.id_base
+        JOIN szn ON szn.id = inter.id_new)
+SELECT id_base AS base_id, id_new AS new_id, round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= 0.5
+"""
+
+# plans.pipeline.nb_language_classifier: closed-form naive-Bayes log-odds
+# (operators/classifier.py) — add-one smoothing, en-vs-rest, score rounded
+# 6dp, pred = score > 0. Same token relation as the unigram LM.
+NB_CLASSIFIER = """
+WITH tokl AS (
+  SELECT doc_id, lang = 'en' AS is_pos,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+toks AS (SELECT doc_id, is_pos, unnest(ts) AS tok FROM tokl),
+per_tok AS (
+  SELECT tok,
+         sum(CASE WHEN is_pos THEN 1 ELSE 0 END)::BIGINT AS c_pos,
+         sum(CASE WHEN is_pos THEN 0 ELSE 1 END)::BIGINT AS c_neg
+  FROM toks GROUP BY tok
+),
+tot AS (SELECT sum(c_pos)::BIGINT AS t_pos, sum(c_neg)::BIGINT AS t_neg,
+               count(*)::BIGINT AS v
+        FROM per_tok),
+w AS (SELECT tok,
+             ln((c_pos + 1)::DOUBLE / (t_pos + v)::DOUBLE)
+             - ln((c_neg + 1)::DOUBLE / (t_neg + v)::DOUBLE) AS weight
+      FROM per_tok, tot),
+nd AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+              sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS n_neg
+       FROM documents),
+pr AS (SELECT ln(n_pos::DOUBLE / n_neg::DOUBLE) AS prior FROM nd),
+per_doc AS (SELECT doc_id, sum(weight) AS w_sum
+            FROM toks JOIN w USING (tok) GROUP BY doc_id)
+SELECT d.doc_id AS doc_id,
+       round(pr.prior + coalesce(pd.w_sum, 0), 6) AS score,
+       round(pr.prior + coalesce(pd.w_sum, 0), 6) > 0 AS pred
+FROM documents d
+CROSS JOIN pr
+LEFT JOIN per_doc pd ON d.doc_id = pd.doc_id
+ORDER BY d.doc_id
+"""
+
+# plans.pipeline.frame_sample: the sampling schedule of
+# multimodal.sample_frames — frame at every t in range(0, duration, 600),
+# frame_idx = t // 600, 64 fake-frame bytes. The frame CONTENT is the
+# md5-chain fake, pinned in tests/test_multimodal.py instead.
+FRAME_SAMPLE = """
+WITH media AS (
+  SELECT doc_id, (500 + (n_chars % 2500))::INT AS dur FROM documents
+),
+f AS (SELECT doc_id, unnest(range(0, dur, 600)) AS t FROM media)
+SELECT doc_id, (t // 600)::INT AS frame_idx, t::INT AS t_ms,
+       64::INT AS n_frame_bytes
+FROM f ORDER BY doc_id, frame_idx
+"""
+
+# plans.pipeline.skew_salted_agg: the salted two-phase aggregation is
+# DEFINED to equal the plain groupBy (algebraic merges), so the oracle IS
+# the un-salted aggregate — the driver hash-checks the equivalence claim.
+SKEW_SALTED_AGG = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(value::DECIMAL(18,4))::DOUBLE AS sum_value,
+       max(value) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+# plans.pipeline.zorder_bucket_counts: Morton interleave of
+# (value bucketized to 8 bits over the fixed [0, 600) domain) with
+# hour-of-day, unrolled to 16 shift-mask terms. Bucketize matches
+# functions.zorder.bucketize's exact double arithmetic: (v / 600.0) * 255,
+# truncated (floor == trunc for non-negatives), clamped to [0, 255].
+_ZORDER_TERMS = " + ".join(
+    f"(((vb >> {i}) & 1) << {2 * i}) + (((h >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+ZORDER_BUCKETS = f"""
+WITH b AS (
+  SELECT least(255, greatest(0, floor((value - 0.0) / 600.0 * 255)::BIGINT)) AS vb,
+         hour(ts)::BIGINT AS h
+  FROM events
+),
+k AS (SELECT ({_ZORDER_TERMS}) AS zkey FROM b)
+SELECT (zkey >> 6)::BIGINT AS zbucket, count(*)::BIGINT AS n_events
+FROM k GROUP BY 1 ORDER BY 1
+"""
+
 PIPELINE_ORACLES: dict[str, str] = {
+    "dedup_incremental": DEDUP_INCREMENTAL,
+    "nb_language_classifier": NB_CLASSIFIER,
+    "frame_sample": FRAME_SAMPLE,
+    "skew_salted_agg": SKEW_SALTED_AGG,
+    "zorder_bucket_counts": ZORDER_BUCKETS,
     "seq_pack": SEQ_PACK,
     "phrase_match": PHRASE_MATCH,
     "source_cap": SOURCE_CAP,

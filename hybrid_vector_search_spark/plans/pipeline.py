@@ -528,3 +528,145 @@ def source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+# incremental-dedup fixture: a "new crawl snapshot" of exact re-crawls
+# (every 25th doc) and truncated-to-half re-crawls (every 40th doc)
+INCR_COPY_STEP, INCR_COPY_OFFSET = 25, 30_000
+INCR_HALF_STEP, INCR_HALF_OFFSET = 40, 40_000
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup (dedup.jaccard_pairs_between): a new crawl
+    snapshot — exact re-crawls and truncated half-docs planted from the real
+    corpus — checked against the existing corpus by exact shingle Jaccard,
+    base×new candidate pairs only. The ingest-time shape: the base corpus
+    never re-pairs against itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % INCR_COPY_STEP == 0).select(
+        (F.col("doc_id") + INCR_COPY_OFFSET).alias("doc_id"), "text"
+    )
+    halves = docs.where(F.col("doc_id") % INCR_HALF_STEP == 0).select(
+        (F.col("doc_id") + INCR_HALF_OFFSET).alias("doc_id"),
+        F.expr("substring(text, 1, cast(floor(n_chars / 2) as int))").alias("text"),
+    )
+    incoming = copies.unionAll(halves)
+    sh_base = dedup.shingle_table(base, "doc_id", "text", n=3)
+    sh_new = dedup.shingle_table(incoming, "doc_id", "text", n=3)
+    out = dedup.jaccard_pairs_between(sh_base, sh_new, min_jaccard=0.5)
+    return out.select(
+        F.col("id_base").alias("base_id"),
+        F.col("id_new").alias("new_id"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def nb_language_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear bag-of-words classifier (operators.classifier): train a
+    naive-Bayes log-odds model on the corpus's own lang labels
+    (en vs rest) and sweep the same corpus — the fastText-style
+    quality/language gate of a pretraining pipeline, as ONE lazy plan.
+    Closed-form training makes the whole fit+score path hash-checkable in
+    SQL (no SGD state); weights are vocab-sized and broadcast."""
+    from ..operators.classifier import nb_self_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nb_self_score(
+        docs, "doc_id", "text", "lang", positive="en"
+    ).orderBy("doc_id")
+
+
+FRAME_EVERY_MS = 600
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling pipeline (multimodal.sample_frames) over fake
+    videos built from real testdata bytes: each document's text is the
+    container payload and its declared duration is 500 + (n_chars % 2500) ms,
+    sampled every 600 ms. The DuckDB oracle replays the sampling schedule —
+    frame at every t in range(0, duration, 600), frame_idx = t // 600, 64
+    fake-frame bytes — so the fan-out shape and Arrow plumbing are
+    hash-checked; the frame BYTES are the deterministic md5-chain fake
+    (pixel contract pinned in tests/test_multimodal.py, not SQL-expressible)."""
+    from ..multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.lit(500) + F.col("n_chars") % 2500).cast("int").alias("duration_ms"),
+            F.lit("fake").alias("format"),
+        ).alias("meta"),
+    ).repartition(par)  # single-split local fixture; pre-split on a cluster
+    frames = sample_frames(media, every_ms=FRAME_EVERY_MS)
+    return frames.select(
+        F.col("media_id").alias("doc_id"),
+        "frame_idx",
+        "t_ms",
+        F.length("frame").alias("n_frame_bytes"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators.skew.salted_agg) over the
+    skewed event_type key: phase 1 groups by (key, salt) so a hot key's rows
+    spread over `factor` reducers, phase 2 merges the ≤ factor partials per
+    key. Algebraic merges make the result IDENTICAL to the plain groupBy —
+    which is exactly what the oracle runs (one un-salted GROUP BY), so the
+    driver hash-checks the equivalence, not just the shape. Decimal sums
+    keep the two-phase fold order-independent."""
+    from ..operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    dec = "decimal(18,4)"
+    out = salted_agg(
+        events,
+        ["event_type"],
+        {
+            "n_events": ("sum", F.count("*")),
+            "sum_value": ("sum", F.sum(F.col("value").cast(dec))),
+            "max_value": ("max", F.max("value")),
+        },
+        factor=8,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "max_value",
+    ).orderBy("event_type")
+
+
+ZORDER_BITS = 8
+ZORDER_VALUE_HI = 600.0  # fixed-domain contract: events.value ∈ [0, 600)
+
+
+def zorder_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (functions.zorder) as a driver query: Morton-
+    interleave hour-of-day with the bucketized event value (8 bits each,
+    fixed [0, 600) domain so no driver-side min/max job), then count rows
+    per 64-key range — the per-file histogram a Z-ORDER export would
+    produce. The oracle replays the bit interleave unrolled to 16 shift-mask
+    terms, so the key arithmetic itself is hash-checked. All codegen bit
+    ops; the only shuffle is the final 1024-row aggregate."""
+    from ..functions.zorder import bucketize, zorder_key
+
+    events = load_table(spark, sf_dir, "events")
+    zkey = zorder_key(
+        bucketize(F.col("value"), 0.0, ZORDER_VALUE_HI, bits=ZORDER_BITS),
+        F.hour("ts"),
+        bits=ZORDER_BITS,
+    )
+    return (
+        events.select(F.shiftright(zkey, 6).alias("zbucket"))
+        .groupBy("zbucket")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("zbucket")
+    )

@@ -1079,3 +1079,62 @@ def daily_revenue_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_dec").cast("double").alias("revenue"),
         F.sum("rev_dec").over(w).cast("double").alias("running_total"),
     ).orderBy("ship_day")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel view → click → purchase with a 1-hour step window:
+    for each user, the first view, the first click within an hour OF THAT
+    VIEW, and the first purchase within an hour of that click; output is
+    users-reaching-stage counts.
+
+    Plan shape: ONE exchange on user_id serves all three stages — the three
+    window passes share the same partitioning (Catalyst reuses the
+    exchange), each stage's timestamp is a conditional min over the user
+    partition referencing the previous stage's column. No per-stage
+    self-joins, no fact-table re-shuffles; the funnel depth extends by
+    adding window columns, not joins — the 100 TB-friendly funnel shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    hour = F.expr("INTERVAL 1 HOUR")
+    x = ev.select("user_id", "event_type", "ts").withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    x = x.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("t_view"))
+                & (F.col("ts") <= F.col("t_view") + hour),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    x = x.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t_click"))
+                & (F.col("ts") <= F.col("t_click") + hour),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = x.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
+    )
+    counts = per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 1, 'view', n_view, 2, 'click', n_click,"
+            " 3, 'purchase', n_purchase) AS (stage_idx, stage, n_users)"
+        )
+    ).orderBy("stage_idx")

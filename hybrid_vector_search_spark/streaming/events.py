@@ -22,9 +22,10 @@ in one shot).
 
 Scale notes: the streaming aggregate is keyed by (window, event_type) — state
 size ∝ active windows × types, bounded by the watermark which expires state
-older than the allowed lateness. Sessionization state is per user_id with a
-processing-timeout eviction; on a real cluster back it with RocksDB state
-store (spark.sql.streaming.stateStore.providerClass).
+older than the allowed lateness. Sessionization state is per user_id with an
+event-time timeout eviction (watermark-driven, deterministic); on a real
+cluster back it with RocksDB state store
+(spark.sql.streaming.stateStore.providerClass).
 """
 
 from __future__ import annotations
@@ -129,27 +130,33 @@ def _session_state_fn(
     State = (session_start_us, last_ts_us, n_events, sum_value) with epochs
     as integer microseconds (exact; float seconds would ns-jitter the Arrow
     timestamp conversion). A micro-batch's events are folded in event-time
-    order; sessions closed by the gap rule are emitted, the open session
-    stays in state and is emitted on timeout.
+    order; sessions closed by the gap rule are emitted with ``open=false``.
+    The open session stays in state with an EVENT-TIME timeout at
+    last_event + gap: when the watermark passes it, the session is flushed
+    with ``open=true`` (no later event can extend it — the watermark
+    guarantees nothing older arrives). Event-time, not processing-time,
+    keeps eviction deterministic (wall clock never decides output) and lets
+    an availableNow drain terminate — processing-time timeouts keep the
+    engine scheduling timeout-evaluation batches forever.
     """
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     (user_id,) = key
 
-    def _row(start: int, last: int, n: int, sv: float) -> dict:
+    def _row(start: int, last: int, n: int, sv: float, open_: bool) -> dict:
         return {
             "user_id": user_id,
             "session_start": pd.Timestamp(start, unit="us", tz="UTC"),
             "session_end": pd.Timestamp(last, unit="us", tz="UTC"),
             "n_events": n,
             "sum_value": sv,
-            "open": False,
+            "open": open_,
         }
 
     if state.hasTimedOut:
         if state.exists:
             start, last, n, sv = state.get
             state.remove()
-            yield pd.DataFrame([_row(start, last, n, sv)])
+            yield pd.DataFrame([_row(start, last, n, sv, True)])
         return
 
     rows = pd.concat(list(pdf_iter)).sort_values("ts")
@@ -162,7 +169,7 @@ def _session_state_fn(
     for _, r in rows.iterrows():
         t = int(pd.Timestamp(r["ts"]).value // 1_000)  # ns → µs
         if last is not None and t - last > gap_us:
-            closed.append(_row(start, last, n, sv))
+            closed.append(_row(start, last, n, sv, False))
             start, n, sv = t, 0, 0.0
         if start is None:
             start = t
@@ -170,7 +177,9 @@ def _session_state_fn(
         n += 1
         sv += float(r["value"])
     state.update((int(start), int(last), int(n), float(sv)))
-    state.setTimeoutDuration(SESSION_GAP_MIN * 60 * 1000)
+    # flush when the watermark passes last + gap (ms resolution — event-time
+    # timeouts are millisecond-granular; the gap rule ITSELF stays µs-exact)
+    state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_MIN * 60 * 1000)
     if closed:
         yield pd.DataFrame(closed)
 
@@ -181,9 +190,17 @@ SESSION_SCHEMA = (
 )
 
 
-def stream_sessionize(spark: SparkSession, source_dir: str) -> DataFrame:
-    """Stateful streaming sessionization (applyInPandasWithState)."""
-    stream = _event_stream(spark, source_dir)
+def stream_sessionize(
+    spark: SparkSession, source_dir: str, *, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState with an
+    event-time timeout). Sessions closed by a mid-stream gap emit with
+    ``open=false`` as data arrives; idle sessions are evicted by the
+    watermark (``open=true``) rather than by wall clock, so output is a
+    pure function of the input — replayable, testable, and an availableNow
+    drain terminates (processing-time timeouts would keep the query alive
+    evaluating timers forever)."""
+    stream = _event_stream(spark, source_dir).withWatermark("ts", watermark)
     return (
         stream.groupBy("user_id")
         .applyInPandasWithState(
@@ -191,7 +208,7 @@ def stream_sessionize(spark: SparkSession, source_dir: str) -> DataFrame:
             outputStructType=SESSION_SCHEMA,
             stateStructType="start bigint, last bigint, n bigint, sv double",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -304,3 +304,15 @@ def test_phrase_posting_joins_stay_on_id_start(spark):
     docs = load_table(spark, SF_SMALL, "documents")
     plan = _plan(phrase_search(docs, "fast table", id_col="doc_id", text_col="text"))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_events_funnel_single_fact_exchange(spark):
+    """Three sequential funnel stages = three window passes + the per-user
+    aggregate, all sharing ONE hashpartitioning(user_id) exchange (Catalyst
+    reuses the partitioning); the only other exchange is the 1-row global
+    count's SinglePartition. Funnel depth must add window columns, never
+    fact-table shuffles."""
+    from hybrid_vector_search_spark.plans import relational
+
+    plan = _plan(relational.events_funnel(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -93,9 +93,12 @@ def test_stream_hourly_rollup_matches_batch(spark, events_dir):
 
 
 def test_stream_sessionize_closed_sessions_match_batch(spark, events_dir):
-    """availableNow drains all events in one batch; sessions CLOSED by a
-    mid-stream gap must match the batch sessionization's non-final sessions
-    (the final session per user stays open in state)."""
+    """availableNow drains all events in one batch, then the watermark pass
+    fires event-time timeouts: rows with open=false must match the batch
+    sessionization's non-final sessions exactly; rows with open=true are
+    watermark-evicted final sessions, each matching a batch final session.
+    The EventTimeTimeout design is what makes the drain terminate at all —
+    processing-time timers keep an availableNow query alive forever."""
     import uuid as _uuid
 
     from pyspark.sql import Window
@@ -111,9 +114,10 @@ def test_stream_sessionize_closed_sessions_match_batch(spark, events_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "availableNow sessionize drain must terminate"
     got = (
         spark.table(name)
+        .where("not open")
         .select("user_id", "session_start", "n_events")
         .orderBy("user_id", "session_start")
         .collect()
@@ -130,6 +134,23 @@ def test_stream_sessionize_closed_sessions_match_batch(spark, events_dir):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in closed]
     assert len(got) > 0
+
+    # watermark-evicted rows: each is a FINAL batch session, exact match
+    flushed = {
+        tuple(r)
+        for r in spark.table(name)
+        .where("open")
+        .select("user_id", "session_start", "n_events")
+        .collect()
+    }
+    finals = {
+        tuple(r)
+        for r in batch.withColumn("max_seq", F.max("session_seq").over(w))
+        .where(F.col("session_seq") == F.col("max_seq"))
+        .select("user_id", "session_start", "n_events")
+        .collect()
+    }
+    assert flushed <= finals
 
 
 def _drain_append(stream_df, query_name: str):
