@@ -12,6 +12,7 @@ composes it into the driver's (spark, sf_dir) -> DataFrame shape.
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -403,6 +404,27 @@ _PQ_CACHE: dict[str, object] = {}
 _STREAM_SRC_CACHE: dict[str, str] = {}
 
 
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = 8):
+    """Size streaming STATE partitions to the drain, not the batch default.
+
+    A streaming query fixes its state-store partition count from
+    spark.sql.shuffle.partitions at its FIRST batch; these driver drains are
+    single-batch folds over a bench-sized subset, where 32 state partitions
+    are pure per-partition overhead (each stateful operator opens a store,
+    writes a delta file, and runs maintenance per partition — measured ~2.8×
+    slower on the stream-stream join). On a real cluster the same knob is
+    sized to executor count BEFORE the stream first starts; it cannot change
+    across restarts of the same checkpoint, which is why it's scoped here at
+    query-build time and restored after."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain ANN (operators/pq.py): vectors stored as M=8 uint8
     codes (32× smaller scan at dim 64), query served by broadcast ADC
@@ -476,17 +498,18 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.repartition(4).write.mode("overwrite").parquet(src)
         _STREAM_SRC_CACHE[sf_dir] = src
     workdir = tempfile.mkdtemp(prefix="stream_hh_", dir=_session_tmpdir())
-    q = stream_heavy_hitters(
-        spark, src, "user_id",
-        state_dir=f"{workdir}/state", checkpoint_path=f"{workdir}/ckpt",
-        k=20, max_files_per_trigger=2,
-        candidates_per_partition=100_000, max_candidates=1_000_000,
-    )
-    try:
-        q.awaitTermination(300)
-    finally:
-        if q.isActive:
-            q.stop()
+    with _stream_shuffle(spark):
+        q = stream_heavy_hitters(
+            spark, src, "user_id",
+            state_dir=f"{workdir}/state", checkpoint_path=f"{workdir}/ckpt",
+            k=20, max_files_per_trigger=2,
+            candidates_per_partition=100_000, max_candidates=1_000_000,
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
     # heavy_hitters_from_state localCheckpoints (eager) the 20-row result, so
     # the staging dirs can be dropped before returning
     out = heavy_hitters_from_state(spark, f"{workdir}/state", 20)
@@ -516,7 +539,11 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     if src is None:
         safe = sf_dir.strip("/").replace("/", "_")
         src = f"{_session_tmpdir()}/stream_sess_src/{safe}"
-        ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("user_id") % 10 == 0)
+            .select("user_id", "ts", "value")  # all the state fold reads
+        )
         # ONE file -> availableNow drains it as ONE batch; the state kernel
         # sorts each user's events by ts inside the batch, so no cross-batch
         # ordering contract is needed for this query
@@ -524,20 +551,21 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _STREAM_SRC_CACHE[("sess", sf_dir)] = src
     name = f"q_stream_sess_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="stream_sess_", dir=_session_tmpdir())
-    q = (
-        stream_sessionize(spark, src)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{ckpt}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(300)
-    finally:
-        if q.isActive:
-            q.stop()
+    with _stream_shuffle(spark):
+        q = (
+            stream_sessionize(spark, src)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{ckpt}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
     out = (
         spark.table(name)
         .where("not open")
@@ -574,25 +602,30 @@ def q_stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if src is None:
         safe = sf_dir.strip("/").replace("/", "_")
         src = f"{_session_tmpdir()}/stream_vc_src/{safe}"
-        ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 2 == 1)
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("user_id") % 2 == 1)
+            .select("user_id", "event_id", "ts", "event_type")
+        )
         ev.coalesce(1).write.mode("overwrite").parquet(src)
         _STREAM_SRC_CACHE[("vc", sf_dir)] = src
     name = f"q_stream_vc_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="stream_vc_", dir=_session_tmpdir())
-    q = (
-        stream_view_click_join(spark, src, max_lag_minutes=240, watermark="4 hours")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{ckpt}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(300)
-    finally:
-        if q.isActive:
-            q.stop()
+    with _stream_shuffle(spark):
+        q = (
+            stream_view_click_join(spark, src, max_lag_minutes=240, watermark="4 hours")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{ckpt}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
     out = (
         spark.table(name)
         .select("view_id", "click_id", "view_ts", "click_ts")
@@ -626,20 +659,21 @@ def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         _STREAM_SRC_CACHE[("dedup", sf_dir)] = src
     name = f"q_stream_dd_{_uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="stream_dd_", dir=_session_tmpdir())
-    q = (
-        stream_dedup_events(spark, src)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{ckpt}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(300)
-    finally:
-        if q.isActive:
-            q.stop()
+    with _stream_shuffle(spark):
+        q = (
+            stream_dedup_events(spark, src)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{ckpt}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
     out = (
         spark.table(name)
         .select("event_id", "ts", "user_id", "event_type", "value")
