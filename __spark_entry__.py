@@ -998,19 +998,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verifies a prefix window (~50), so the round-5 layout retires the oldest
     evidence first: (1) the 3 queries whose last driver hash-match is r2 —
     two testdata regenerations ago — plus heavy_hitters_cm, whose r4-added
-    cell-replay oracle has never actually been driver-run; (2) the 16
+    cell-replay oracle has never actually been driver-run; (2) the 18
     queries NEW in r5 (PQ ANN, degenerate-exact IVF near-dup, streaming
     count-min, multimodal resize, sequence packing, positional phrase
     search, per-source cap, NB classifier, frame sampling, salted-agg
-    equivalence, Z-order keys, incremental cross-corpus dedup, streaming
-    sessionization, stream-stream interval join, streaming dedup,
-    conversion funnel) — never driver-checked, so ahead of re-attestation;
-    (3) 30 of the 49 queries last verified in r3 — ordered
-    non-relational/complex first; the 19 simplest relational ones sit just
-    past the ~50 cut and lead r6's rotation; (4) the 46 queries verified
-    green in r4 (CORRECTNESS_r04), freshest, so last. After r5's window
-    runs, no query's latest driver row predates r3, and only those 19
-    r3-green relational rows predate r4."""
+    equivalence, Z-order keys, incremental cross-corpus dedup, C4-style
+    span dedup, streaming sessionization, stream-stream interval join,
+    streaming dedup, conversion funnel, ROLLUP grouping sets) — never
+    driver-checked, so ahead of re-attestation; (3) 28 of the 49 queries
+    last verified in r3 — ordered non-relational/complex first; the 21
+    simplest relational ones sit just past the ~50 cut and lead r6's
+    rotation; (4) the 46 queries verified green in r4 (CORRECTNESS_r04),
+    freshest, so last. After r5's window runs, no query's latest driver row
+    predates r3, and only those 21 r3-green relational rows predate r4."""
     return {
         # --- (1) r2-stale re-attestation + first-ever heavy_hitters_cm oracle run
         "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
@@ -1030,10 +1030,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": pipeline.skew_salted_agg,
         "zorder_bucket_counts": pipeline.zorder_bucket_counts,
         "dedup_incremental": pipeline.dedup_incremental,
+        "span_dedup": pipeline.span_dedup,
         "stream_sessionize": q_stream_sessionize,
         "stream_view_click_join": q_stream_view_click_join,
         "stream_dedup_events": q_stream_dedup_events,
         "events_funnel": relational.events_funnel,
+        "revenue_rollup": relational.revenue_rollup,
         # --- (3) last verified r3: operator-heavy first
         "heavy_hitters": q_heavy_hitters,
         "embed_roundtrip": q_embed_roundtrip,
@@ -1936,6 +1938,21 @@ GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """
 
+# relational.revenue_rollup: ROLLUP grouping sets — both engines emit the
+# same GROUPING bitmask (leftmost column = most significant bit), so lvl
+# disambiguates subtotal rows from real groups on both sides
+_REVENUE_ROLLUP_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       GROUPING(l_returnflag, l_linestatus)::BIGINT AS lvl,
+       count(*)::BIGINT AS n_items,
+       sum(l_extendedprice::DECIMAL(18,4)
+           * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DOUBLE AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY lvl, 1, 2
+"""
+
 # relational.events_funnel: sequential-stage funnel — each stage's first
 # timestamp is a conditional min constrained by the previous stage's
 _EVENTS_FUNNEL_ORACLE = """
@@ -2069,6 +2086,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_view_click_join": _STREAM_VIEW_CLICK_ORACLE,
         "stream_dedup_events": _STREAM_DEDUP_ORACLE,
         "events_funnel": _EVENTS_FUNNEL_ORACLE,
+        "revenue_rollup": _REVENUE_ROLLUP_ORACLE,
         "embed_roundtrip": _EMBED_ROUNDTRIP_ORACLE,
         "sink_roundtrip": _SINK_ROUNDTRIP_ORACLE,
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,

@@ -723,6 +723,78 @@ def duplicate_spans(
     )
 
 
+def span_dedup(
+    df: DataFrame, id_col: str, text_col: str, *, span_tokens: int = 8
+) -> DataFrame:
+    """C4-style duplicate-SPAN removal (Raffel et al. 2020 drop repeated
+    three-sentence spans; Dolma's paragraph dedup is the same shape): cut
+    each document into disjoint ``span_tokens``-token spans, keep only the
+    globally FIRST occurrence of every span (ordered by (id, span_idx)),
+    and re-assemble what survives. Unlike :func:`duplicate_spans` (a
+    per-doc duplication profile) this is the TRANSFORM — boilerplate that
+    recurs across the corpus is deleted from all but one document.
+
+    Output per doc: (id_col, n_spans, n_kept, kept_md5) where kept_md5
+    fingerprints the kept spans joined in document order — enough for the
+    oracle to hash-check the exact post-removal text without shipping it.
+
+    Plan shape (scale notes): the span relation shuffles ONCE on the span's
+    md5 for the first-occurrence election — a groupBy computing min(id,
+    span_idx) per hash, which partial-aggregates map-side, so a corpus-hot
+    span (the skew risk) collapses to one candidate per input partition
+    BEFORE the exchange; the flagging join back on the hash is then
+    AQE-skew-splittable. (A row_number window would be one exchange fewer
+    but funnels every occurrence of a hot span through a single task's
+    sort.) Re-assembly is one groupBy(id) carrying only kept spans.
+    """
+    toks = tokens(F.col(text_col))
+    n_sp = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    idx = F.when(n_sp >= 1, F.sequence(F.lit(0), n_sp - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("span_idx"),
+            F.array_join(
+                F.slice(toks, i * span_tokens + 1, span_tokens), " "
+            ).alias("s"),
+        ),
+    )
+    sp = (
+        df.select(F.col(id_col).alias("id"), F.explode(spans).alias("sp"))
+        .select("id", F.col("sp.span_idx").alias("span_idx"), F.col("sp.s").alias("s"))
+        .withColumn("h", F.md5("s"))
+    )
+    firsts = sp.groupBy("h").agg(
+        F.min(F.struct("id", "span_idx")).alias("first")
+    )
+    flagged = sp.join(firsts, "h").withColumn(
+        "kept",
+        (F.col("id") == F.col("first.id"))
+        & (F.col("span_idx") == F.col("first.span_idx")),
+    )
+    per_doc = flagged.groupBy("id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(F.collect_list(F.struct("span_idx", "kept", "s"))),
+                        lambda x: x["kept"],
+                    ),
+                    lambda x: x["s"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col), "n_spans", "n_kept", "kept_md5"
+    )
+
+
 def canonicalize(
     docs: DataFrame,
     pairs: DataFrame,

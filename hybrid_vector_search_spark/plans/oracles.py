@@ -700,6 +700,39 @@ WITH ranked AS (
 SELECT doc_id, source FROM ranked WHERE rk <= 20 ORDER BY doc_id
 """
 
+# plans.pipeline.span_dedup: C4-style duplicate-span removal — disjoint
+# 8-token spans, first global (doc_id, span_idx) occurrence wins; kept_md5
+# fingerprints each doc's surviving spans joined in document order.
+# DuckDB zips two parallel list comprehensions through unnest (same-length
+# lists unnest pairwise); list slice ts[i:i+7] is 1-based inclusive = 8
+# tokens; string_agg skips the NULLed removed spans, coalesce covers docs
+# whose every span was removed (md5('') on both engines).
+SPAN_DEDUP = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         unnest([(i - 1) // 8 FOR i IN range(1, len(ts) + 1, 8)]) AS span_idx,
+         unnest([array_to_string(ts[i:i+7], ' ')
+                 FOR i IN range(1, len(ts) + 1, 8)]) AS s
+  FROM tok WHERE len(ts) >= 1
+),
+fl AS (
+  SELECT doc_id, span_idx, s,
+         row_number() OVER (PARTITION BY s ORDER BY doc_id, span_idx) = 1 AS kept
+  FROM sp
+)
+SELECT doc_id, count(*)::BIGINT AS n_spans,
+       sum(kept::INT)::BIGINT AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN kept THEN s END, ' '
+                               ORDER BY span_idx), '')) AS kept_md5
+FROM fl GROUP BY doc_id ORDER BY doc_id
+"""
+
 # plans.pipeline.dedup_incremental: cross-corpus exact shingle Jaccard —
 # base corpus vs a planted "new snapshot" (exact re-crawls of every 25th
 # doc, half-truncated re-crawls of every 40th); pairs are base×new only.
@@ -821,6 +854,7 @@ FROM k GROUP BY 1 ORDER BY 1
 """
 
 PIPELINE_ORACLES: dict[str, str] = {
+    "span_dedup": SPAN_DEDUP,
     "dedup_incremental": DEDUP_INCREMENTAL,
     "nb_language_classifier": NB_CLASSIFIER,
     "frame_sample": FRAME_SAMPLE,

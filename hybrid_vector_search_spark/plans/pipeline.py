@@ -530,6 +530,20 @@ def source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_TOKENS = 8
+
+
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-span removal (dedup.span_dedup) over the corpus:
+    disjoint 8-token spans, first global occurrence wins, per-doc output is
+    (n_spans, n_kept, md5 of the kept spans in document order) — the oracle
+    hash-checks the exact post-removal text of every document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_dedup(
+        docs, "doc_id", "text", span_tokens=SPAN_TOKENS
+    ).orderBy("doc_id")
+
+
 # incremental-dedup fixture: a "new crawl snapshot" of exact re-crawls
 # (every 25th doc) and truncated-to-half re-crawls (every 40th doc)
 INCR_COPY_STEP, INCR_COPY_OFFSET = 25, 30_000

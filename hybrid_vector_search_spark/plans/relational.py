@@ -1081,6 +1081,38 @@ def daily_revenue_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ship_day")
 
 
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (flag → flag×status → grand total)
+    in ONE aggregate: Spark expands the grouping sets inside a single
+    Expand + HashAggregate over one pass of the fact table — three
+    groupBy+union jobs collapsed to one scan and one exchange.
+    grouping_id() (``lvl``) disambiguates subtotal rows from real groups so
+    NULL never overloads two meanings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.count("*").alias("n_items"),
+            F.sum(disc_price).cast("double").alias("revenue"),
+        )
+        .select(
+            # subtotal rows label their rolled-up column 'ALL' instead of
+            # NULL (lvl already disambiguates; the label keeps the output
+            # null-free so no engine's NULL representation leaks into it)
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "lvl",
+            "n_items",
+            "revenue",
+        )
+        .orderBy("lvl", "l_returnflag", "l_linestatus")
+    )
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion funnel view → click → purchase with a 1-hour step window:
     for each user, the first view, the first click within an hour OF THAT
