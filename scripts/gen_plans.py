@@ -85,6 +85,48 @@ PICKS = {
         "repartition, so output partitioning inherits the input's - at 100 TB\n"
         "an embarrassingly parallel projection."
     ),
+    "events_funnel": (
+        "Conversion funnel: ONE hashpartitioning(user_id) exchange feeds the\n"
+        "sort, all three sequential-stage conditional-min windows, AND the\n"
+        "per-user partial-first aggregate; the only other exchange carries 3\n"
+        "longs to a singleton count, and stack() generates the stage rows.\n"
+        "Funnel depth adds Window operators, never fact shuffles."
+    ),
+    "span_dedup": (
+        "C4-style duplicate-span removal: the span relation is exploded from\n"
+        "the scan twice (recomputing a projection beats dragging span text\n"
+        "through an extra exchange); the first-occurrence election is a\n"
+        "SortAggregate min(id, span_idx) that PARTIAL-aggregates before its\n"
+        "exchange - a corpus-hot span collapses to one candidate per input\n"
+        "partition - and the flagging join broadcasts the election at bench\n"
+        "scale (AQE picks a skew-splittable SMJ when it outgrows the\n"
+        "threshold). Reassembly is one ObjectHashAggregate on doc id."
+    ),
+    "revenue_rollup": (
+        "ROLLUP grouping sets: Expand replicates each row once per grouping\n"
+        "set INSIDE the scan stage, then a single partial+final HashAggregate\n"
+        "pair computes all three levels - one pass, one exchange, versus three\n"
+        "groupBy+union jobs."
+    ),
+    "nb_language_classifier": (
+        "NB/fastText-style linear gate: training collapses the token relation\n"
+        "to vocab-sized (tok, class-count) partials map-side; weights and the\n"
+        "two scalar relations come back as BroadcastExchanges into the scoring\n"
+        "join, so the only corpus-sized exchange is the per-doc score groupBy.\n"
+        "explode_outer keeps token-less docs - no docs-vs-scores rejoin."
+    ),
+    "skew_salted_agg": (
+        "Two-phase salted aggregation: phase 1 groups by (key, salt) so a hot\n"
+        "key's rows fan across 8 reducers; phase 2 merges the <=8 algebraic\n"
+        "partials per key. The result is pinned EQUAL to the plain groupBy -\n"
+        "the driver oracle hash-checks the equivalence, not just the shape."
+    ),
+    "zorder_bucket_counts": (
+        "Z-order clustering key: the Morton interleave is pure codegen bit\n"
+        "arithmetic on the scan (no UDF, no extra pass for min/max thanks to\n"
+        "the fixed-domain contract); the only exchange aggregates 1024\n"
+        "bucket rows."
+    ),
     "heavy_hitters_cm": (
         "Count-min heavy hitters: per-partition Arrow sketches merge by cell\n"
         "sum (shuffle is partitions x depth x width, independent of rows and\n"
