@@ -79,3 +79,45 @@ def dataset_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn(split_col, split)
+
+
+def temperature_mixing(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    *,
+    alpha: float = 0.3,
+    salt: str = "mix",
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling (the multilingual-corpus
+    rebalancing of XLM-R / mT5; Dolma's per-source mixing weights): target
+    share of stratum s ∝ (n_s)^alpha, realized WITHOUT upsampling by
+    keeping each stratum at rate_s = (n_min / n_s)^(1 - alpha) — the
+    smallest stratum keeps everything, dominant strata are flattened toward
+    it. alpha=1 keeps the natural mixture, alpha=0 equalizes all strata.
+
+    Selection stays hash-deterministic (same md5-bucket contract as
+    :func:`sample`): membership is a pure function of (salt, key, the
+    stratum census), so reruns and repartitioning never reshuffle the
+    choice. Adds (n_stratum, keep_rate) for observability.
+
+    Scale: one vocab-of-strata-sized census aggregate (map-side partials),
+    broadcast back into a map-only filter — the corpus itself never
+    shuffles, and the filter composes with scan pushdown of later stages.
+    """
+    census = df.groupBy(stratum_col).agg(F.count("*").alias("n_stratum"))
+    n_min = census.agg(F.min("n_stratum").alias("n_min"))
+    rates = census.join(F.broadcast(n_min)).select(
+        stratum_col,
+        "n_stratum",
+        F.pow(F.col("n_min") / F.col("n_stratum"), F.lit(1.0 - alpha)).alias(
+            "keep_rate"
+        ),
+    )
+    bucket = hash_bucket(F.col(key_col), buckets=buckets, salt=salt)
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .where(bucket < F.floor(F.col("keep_rate") * buckets))
+        .withColumn("keep_rate", F.round("keep_rate", 6))
+    )

@@ -284,6 +284,20 @@ WHERE {_bucket('')} < (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 10000
                        WHEN 'fr' THEN 5000 ELSE 0 END)
 """
 
+# plans.pipeline.lang_temperature_mix: census -> (n_min/n_s)^(1-alpha)
+# keep rates -> md5-bucket membership, alpha = 0.3
+LANG_TEMPERATURE_MIX = f"""
+WITH census AS (SELECT lang, count(*)::BIGINT AS n_stratum FROM documents GROUP BY 1),
+mn AS (SELECT min(n_stratum) AS n_min FROM census),
+rates AS (SELECT lang, n_stratum,
+                 pow(n_min::DOUBLE / n_stratum::DOUBLE, 0.7) AS keep_rate
+          FROM census CROSS JOIN mn)
+SELECT d.doc_id, d.lang, r.n_stratum, round(r.keep_rate, 6) AS keep_rate
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE {_bucket('mix')} < floor(r.keep_rate * 10000)
+ORDER BY d.doc_id
+"""
+
 DATASET_SPLIT_COUNTS = f"""
 SELECT CASE WHEN {_bucket('split')} < 1000 THEN 'val'
             WHEN {_bucket('split')} < 2000 THEN 'test'
@@ -888,6 +902,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "sample_deterministic": SAMPLE_DETERMINISTIC,
     "stratified_sample": STRATIFIED_SAMPLE,
     "dataset_split_counts": DATASET_SPLIT_COUNTS,
+    "lang_temperature_mix": LANG_TEMPERATURE_MIX,
     "corpus_clean": CORPUS_CLEAN,
     "gopher_quality_rules": GOPHER_RULES,
     "duplicate_spans": DUPLICATE_SPANS,

@@ -272,6 +272,20 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+MIX_ALPHA = 0.3
+
+
+def lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixture (sampling.temperature_mixing,
+    alpha=0.3): the dominant 'en' slice is hash-deterministically
+    downsampled toward the smallest language's share — XLM-R/mT5 corpus
+    rebalancing as one broadcast-rate filter. The oracle recomputes the
+    census, the (n_min/n_s)^0.7 keep rates, and the md5-bucket membership."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.temperature_mixing(docs, "doc_id", "lang", alpha=MIX_ALPHA)
+    return out.select("doc_id", "lang", "n_stratum", "keep_rate").orderBy("doc_id")
+
+
 def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite cleaning pipeline — quality gate ∧ language gate ∧
     exact-dedup ∧ train-split, summarized per source.
