@@ -876,14 +876,19 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def value_histogram(spark: SparkSession, sf_dir: str, buckets: int = 20) -> DataFrame:
-    """Fixed-width histogram via width_bucket over a driver-collected min/max
-    (one tiny agg job; table statistics at warehouse scale). Bucket counts
-    are a plain groupBy — the histogram never sorts."""
+    """Fixed-width histogram via width_bucket over data-derived bounds. The
+    1-row min/max aggregate joins back BROADCAST instead of a driver-side
+    .first() — everything stays one lazy, composable plan (no eager job at
+    build time; the bounds pass is map-side partials + a 1-row exchange).
+    Bucket counts are a plain groupBy — the histogram never sorts."""
     ev = load_table(spark, sf_dir, "events")
-    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     return (
-        ev.select(
-            F.width_bucket("value", F.lit(lo), F.lit(hi), F.lit(buckets)).alias("bucket")
+        ev.join(F.broadcast(bounds))
+        .select(
+            F.width_bucket("value", F.col("lo"), F.col("hi"), F.lit(buckets)).alias(
+                "bucket"
+            )
         )
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
