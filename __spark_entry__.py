@@ -1948,8 +1948,9 @@ SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,
        GROUPING(l_returnflag, l_linestatus)::BIGINT AS lvl,
        count(*)::BIGINT AS n_items,
-       sum(l_extendedprice::DECIMAL(18,4)
-           * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DOUBLE AS revenue
+       round(sum(l_extendedprice::DECIMAL(18,4)
+                 * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))),
+             2)::DECIMAL(18,2)::DOUBLE AS revenue
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY lvl, 1, 2

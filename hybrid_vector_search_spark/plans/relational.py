@@ -1102,7 +1102,15 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("lvl"),
             F.count("*").alias("n_items"),
-            F.sum(disc_price).cast("double").alias("revenue"),
+            # round to cents IN THE DECIMAL DOMAIN and narrow to an
+            # int64-backed decimal before the double cast: the grand-total
+            # row needs >16 significant digits at full scale, where
+            # decimal->double conversion is allowed to differ by 1 ulp
+            # across engines; a DECIMAL(18,2) converts with one rounding
+            F.round(F.sum(disc_price), 2)
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("revenue"),
         )
         .select(
             # subtotal rows label their rolled-up column 'ALL' instead of
