@@ -70,6 +70,15 @@ def test_recurring_boilerplate_is_removed_from_later_docs(spark):
     assert (out[1].n_spans, out[1].n_kept) == (2, 2)
 
 
+def test_pandas_kernel_matches_sql_baseline(spark):
+    """The Arrow span kernel (tokenize once per doc) must reproduce the
+    pure-Catalyst higher-order-function baseline exactly."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    a = sorted(map(tuple, span_dedup(df, "doc_id", "text", span_tokens=SPAN, kernel="sql").collect()))
+    b = sorted(map(tuple, span_dedup(df, "doc_id", "text", span_tokens=SPAN, kernel="pandas").collect()))
+    assert a == b and len(a) > 0
+
+
 def test_election_partial_aggregates_before_exchange(spark):
     """The min(id, span_idx) election must partial-aggregate map-side (two
     HashAggregates around the hash exchange), so a corpus-hot span collapses
