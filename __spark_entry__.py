@@ -998,20 +998,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verifies a prefix window (~50), so the round-5 layout retires the oldest
     evidence first: (1) the 3 queries whose last driver hash-match is r2 —
     two testdata regenerations ago — plus heavy_hitters_cm, whose r4-added
-    cell-replay oracle has never actually been driver-run; (2) the 19
+    cell-replay oracle has never actually been driver-run; (2) the 20
     queries NEW in r5 (PQ ANN, degenerate-exact IVF near-dup, streaming
     count-min, multimodal resize, sequence packing, positional phrase
     search, per-source cap, NB classifier, frame sampling, salted-agg
     equivalence, Z-order keys, incremental cross-corpus dedup, C4-style
-    span dedup, temperature mixing, streaming sessionization,
-    stream-stream interval join, streaming dedup, conversion funnel,
-    ROLLUP grouping sets) — never driver-checked, so ahead of
-    re-attestation; (3) 27 of the 49 queries last verified in r3 — ordered
-    non-relational/complex first; the 22 simplest relational ones sit just
-    past the ~50 cut and lead r6's rotation; (4) the 46 queries verified
-    green in r4 (CORRECTNESS_r04), freshest, so last. After r5's window
-    runs, no query's latest driver row predates r3, and only those 22
-    r3-green relational rows predate r4."""
+    span dedup, temperature mixing, BPE pre-tokenizer stats, streaming
+    sessionization, stream-stream interval join, streaming dedup,
+    conversion funnel, ROLLUP grouping sets) — never driver-checked, so
+    ahead of re-attestation; (3) 26 of the 49 queries last verified in
+    r3 — ordered non-relational/complex first; the 23 simplest relational
+    ones sit just past the ~50 cut and lead r6's rotation; (4) the 46
+    queries verified green in r4 (CORRECTNESS_r04), freshest, so last.
+    After r5's window runs, no query's latest driver row predates r3, and
+    only those 23 r3-green relational rows predate r4."""
     return {
         # --- (1) r2-stale re-attestation + first-ever heavy_hitters_cm oracle run
         "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
@@ -1033,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": pipeline.dedup_incremental,
         "span_dedup": pipeline.span_dedup,
         "lang_temperature_mix": pipeline.lang_temperature_mix,
+        "bpe_token_stats": pipeline.bpe_token_stats,
         "stream_sessionize": q_stream_sessionize,
         "stream_view_click_join": q_stream_view_click_join,
         "stream_dedup_events": q_stream_dedup_events,

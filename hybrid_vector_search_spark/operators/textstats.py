@@ -61,6 +61,38 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer, restricted to constructs RE2 also supports
+# (no lookahead) so the DuckDB oracle replays it verbatim: an optional
+# leading space glued to a letter run, digit run, or punctuation run.
+# Both Java regex and RE2 use leftmost-first alternation, so the piece
+# boundaries agree across engines.
+BPE_PRETOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+
+
+def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """BPE-ish token counting: the subword-tokenizer PRE-tokenization pass
+    (GPT-2's regex split, minus RE2-unsupported lookahead) — the unit real
+    context-length accounting is done in before merges apply. Per doc:
+    piece count, distinct pieces, characters covered, mean piece length.
+    Pure codegen expressions — map-only, zero shuffle."""
+    pieces = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_PRETOKEN_RE), 0
+    )
+    chars = F.aggregate(
+        F.transform(pieces, lambda p: F.length(p)), F.lit(0), lambda a, x: a + x
+    )
+    n = F.size(pieces)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).cast("long").alias("n_distinct_pieces"),
+        chars.cast("long").alias("n_piece_chars"),
+        F.round(
+            chars.cast("double") / F.greatest(n, F.lit(1)).cast("double"), 6
+        ).alias("mean_piece_len"),
+    )
+
+
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-overlap language ID with deterministic tie-break."""
     distinct_toks = F.array_distinct(tokens(F.col(text_col)))

@@ -211,6 +211,25 @@ JOIN ws USING (doc_id)
 """
 
 
+# operators.textstats.bpe_token_stats: RE2-safe GPT-2-style pre-tokenizer —
+# same regex string as textstats.BPE_PRETOKEN_RE, leftmost-first in both
+# engines, over the lowercased text
+BPE_TOKEN_STATS = r"""
+WITH p AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+') AS ps
+  FROM documents
+)
+SELECT doc_id,
+       len(ps)::BIGINT AS n_pieces,
+       len(list_distinct(ps))::BIGINT AS n_distinct_pieces,
+       coalesce(list_sum(list_transform(ps, x -> length(x))), 0)::BIGINT AS n_piece_chars,
+       round(coalesce(list_sum(list_transform(ps, x -> length(x))), 0)::DOUBLE
+             / greatest(len(ps), 1), 6) AS mean_piece_len
+FROM p ORDER BY doc_id
+"""
+
+
 def _stop_list(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
@@ -896,6 +915,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_simhash": DEDUP_SIMHASH,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE,
     "token_stats": TOKEN_STATS,
+    "bpe_token_stats": BPE_TOKEN_STATS,
     "language_id": LANGUAGE_ID,
     "quality_score": QUALITY_SCORE,
     "doc_fingerprints": DOC_FINGERPRINTS,

@@ -242,6 +242,13 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_stats(docs, "doc_id", "text")
 
 
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-pretokenizer accounting (textstats.bpe_token_stats): the
+    GPT-2-style regex split both engines evaluate verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.bpe_token_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return textstats.language_id(docs, "doc_id", "text")

@@ -125,3 +125,33 @@ def test_rank_fusion_branch_bound_is_takeordered(spark):
         assert abs(want[doc_id] - got[doc_id]) < 1e-9, (doc_id,)
     for doc_id, score in got.items():
         assert score <= want[doc_id] + 1e-9, (doc_id,)
+
+
+def test_bpe_pretokenizer_cross_engine_on_punctuation(spark, duck):
+    """The testdata corpus is plain lowercase words, so drive the BPE-ish
+    pre-tokenizer's punctuation/digit/space branches through BOTH engines
+    on adversarial strings — Java regex and RE2 must split identically."""
+    from hybrid_vector_search_spark.operators.textstats import bpe_token_stats
+
+    rows = [
+        (1, " hello, world42  x"),
+        (2, "a.b.c---d 1 22 333"),
+        (3, "...leading!? punct"),
+        (4, "   "),
+        (5, ""),
+        (6, "MiXeD CaSe{}[]#@ 7z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(map(tuple, bpe_token_stats(df, "doc_id", "text").collect()))
+    duck.execute("CREATE OR REPLACE TABLE _bpe_fix(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO _bpe_fix VALUES (?, ?)", rows)
+    want = duck.execute(r"""
+        WITH p AS (SELECT doc_id, regexp_extract_all(lower(text),
+                   ' ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+') AS ps FROM _bpe_fix)
+        SELECT doc_id, len(ps)::BIGINT, len(list_distinct(ps))::BIGINT,
+               coalesce(list_sum(list_transform(ps, x -> length(x))), 0)::BIGINT,
+               round(coalesce(list_sum(list_transform(ps, x -> length(x))), 0)::DOUBLE
+                     / greatest(len(ps), 1), 6)
+        FROM p ORDER BY doc_id
+    """).fetchall()
+    assert got == [tuple(r) for r in want]
