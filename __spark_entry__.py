@@ -998,20 +998,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verifies a prefix window (~50), so the round-5 layout retires the oldest
     evidence first: (1) the 3 queries whose last driver hash-match is r2 —
     two testdata regenerations ago — plus heavy_hitters_cm, whose r4-added
-    cell-replay oracle has never actually been driver-run; (2) the 20
+    cell-replay oracle has never actually been driver-run; (2) the 25
     queries NEW in r5 (PQ ANN, degenerate-exact IVF near-dup, streaming
     count-min, multimodal resize, sequence packing, positional phrase
     search, per-source cap, NB classifier, frame sampling, salted-agg
     equivalence, Z-order keys, incremental cross-corpus dedup, C4-style
     span dedup, temperature mixing, BPE pre-tokenizer stats, streaming
     sessionization, stream-stream interval join, streaming dedup,
-    conversion funnel, ROLLUP grouping sets) — never driver-checked, so
-    ahead of re-attestation; (3) 26 of the 49 queries last verified in
-    r3 — ordered non-relational/complex first; the 23 simplest relational
-    ones sit just past the ~50 cut and lead r6's rotation; (4) the 46
+    conversion funnel, ROLLUP grouping sets, Bloom decontamination,
+    per-source MinHash similarity, winsorized stats, centroid outliers,
+    sorted-neighborhood dedup) — never driver-checked, so ahead of
+    re-attestation; (3) the 21 next r3-verified queries — ordered
+    non-relational/complex first; the remaining 28 r3-green relational
+    ones sit just past the ~50 cut and lead r6's rotation; (4) the
     queries verified green in r4 (CORRECTNESS_r04), freshest, so last.
-    After r5's window runs, no query's latest driver row predates r3, and
-    only those 23 r3-green relational rows predate r4."""
+    After r5's window runs, no checked query's latest driver row predates
+    r3, and only those r3-green relational rows await r6."""
     return {
         # --- (1) r2-stale re-attestation + first-ever heavy_hitters_cm oracle run
         "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
@@ -1039,6 +1041,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_events": q_stream_dedup_events,
         "events_funnel": relational.events_funnel,
         "revenue_rollup": relational.revenue_rollup,
+        "decontaminate_bloom": pipeline.decontaminate_bloom,
+        "source_minhash_similarity": pipeline.source_minhash_similarity,
+        "winsorized_value_stats": relational.winsorized_value_stats,
+        "embedding_centroid_outliers": pipeline.embedding_centroid_outliers,
+        "sorted_neighborhood_dedup": pipeline.sorted_neighborhood_dedup,
         # --- (3) last verified r3: operator-heavy first
         "heavy_hitters": q_heavy_hitters,
         "embed_roundtrip": q_embed_roundtrip,
@@ -1875,6 +1882,33 @@ GROUP BY a.l_returnflag
 ORDER BY a.l_returnflag
 """
 
+# relational.winsorized_value_stats: Spark's exact `percentile` interpolates
+# identically to quantile_cont; means are exact decimal sums of 6-dp-rounded
+# values divided as double, so partial-agg order can't perturb them
+_WINSORIZED_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+),
+c AS (
+  SELECT e.event_type, b.p05, b.p95,
+         round(least(greatest(e.value, b.p05), b.p95), 6)::DECIMAL(18,6) AS cv,
+         round(e.value, 6)::DECIMAL(18,6) AS rv
+  FROM events e JOIN b USING (event_type)
+)
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       round(any_value(p05), 6) AS p05,
+       round(any_value(p95), 6) AS p95,
+       round(sum(cv)::DOUBLE / count(*), 6) AS mean_winsorized,
+       round(sum(rv)::DOUBLE / count(*), 6) AS mean_raw
+FROM c
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 _PERCENTILES_ORACLE = """
 SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS p50,
@@ -2136,6 +2170,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_moving_avg": _MOVING_AVG_ORACLE,
         "cube_revenue": _CUBE_ORACLE,
         "events_value_deciles": _DECILES_ORACLE,
+        "winsorized_value_stats": _WINSORIZED_ORACLE,
         "revenue_calendar_fill": _CALENDAR_FILL_ORACLE,
         "nation_revenue_share": _NATION_SHARE_ORACLE,
         "events_latest_per_user": _LATEST_PER_USER_ORACLE,

@@ -330,6 +330,210 @@ def jaccard_pairs_between(
     )
 
 
+# Chunked MinHash family (grouped_minhash_signatures): one seeded md5 per
+# shingle yields FOUR independent 32-bit hash slots (hex digits [0:8], [8:16],
+# [16:24], [24:32]) — slot 4k+j = chunk j of md5('k#' || gram). A quarter of
+# the md5 calls of one-md5-per-slot, with full minwise mixing (a bounded
+# multiply-shift family is NOT enough: with a < 2³⁰ the product never wraps
+# the modulus, every slot's min collapses onto the min-x shingle, and
+# pairwise estimates inflate — caught by test_estimate_tracks_true_jaccard).
+MINHASH_SLOTS_PER_MD5 = 4
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    key_len: int = 24,
+    window: int = 3,
+    min_jaccard: float = 0.5,
+    shingle_n: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Sorted-Neighborhood Method (Hernández & Stolfo 1995) near-dup pass:
+    sort by a cheap blocking key (normalized-text prefix), compare each doc
+    only to its ``window`` successors in the sorted order, verify candidates
+    with exact shingle Jaccard. The third dedup-blocking family next to
+    LSH banding (minhash/simhash) and IVF buckets — linear candidate count
+    (n·window) with recall concentrated on docs whose *openings* match,
+    which is exactly the re-crawl/boilerplate-copy shape.
+
+    Distributed ordering without a global window: the sort runs per BUCKET
+    (first character of the key), so each rank window is
+    ``partitionBy(bucket)`` — no single-task global sort. The standard SNM
+    caveat applies twice: near-dups whose keys differ early, or that
+    straddle a bucket boundary, are missed in this single pass (production
+    runs multiple passes with independent keys, exactly like LSH bands).
+    Returned pairs are exact-verified, so precision is 1 by construction.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    keys = df.select(
+        F.col(id_col).alias("id"), norm.substr(1, key_len).alias("key")
+    ).withColumn("b", F.substring("key", 1, 1))
+    rank_w = Window.partitionBy("b").orderBy("key", "id")
+    ranked = keys.withColumn("rn", F.row_number().over(rank_w))
+    offs = F.explode(F.array(*[F.lit(i) for i in range(1, window + 1)])).alias("off")
+    left = ranked.select("b", "rn", F.col("id").alias("id_l"), offs)
+    right = ranked.select(
+        F.col("b").alias("b_r"), F.col("rn").alias("rn_r"), F.col("id").alias("id_r")
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("b") == F.col("b_r")) & (F.col("rn") + F.col("off") == F.col("rn_r")),
+        )
+        .select(
+            F.least("id_l", "id_r").alias("id_a"),
+            F.greatest("id_l", "id_r").alias("id_b"),
+        )
+        .distinct()
+    )
+    sh = shingle_table(df, id_col, text_col, n=shingle_n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("i")).cast("double"),
+                round_dp,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= min_jaccard)
+
+
+def grouped_minhash_signatures(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    kernel: str = "pandas",
+) -> DataFrame:
+    """One MinHash signature PER GROUP (e.g. per corpus source): sig_i is the
+    min of hash-family member i over the union of all shingles of all texts
+    in the group. Groups play the role docs play in `minhash_signatures` —
+    the signature summarizes the group's whole shingle set, so two groups'
+    signatures estimate the Jaccard overlap of entire sub-corpora
+    ("does crawl-2024-06 substantially duplicate crawl-2024-05?") without
+    ever materializing a cross-group shingle join.
+
+    Hash family: slot 4k+j is the j-th 8-hex-digit chunk of md5('k#'||gram)
+    as a 32-bit integer — num_hashes/4 md5 calls per shingle instead of
+    num_hashes, with full minwise mixing (see MINHASH_SLOTS_PER_MD5 note),
+    and exact integer arithmetic both engines can replay verbatim.
+
+    kernel="pandas" (default): per-ROW signature mins inside a map-only
+    Arrow kernel, then ONE groupBy(group) min-folds the row signatures —
+    valid because min over the group's shingle union ≡ min over per-doc
+    mins (associativity). kernel="sql": the pure-Catalyst explosion +
+    H-min groupBy baseline the kernel is pinned against in tests.
+
+    Either way the groupBy partial-aggregates map-side: the shuffle carries
+    at most |groups|·H·partitions longs regardless of corpus size. Per-doc
+    `array_distinct` is irrelevant to a min.
+    """
+    if num_hashes % MINHASH_SLOTS_PER_MD5:
+        raise ValueError(f"num_hashes must be a multiple of {MINHASH_SLOTS_PER_MD5}")
+    n_seeds = num_hashes // MINHASH_SLOTS_PER_MD5
+    mins = [F.min(f"sig_{i}").alias(f"sig_{i}") for i in range(num_hashes)]
+    if kernel == "pandas":
+        import hashlib
+        import re
+        from typing import Iterator
+
+        import numpy as np
+        import pandas as pd
+
+        split = re.compile(r"[^a-z0-9]+")
+        seeds = [f"{k}#".encode() for k in range(n_seeds)]
+
+        def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for g, text in zip(pdf["g"], pdf["t"]):
+                    toks = [t for t in split.split((text or "").lower()) if t]
+                    grams = {
+                        " ".join(toks[j : j + shingle_n])
+                        for j in range(len(toks) - shingle_n + 1)
+                    }
+                    if not grams:
+                        continue
+                    # digest bytes ARE the hex chunks big-endian: one
+                    # frombuffer + column-min replaces 4 int-parses and a
+                    # compare per (gram, slot) of Python
+                    buf = b"".join(
+                        hashlib.md5(s + gb).digest()
+                        for gb in (gr.encode("utf-8") for gr in grams)
+                        for s in seeds
+                    )
+                    arr = np.frombuffer(buf, dtype=">u4").reshape(len(grams), num_hashes)
+                    rows.append((g, *arr.min(axis=0).astype(np.int64).tolist()))
+                yield pd.DataFrame(
+                    rows, columns=["g", *[f"sig_{i}" for i in range(num_hashes)]]
+                )
+
+        par = df.sparkSession.sparkContext.defaultParallelism
+        src = df.select(F.col(group_col).alias("g"), F.col(text_col).alias("t")).repartition(par)
+        schema = "g string, " + ", ".join(f"sig_{i} long" for i in range(num_hashes))
+        return src.mapInPandas(kern, schema).groupBy("g").agg(*mins)
+
+    per_row = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("gram"),
+    )
+    sig_cols = []
+    for k in range(n_seeds):
+        hx = F.md5(F.concat(F.lit(f"{k}#"), F.col("gram")))
+        for j in range(MINHASH_SLOTS_PER_MD5):
+            sig_cols.append(
+                F.conv(F.substring(hx, 8 * j + 1, 8), 16, 10)
+                .cast("long")
+                .alias(f"sig_{MINHASH_SLOTS_PER_MD5 * k + j}")
+            )
+    return per_row.select("g", *sig_cols).groupBy("g").agg(*mins)
+
+
+def signature_jaccard_estimates(
+    sig: DataFrame, *, num_hashes: int, round_dp: int = 6
+) -> DataFrame:
+    """All-pairs Jaccard ESTIMATES from MinHash signatures: the fraction of
+    agreeing hash slots (the textbook unbiased estimator). Quadratic in the
+    number of SIGNATURES — correct to call only on group-level signatures
+    (sources, shards, crawls: tens-to-thousands of rows), never on per-doc
+    signatures, where `lsh_candidates` is the sub-quadratic path.
+
+    With num_hashes a power of two, k/num_hashes is exact in both binary and
+    decimal, so `round(·, 6)` is the identity in Spark and DuckDB alike and
+    the estimate is engine-portable bit-for-bit.
+    """
+    a, b = sig.alias("a"), sig.alias("b")
+    n_agree = sum(
+        F.when(F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return a.join(b, F.col("a.g") < F.col("b.g")).select(
+        F.col("a.g").alias("g_a"),
+        F.col("b.g").alias("g_b"),
+        n_agree.cast("int").alias("n_agree"),
+        F.round(n_agree.cast("double") / F.lit(float(num_hashes)), round_dp).alias(
+            "est_jaccard"
+        ),
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str,

@@ -58,6 +58,113 @@ def _minhash_ctes(bands: int, rows_per_band: int) -> str:
     )
 
 
+def _source_minhash_sql(num_hashes: int) -> str:
+    """pipeline.source_minhash_similarity: per-source signature = min per
+    slot of the chunked md5 family (dedup.MINHASH_SLOTS_PER_MD5 — slot 4k+j
+    is hex chunk j of md5('k#'||gram)) over each source's exploded shingles
+    (per-doc distinct is irrelevant to a min); estimate = agreeing-slot
+    fraction, an exact multiple of 1/num_hashes so round(·,6) is the
+    identity in both engines. All arithmetic is exact BIGINT."""
+    from ..operators.dedup import MINHASH_SLOTS_PER_MD5 as S
+
+    sig_cols = ", ".join(
+        f"min(('0x' || substr(md5('{i // S}#' || gram), {8 * (i % S) + 1}, 8))::BIGINT)"
+        f" AS sig_{i}"
+        for i in range(num_hashes)
+    )
+    agree = " + ".join(f"(a.sig_{i} = b.sig_{i})::INT" for i in range(num_hashes))
+    return f"""
+WITH {TOKL},
+grams AS (
+  SELECT d.source AS g, u.g AS gram
+  FROM (
+    SELECT doc_id, unnest([array_to_string(ts[i:i+2], ' ')
+    FOR i IN range(1, len(ts) - 1)]) AS g FROM tokl WHERE len(ts) >= 3
+  ) u JOIN documents d USING (doc_id)
+),
+sigs AS (SELECT g, {sig_cols} FROM grams GROUP BY g)
+SELECT a.g AS src_a, b.g AS src_b,
+       ({agree})::INT AS n_agree,
+       round(({agree})::DOUBLE / {num_hashes}, 6) AS est_jaccard
+FROM sigs a JOIN sigs b ON a.g < b.g
+ORDER BY src_a, src_b
+"""
+
+
+SOURCE_MINHASH_SIMILARITY = _source_minhash_sql(32)
+
+
+# pipeline.embedding_centroid_outliers: centroid components are exact decimal
+# sums of 7-dp-rounded values over lateral range(1, dim+1) — same arithmetic
+# as Spark's posexplode + decimal aggregate — and the cosine mirrors _COS_AB's
+# double-fold shape at 6-dp rounding; vec_id breaks rank ties identically
+EMBEDDING_CENTROID_OUTLIERS = """
+WITH p AS (
+  SELECT label, idx, round(val::DOUBLE, 7)::DECIMAL(20,7) AS val FROM (
+    SELECT label, generate_subscripts(embedding, 1) AS idx,
+           unnest(embedding) AS val
+    FROM embeddings
+  )
+),
+cent AS (
+  SELECT label, idx, sum(val)::DOUBLE / count(*) AS c
+  FROM p GROUP BY label, idx
+),
+carr AS (SELECT label, list(c ORDER BY idx) AS cv FROM cent GROUP BY label),
+s AS (
+  SELECT e.vec_id, e.label,
+         round(
+           list_dot_product(e.embedding::DOUBLE[], cv) /
+           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(cv, cv))), 6) AS cos_centroid
+  FROM embeddings e JOIN carr USING (label)
+)
+SELECT vec_id, label, cos_centroid FROM (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos_centroid, vec_id) AS rn
+  FROM s
+) WHERE rn <= 5
+ORDER BY label, cos_centroid, vec_id
+"""
+
+
+# dedup.sorted_neighborhood_pairs over the planted-dupes corpus: identical
+# normalized-prefix key, first-char bucket, per-bucket rank, window-3
+# candidates, exact-Jaccard verification — rank ties broken by doc_id in
+# both engines, keys are [a-z0-9 ] so binary collation agrees
+SORTED_NEIGHBORHOOD = f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+),
+k AS (SELECT doc_id, substr({NORM_TEXT}, 1, 24) AS key FROM u),
+r AS (SELECT doc_id, key, substr(key, 1, 1) AS b,
+             row_number() OVER (PARTITION BY substr(key, 1, 1)
+                                ORDER BY key, doc_id) AS rn
+      FROM k),
+cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                  greatest(a.doc_id, b.doc_id) AS id_b
+  FROM r a JOIN r b ON a.b = b.b AND b.rn - a.rn BETWEEN 1 AND 3
+),
+tokl AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+         '[^a-z0-9]+'), t -> t <> '') AS ts FROM u),
+sh AS (SELECT DISTINCT doc_id AS id, md5(g) AS sh FROM (
+  SELECT doc_id, unnest([array_to_string(ts[i:i+2], ' ')
+  FOR i IN range(1, len(ts) - 1)]) AS g FROM tokl WHERE len(ts) >= 3)),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+          FROM cand c JOIN sh a ON a.id = c.id_a
+          JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
+          GROUP BY 1, 2),
+jac AS (SELECT id_a, id_b,
+               round(i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE, 6) AS jaccard
+        FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)
+SELECT id_a AS doc_a, id_b AS doc_b, jaccard
+FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+"""
+
+
 DEDUP_EXACT = f"""
 WITH u AS (
   SELECT doc_id, text FROM documents
@@ -909,6 +1016,12 @@ PIPELINE_ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": NGRAM_JACCARD,
     "dedup_components": DEDUP_COMPONENTS,
     "decontaminate": DECONTAMINATE,
+    # bloom prefilter + exact re-verify ≡ exact (no false negatives), so the
+    # scale path answers to the same SQL as the broadcast-exact path
+    "decontaminate_bloom": DECONTAMINATE,
+    "source_minhash_similarity": SOURCE_MINHASH_SIMILARITY,
+    "embedding_centroid_outliers": EMBEDDING_CENTROID_OUTLIERS,
+    "sorted_neighborhood_dedup": SORTED_NEIGHBORHOOD,
     "multimodal_binary_stats": MULTIMODAL_BINARY,
     "unigram_logprob_score": UNIGRAM_LOGPROB,
     "doc_repetition": DOC_REPETITION,

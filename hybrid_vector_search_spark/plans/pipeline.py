@@ -7,7 +7,7 @@ the driver contract (__spark_entry__) and the benchmarks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, sampling, textstats
@@ -147,6 +147,126 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_sh = dedup.shingle_table(corpus, "doc_id", "text", n=5)
     return (
         corpus_sh.join(F.broadcast(ev_sh), "sh")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+        .select(F.col("id").alias("doc_id"), "n_shared")
+        .orderBy("doc_id")
+    )
+
+
+def sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNM blocking over the planted-dupes corpus: rank-window candidates
+    (first-char buckets, normalized-prefix sort key, window 3) verified with
+    exact 3-gram Jaccard ≥ 0.5. Planted exact dupes share their original's
+    key, so they sort adjacent and are guaranteed candidates — the oracle
+    replays rank, candidates, and Jaccard verbatim."""
+    docs = _with_planted_dupes(load_table(spark, sf_dir, "documents"))
+    out = dedup.sorted_neighborhood_pairs(
+        docs, "doc_id", "text", key_len=24, window=3, min_jaccard=0.5
+    )
+    return out.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
+    ).orderBy("doc_a", "doc_b")
+
+
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel/outlier detection in embedding space: each label's centroid
+    (elementwise mean) and, per label, the 5 vectors LEAST similar to their
+    own centroid — the standard first pass for pruning mislabeled or noisy
+    examples from a labeled embedding corpus.
+
+    Determinism across engines and executor counts: centroid components are
+    exact DECIMAL sums of 7-dp-rounded values divided as double (partial-agg
+    order can't perturb them), the ordered component array comes from
+    array_sort over (idx, value) structs — never collect_list order — and
+    the cosine is the sequential zip_with/aggregate fold rounded to 6 dp,
+    with vec_id breaking rank ties.
+
+    Scale: one posexplode + one (label, idx) groupBy — shuffle rows =
+    |labels|·dim·partitions partial sums, never vectors; the centroid
+    relation (|labels| rows) broadcasts back; top-5-per-label is a window
+    over partitionBy(label). At 100 TB nothing here is corpus-quadratic.
+    """
+    from ..functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("idx", "val")
+    )
+    cent = (
+        pos.groupBy("label", "idx")
+        .agg(
+            F.sum(F.round(F.col("val"), 7).cast("decimal(20,7)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select("label", "idx", (F.col("s").cast("double") / F.col("n")).alias("c"))
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    scored = emb.join(F.broadcast(cent_arr), "label").select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy("cos_centroid", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("label", "cos_centroid", "vec_id")
+    )
+
+
+def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level near-dup radar: a MinHash signature per SOURCE (union of
+    each source's doc shingles) and the pairwise agreement-fraction Jaccard
+    estimate between sources. Flags whole sub-corpora that duplicate each
+    other (re-crawls, mirrored dumps) before any doc-level dedup runs. One
+    explosion + one map-side-min groupBy; the pair join is |sources|², which
+    is the operator's contract (sources, not documents). Estimates are exact
+    multiples of 1/32, so the oracle replays them bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.grouped_minhash_signatures(
+        docs, "source", "text", num_hashes=32, shingle_n=3
+    )
+    return dedup.signature_jaccard_estimates(sig, num_hashes=32).select(
+        F.col("g_a").alias("src_a"),
+        F.col("g_b").alias("src_b"),
+        "n_agree",
+        "est_jaccard",
+    ).orderBy("src_a", "src_b")
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — the scale path of
+    :func:`decontaminate`, same answer by construction.
+
+    The plain plan broadcasts the holdout's FULL distinct-shingle set; this
+    one broadcasts a fixed-size (word, mask) Bloom bitmap instead
+    (operators.bloom), prefilters the corpus shingles through k map-side
+    bit-test joins, and only then re-verifies the (much smaller) survivor
+    set against the exact shingle relation. No false negatives (every
+    present key's bits were OR-ed in), so prefilter→exact-verify ≡ exact:
+    the oracle is literally the same SQL as `decontaminate`. At 100 TB the
+    broadcast is m_bits/8 bytes no matter how many benchmarks the holdout
+    aggregates, where the exact set would be gigabytes.
+    """
+    from ..operators import bloom
+
+    m_bits, k = 1 << 20, 4
+    docs = load_table(spark, sf_dir, "documents")
+    holdout = docs.where(F.col("doc_id") < 100)
+    corpus = docs.where(F.col("doc_id") >= 100)
+    ev_sh = dedup.shingle_table(holdout, "doc_id", "text", n=5).select("sh").distinct()
+    bitmap = bloom.bloom_build(ev_sh, "sh", m_bits=m_bits, k=k)
+    corpus_sh = dedup.shingle_table(corpus, "doc_id", "text", n=5)
+    candidates = bloom.bloom_prefilter(corpus_sh, "sh", bitmap, m_bits=m_bits, k=k)
+    return (
+        candidates.join(F.broadcast(ev_sh), "sh")
         .groupBy("id")
         .agg(F.count("*").alias("n_shared"))
         .select(F.col("id").alias("doc_id"), "n_shared")

@@ -797,6 +797,52 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type event-value stats: clip (winsorize) each value into
+    its type's [P5, P95] band, then aggregate — the standard
+    outlier-resistant mean for telemetry/reward columns whose tails are
+    garbage. The raw mean is emitted next to the winsorized one so the
+    outlier impact is the visible delta.
+
+    ONE exchange: the exact percentiles are window aggregates over
+    partitionBy(event_type), and the subsequent groupBy(event_type) reuses
+    that hash partitioning (no second Exchange — pinned in test_plans).
+    Means are exact decimal sums of 6-dp-rounded clipped values divided as
+    double — bit-identical across engines and executor counts. Exact
+    percentile is the bench-scale choice; at 100 TB swap the window for
+    percentile_approx bounds (value_percentiles_approx is that twin).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    bounded = ev.select(
+        "event_type",
+        "value",
+        F.expr("percentile(value, 0.05)").over(w).alias("p05"),
+        F.expr("percentile(value, 0.95)").over(w).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    dec = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    return (
+        bounded.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.any_value("p05"), 6).alias("p05"),
+            F.round(F.any_value("p95"), 6).alias("p95"),
+            F.sum(dec(clipped)).alias("_sw"),
+            F.sum(dec(F.col("value"))).alias("_sr"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "p05",
+            "p95",
+            F.round(F.col("_sw").cast("double") / F.col("n"), 6).alias("mean_winsorized"),
+            F.round(F.col("_sr").cast("double") / F.col("n"), 6).alias("mean_raw"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def revenue_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled daily revenue: a generated date spine (sequence + explode —
     no driver-side loop, the spine is one row exploded JVM-side) left-joined

@@ -316,3 +316,14 @@ def test_events_funnel_single_fact_exchange(spark):
 
     plan = _plan(relational.events_funnel(spark, SF_SMALL))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_winsorized_stats_single_fact_exchange(spark):
+    """The P5/P95 window and the per-type aggregate must share ONE
+    hashpartitioning(event_type) exchange — winsorizing is one fact-table
+    shuffle, not two (the orderBy adds only a rangepartitioning of the
+    5-row result)."""
+    from hybrid_vector_search_spark.plans import relational
+
+    plan = _plan(relational.winsorized_value_stats(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
