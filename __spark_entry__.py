@@ -998,7 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verifies a prefix window (~50), so the round-5 layout retires the oldest
     evidence first: (1) the 3 queries whose last driver hash-match is r2 —
     two testdata regenerations ago — plus heavy_hitters_cm, whose r4-added
-    cell-replay oracle has never actually been driver-run; (2) the 25
+    cell-replay oracle has never actually been driver-run; (2) the 30
     queries NEW in r5 (PQ ANN, degenerate-exact IVF near-dup, streaming
     count-min, multimodal resize, sequence packing, positional phrase
     search, per-source cap, NB classifier, frame sampling, salted-agg
@@ -1007,9 +1007,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sessionization, stream-stream interval join, streaming dedup,
     conversion funnel, ROLLUP grouping sets, Bloom decontamination,
     per-source MinHash similarity, winsorized stats, centroid outliers,
-    sorted-neighborhood dedup) — never driver-checked, so ahead of
-    re-attestation; (3) the 21 next r3-verified queries — ordered
-    non-relational/complex first; the remaining 28 r3-green relational
+    sorted-neighborhood dedup, exact-k stratified sampling, right-to-
+    erasure purge, URL/domain rollups, OOV-rate coverage, zlib
+    compression-ratio) — never driver-checked, so ahead of
+    re-attestation;
+    (3) the next r3-verified queries — ordered non-relational/complex
+    first; the remaining r3-green relational
     ones sit just past the ~50 cut and lead r6's rotation; (4) the
     queries verified green in r4 (CORRECTNESS_r04), freshest, so last.
     After r5's window runs, no checked query's latest driver row predates
@@ -1046,6 +1049,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_value_stats": relational.winsorized_value_stats,
         "embedding_centroid_outliers": pipeline.embedding_centroid_outliers,
         "sorted_neighborhood_dedup": pipeline.sorted_neighborhood_dedup,
+        "stratified_sample_exact_k": pipeline.stratified_sample_exact_k,
+        "url_domain_stats": pipeline.url_domain_stats,
+        "oov_rate_stats": pipeline.oov_rate_stats,
+        # rows-only: zlib has no SQL twin (like ann_* / approx sketches);
+        # determinism and value bands pinned in tests/test_textstats_extra.py
+        "compression_ratio": pipeline.compression_ratio_stats,
+        "user_purge_counts": pipeline.user_purge_counts,
         # --- (3) last verified r3: operator-heavy first
         "heavy_hitters": q_heavy_hitters,
         "embed_roundtrip": q_embed_roundtrip,

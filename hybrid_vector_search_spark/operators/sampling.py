@@ -57,6 +57,39 @@ def stratified_sample(
     return df.where(bucket < thresh)
 
 
+def stratified_sample_exact(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    k: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY min(k, |stratum|) rows per stratum, hash-ranked: rank rows
+    within each stratum by md5(salt#key) (key as tiebreak) and keep the
+    first k. The exact-count companion to the rate-based
+    :func:`stratified_sample` — evaluation sets and per-language quota
+    draws need "give me 10k per language", not "give me ≈0.1%".
+
+    Deterministic and stable under corpus growth in the same sense as a
+    rate: a row's RANK depends on what else is in its stratum, but the
+    ORDERING never changes, so adding rows can only push tail rows out —
+    never reshuffle the kept prefix arbitrarily. Window partitions by
+    stratum (one exchange); at 100 TB with huge k prefer per-partition
+    pre-ranking (TakeOrdered-style) — for quota-sized k the window is the
+    right plan.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(f"{salt}#"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def dataset_split(
     df: DataFrame,
     key_col: str,

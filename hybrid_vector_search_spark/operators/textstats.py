@@ -41,6 +41,106 @@ def _stop_ratio(distinct_toks: Column, lang: str) -> Column:
     ).cast("double")
 
 
+def oov_rate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    vocab_size: int = 1000,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a token vocabulary —
+    the tokenizer-coverage diagnostic run before committing a vocab to a
+    training run (docs with high OOV are mis-languaged or junk; a vocab
+    with high corpus OOV is undersized).
+
+    ``vocab``: any (token) DataFrame; defaults to the corpus's own top
+    ``vocab_size`` tokens by document frequency (ties broken by token
+    string, so the cut is deterministic). The vocabulary is broadcast into
+    the scoring join — vocab relations are bounded by the tokenizer, not
+    the corpus — and the corpus makes one exploded pass + one groupBy(id).
+
+    Returns (id, n_tokens, n_oov, oov_rate[6dp]); token-less docs report
+    0 tokens and rate 0.0.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(tokens(F.col(text_col))).alias("tok")
+    )
+    if vocab is None:
+        dfreq = (
+            toks.where(F.col("tok").isNotNull())
+            .groupBy("tok")
+            .agg(F.countDistinct("id").alias("df"))
+        )
+        # orderBy().limit() → TakeOrderedAndProject (per-partition heaps):
+        # the vocab cut never funnels the token relation into one task
+        vocab = (
+            dfreq.orderBy(F.col("df").desc(), F.col("tok").asc())
+            .limit(vocab_size)
+            .select("tok")
+        )
+    known = vocab.select(F.col("tok"), F.lit(1).alias("_in_vocab"))
+    return (
+        toks.join(F.broadcast(known), "tok", "left")
+        .groupBy("id")
+        .agg(
+            F.count("tok").alias("n_tokens"),
+            F.count(F.when(F.col("tok").isNotNull() & F.col("_in_vocab").isNull(), 1)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "n_oov",
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6)
+            )
+            .alias("oov_rate"),
+        )
+    )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str, text_col: str, *, level: int = 6
+) -> DataFrame:
+    """Per-doc zlib compressibility — the cheap redundancy signal quality
+    pipelines (Gopher's repetition analysis, Dolma's filters) use to catch
+    boilerplate/template/spam text: natural prose compresses to ~0.4-0.6 of
+    its size, pathological repetition far below.
+
+    Arrow kernel (zlib is CPython stdlib; there is no SQL twin, so the
+    driver check is rows-only and determinism is pinned in tests instead):
+    map-only, no shuffle, fixed compression level so the ratio is a pure
+    function of the bytes. Returns (id, n_bytes, n_compressed,
+    compression_ratio[6dp]); empty docs report ratio 0.0.
+    """
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, text in zip(pdf["id"], pdf["t"]):
+                b = (text or "").encode("utf-8")
+                c = len(zlib.compress(b, level)) if b else 0
+                out.append(
+                    (i, len(b), c, round(c / len(b), 6) if b else 0.0)
+                )
+            yield pd.DataFrame(
+                out, columns=["id", "n_bytes", "n_compressed", "compression_ratio"]
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).repartition(par)
+    return src.mapInPandas(
+        kern, "id long, n_bytes long, n_compressed long, compression_ratio double"
+    )
+
+
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Token counting: regex tokens, whitespace tokens, distinct tokens,
     total/mean token length — all via higher-order functions, zero shuffle."""

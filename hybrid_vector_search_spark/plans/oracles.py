@@ -127,6 +127,111 @@ ORDER BY label, cos_centroid, vec_id
 """
 
 
+# textstats.oov_rate: top-1000-by-(df desc, tok asc) vocabulary, left-join
+# scoring; token-less docs kept with rate 0.0 (explode_outer ↔ LEFT JOIN)
+OOV_RATE_STATS = f"""
+WITH {TOKL},
+toks AS (SELECT doc_id AS id, unnest(ts) AS tok FROM tokl),
+dfreq AS (SELECT tok, count(DISTINCT id) AS df FROM toks GROUP BY tok),
+vocab AS (SELECT tok FROM dfreq ORDER BY df DESC, tok LIMIT 1000),
+per AS (
+  SELECT id, count(*) AS n_tokens,
+         count(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov
+  FROM toks LEFT JOIN vocab v USING (tok)
+  GROUP BY id
+)
+SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(p.n_oov, 0)::BIGINT AS n_oov,
+       CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+            ELSE round(p.n_oov::DOUBLE / p.n_tokens, 6) END AS oov_rate
+FROM documents d LEFT JOIN per p ON p.id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# pipeline.url_domain_stats / operators.urls: identical regex sequence with
+# the 'g' flag (Spark regexp_replace is global by default); registrable
+# domain = last 2 labels, 3 for the co.uk family
+URL_DOMAIN_STATS = r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text
+           || ' see https://WWW.Example' || (doc_id % 3)::VARCHAR
+           || '.COM/page/' || doc_id::VARCHAR
+           || '?utm_source=x&id=' || doc_id::VARCHAR
+           || '&utm_medium=y#frag and http://blog.example' || (doc_id % 3)::VARCHAR
+           || '.co.uk/post-' || doc_id::VARCHAR || '/'
+         ELSE text END AS text
+  FROM documents
+),
+u AS (
+  SELECT doc_id AS id,
+         unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(?:/[^\s]*)?')) AS url
+  FROM planted
+),
+e AS (
+  SELECT id, url,
+         lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)) AS host,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           'https://' || lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1))
+             || regexp_extract(url, 'https?://[A-Za-z0-9.-]+(/[^\s]*)?', 1),
+           '#[^\s]*', '', 'g'),
+           '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+           '[?&]$', '', 'g'),
+           '/$', '', 'g') AS norm_url
+  FROM u
+),
+dom AS (
+  SELECT id, norm_url,
+         CASE
+           WHEN len(string_split(host, '.')) <= 2 THEN host
+           WHEN array_to_string(string_split(host, '.')[len(string_split(host, '.'))-1:], '.')
+                IN ('co.uk', 'com.au', 'co.jp', 'co.in', 'com.br')
+                AND len(string_split(host, '.')) >= 3
+           THEN array_to_string(string_split(host, '.')[len(string_split(host, '.'))-2:], '.')
+           ELSE array_to_string(string_split(host, '.')[len(string_split(host, '.'))-1:], '.')
+         END AS domain
+  FROM e
+)
+SELECT domain,
+       count(*)::BIGINT AS n_urls,
+       count(DISTINCT id)::BIGINT AS n_docs,
+       count(DISTINCT norm_url)::BIGINT AS n_distinct_urls
+FROM dom
+GROUP BY domain
+ORDER BY domain
+"""
+
+
+# sampling.stratified_sample_exact: md5('#'||key) rank order, key tiebreak
+STRATIFIED_EXACT_K = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5('#' || doc_id::VARCHAR), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 10
+ORDER BY lang, doc_id
+"""
+
+
+# pipeline.user_purge_counts: the anti-join is NOT IN the deletion list
+USER_PURGE_COUNTS = """
+WITH purge AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+kept AS (
+  SELECT event_type, count(*) AS n_kept
+  FROM events WHERE user_id NOT IN (SELECT user_id FROM purge)
+  GROUP BY event_type
+),
+total AS (SELECT event_type, count(*) AS n_total FROM events GROUP BY event_type)
+SELECT t.event_type, t.n_total,
+       coalesce(k.n_kept, 0) AS n_kept,
+       t.n_total - coalesce(k.n_kept, 0) AS n_purged
+FROM total t LEFT JOIN kept k USING (event_type)
+ORDER BY t.event_type
+"""
+
+
 # dedup.sorted_neighborhood_pairs over the planted-dupes corpus: identical
 # normalized-prefix key, first-char bucket, per-bucket rank, window-3
 # candidates, exact-Jaccard verification — rank ties broken by doc_id in
@@ -1022,6 +1127,10 @@ PIPELINE_ORACLES: dict[str, str] = {
     "source_minhash_similarity": SOURCE_MINHASH_SIMILARITY,
     "embedding_centroid_outliers": EMBEDDING_CENTROID_OUTLIERS,
     "sorted_neighborhood_dedup": SORTED_NEIGHBORHOOD,
+    "stratified_sample_exact_k": STRATIFIED_EXACT_K,
+    "url_domain_stats": URL_DOMAIN_STATS,
+    "oov_rate_stats": OOV_RATE_STATS,
+    "user_purge_counts": USER_PURGE_COUNTS,
     "multimodal_binary_stats": MULTIMODAL_BINARY,
     "unigram_logprob_score": UNIGRAM_LOGPROB,
     "doc_repetition": DOC_REPETITION,

@@ -154,6 +154,95 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-compressibility per doc (rows-only driver check: zlib has no SQL
+    twin; value determinism + known-fixture bands pinned in pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = textstats.compression_ratio(docs, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"), "n_bytes", "n_compressed", "compression_ratio"
+    ).orderBy("doc_id")
+
+
+def oov_rate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage diagnostic: per-doc OOV rate against the corpus's
+    own top-1000-by-df vocabulary (deterministic cut: df desc, token asc via
+    TakeOrderedAndProject — no single-task sort). Vocabulary broadcasts;
+    corpus makes one exploded pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = textstats.oov_rate(docs, "doc_id", "text", vocab_size=1000)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_oov", "oov_rate"
+    ).orderBy("doc_id")
+
+
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level corpus rollup over deterministically PLANTED URLs (the
+    synthetic corpus has none — same fixture pattern as pii_redact): every
+    5th doc gets a mixed-case tracking-paramed https URL and a multi-part-
+    TLD http URL derived from its doc_id. Extraction, normalization (case,
+    fragment, utm/fbclid/gclid, dangling separators, trailing slash) and
+    the registrable-domain approximation are pure JVM regexp expressions;
+    the oracle replays the identical regex sequence with the 'g' flag."""
+    from ..operators.urls import domain_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    m3 = (F.col("doc_id") % 3).cast("string")
+    suffix = F.concat(
+        F.lit(" see https://WWW.Example"), m3, F.lit(".COM/page/"), d,
+        F.lit("?utm_source=x&id="), d,
+        F.lit("&utm_medium=y#frag and http://blog.example"), m3,
+        F.lit(".co.uk/post-"), d, F.lit("/"),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), suffix))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return domain_stats(planted, "doc_id", "text").orderBy("domain")
+
+
+def stratified_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quota draw: 10 hash-ranked docs per lang (eval-set
+    construction — "10k per language", not a rate). Selection is the md5
+    rank order the oracle replays verbatim; one stratum exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_sample_exact(docs, "doc_id", "lang", 10)
+    return out.select("doc_id", "lang").orderBy("lang", "doc_id")
+
+
+def user_purge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure audit: purge every event of the users on a deletion
+    list (here: user_id % 97 = 0, standing in for an arbitrary request
+    table) via a broadcast LEFT ANTI join — the fact table never shuffles,
+    the purge list is dimension-sized by nature — and report kept/purged
+    counts per event type. The deletion list is handled as a RELATION, not
+    an inlined predicate, because at 100 TB it arrives as one (a compliance
+    table), and the same plan then serves any list."""
+    ev = load_table(spark, sf_dir, "events")
+    purge = (
+        ev.select("user_id").distinct().where(F.col("user_id") % 97 == 0)
+    )
+    kept = (
+        ev.join(F.broadcast(purge), "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    total = ev.groupBy("event_type").agg(F.count("*").alias("n_total"))
+    return (
+        total.join(kept, "event_type", "left")
+        .select(
+            "event_type",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).alias("n_purged"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SNM blocking over the planted-dupes corpus: rank-window candidates
     (first-char buckets, normalized-prefix sort key, window 3) verified with

@@ -138,6 +138,43 @@ PICKS = {
         "pipeline shape (mapInPandas sketch -> cell-sum agg -> broadcast\n"
         "lookup join) lives in operators/sketch.py:66-150."
     ),
+    "decontaminate_bloom": (
+        "Bloom-prefiltered decontamination: the broadcast is a fixed-size\n"
+        "(word, mask) bitmap, membership is 4 chained map-side\n"
+        "BroadcastHashJoins with bit tests (no fact shuffle, no probe-side\n"
+        "explode), and survivors re-verify against the exact shingle set -\n"
+        "the answer equals the exact plan while the broadcast stays m_bits/8\n"
+        "bytes however large the holdout grows."
+    ),
+    "source_minhash_similarity": (
+        "Corpus-level MinHash: per-doc signature mins inside a map-only Arrow\n"
+        "kernel (chunked seeded-md5 slots), ONE groupBy(source) min-fold with\n"
+        "map-side partials (shuffle = |sources| x 32 longs per partition),\n"
+        "then a |sources|^2 pair join on the tiny signature relation."
+    ),
+    "winsorized_value_stats": (
+        "Winsorized stats: exact P5/P95 as window aggregates over\n"
+        "partitionBy(event_type) and the clipped per-type aggregate REUSE one\n"
+        "hashpartitioning exchange; means are exact decimal sums divided as\n"
+        "double, so the result is bit-stable at any parallelism."
+    ),
+    "sorted_neighborhood_dedup": (
+        "Sorted-neighborhood dedup: rank windows partition by first-char\n"
+        "bucket (no global sort), candidates are rank-distance <= 3 joins\n"
+        "(<= n x w pairs by construction), and only candidate pairs pay the\n"
+        "exact-Jaccard shingle verification."
+    ),
+    "user_purge_counts": (
+        "Right-to-erasure purge: the deletion list is a broadcast LEFT ANTI\n"
+        "relation - the events fact table never shuffles for the purge; the\n"
+        "only exchanges are the two per-type audit aggregates."
+    ),
+    "oov_rate_stats": (
+        "Tokenizer OOV coverage: the vocab cut is TakeOrderedAndProject\n"
+        "(per-partition heaps over the token-df relation), the vocab\n"
+        "broadcasts into the scoring join, and the corpus makes one exploded\n"
+        "pass + one groupBy(id)."
+    ),
 }
 
 

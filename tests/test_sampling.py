@@ -58,3 +58,61 @@ def test_corpus_never_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "lang" in line and "doc_id" not in line, line
+
+
+def test_stratified_exact_k_counts_and_stability(spark):
+    """Exactly min(k, |stratum|) rows per stratum; growing a stratum can only
+    EVICT tail rows from the kept prefix, never admit previously-unranked
+    rows ahead of kept ones (the hash ordering is static)."""
+    from hybrid_vector_search_spark.operators.sampling import stratified_sample_exact
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = stratified_sample_exact(df, "id", "s", 7)
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 7, "b": 7}
+    # tiny stratum: returns the whole stratum, not an error
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "id long, s string")
+    assert stratified_sample_exact(small, "id", "s", 7).count() == 2
+    # stability: sample from a 50-row prefix corpus; every kept id that is
+    # ALSO kept in the 100-row corpus keeps its relative hash order — i.e.
+    # kept(100) ∩ prefix ⊆ kept(50)
+    pre = spark.createDataFrame(rows[:50], "id long, s string")
+    kept_small = {r["id"] for r in stratified_sample_exact(pre, "id", "s", 7).collect()}
+    kept_big = {r["id"] for r in stratified_sample_exact(df, "id", "s", 7).collect()}
+    assert kept_big & {i for i, _ in rows[:50]} <= kept_small
+
+
+def test_user_purge_removes_every_listed_user(spark):
+    """No event of a purged user survives, and the audit counts reconcile."""
+    from hybrid_vector_search_spark.plans.pipeline import user_purge_counts
+    from hybrid_vector_search_spark.sources import load_table
+
+    from .conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    kept = ev.join(
+        F.broadcast(ev.select("user_id").distinct().where(F.col("user_id") % 97 == 0)),
+        "user_id",
+        "left_anti",
+    )
+    assert kept.where(F.col("user_id") % 97 == 0).count() == 0
+    audit = user_purge_counts(spark, SF_SMALL).collect()
+    assert all(r["n_total"] == r["n_kept"] + r["n_purged"] for r in audit)
+    assert sum(r["n_purged"] for r in audit) == ev.where(F.col("user_id") % 97 == 0).count()
+
+
+def test_user_purge_anti_join_is_broadcast(spark):
+    """The deletion list must broadcast: BroadcastHashJoin ... LeftAnti in
+    the plan, never a shuffled anti join of the fact table."""
+    from hybrid_vector_search_spark.plans.pipeline import user_purge_counts
+
+    from .conftest import SF_SMALL
+
+    plan = (
+        user_purge_counts(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan and "SortMergeJoin LeftAnti" not in plan, plan

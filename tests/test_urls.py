@@ -1,0 +1,67 @@
+"""operators.urls: normalization and registrable-domain unit behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hybrid_vector_search_spark.operators import urls
+
+
+def _norm(spark, u):
+    return (
+        spark.createDataFrame([(u,)], "url string")
+        .select(urls.normalize_url(F.col("url")).alias("n"))
+        .first()["n"]
+    )
+
+
+def test_normalize_strips_tracking_fragment_case_slash(spark):
+    assert (
+        _norm(spark, "https://WWW.Ex.COM/Page?utm_source=a&id=7&utm_medium=b#frag")
+        == "https://www.ex.com/Page?id=7"
+    )
+    assert _norm(spark, "http://Ex.com/path/") == "https://ex.com/path"
+    assert _norm(spark, "https://ex.com/p?utm_x=1") == "https://ex.com/p"
+    # path case is PRESERVED (paths are case-sensitive; only host lowers)
+    assert _norm(spark, "https://EX.com/CaseSensitive") == "https://ex.com/CaseSensitive"
+
+
+def test_registrable_domain_rules(spark):
+    rows = [
+        ("www.example.com", "example.com"),
+        ("a.b.c.example.co.uk", "example.co.uk"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("deep.sub.example.org", "example.org"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "host string")
+    got = [
+        r["d"]
+        for r in df.select(urls.registrable_domain(F.col("host")).alias("d")).collect()
+    ]
+    assert got == [want for _, want in rows]
+
+
+def test_extract_counts_occurrences_not_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, "x https://a.com/p y https://a.com/p z")], "id long, text string"
+    )
+    assert urls.extract_urls(df, "id", "text").count() == 2
+
+
+def test_domain_stats_is_single_aggregate_plan(spark):
+    """Everything before the domain groupBy must be a narrow map (regex
+    projections + explode) — the aggregate exchanges are the only shuffles
+    (two hashpartitionings: the distinct-expand pass and the final merge)."""
+    df = spark.createDataFrame(
+        [(i, f"see https://ex{i % 3}.com/p{i}") for i in range(30)],
+        "id long, text string",
+    )
+    plan = (
+        urls.domain_stats(df, "id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "Generate explode" in plan, plan
