@@ -16,6 +16,12 @@ the standard approximation — last two host labels, or three when the
 two-label suffix is a well-known multi-part TLD (co.uk family). The operator
 shape (project → groupBy domain) is unchanged by swapping in a full PSL
 lookup table as a broadcast join.
+
+Scope limits (deliberate, consistent on both engines): URL_RE matches
+scheme + host + optional path only — explicit ports (`host:8080/...`) and
+userinfo (`u:p@host`) truncate at the host (rare in web corpora; a port-
+aware pattern drops in without changing any plan), and internationalized
+hostnames must already be punycoded (raw unicode hosts don't match).
 """
 
 from __future__ import annotations

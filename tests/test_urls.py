@@ -65,3 +65,31 @@ def test_domain_stats_is_single_aggregate_plan(spark):
     )
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
     assert "Generate explode" in plan, plan
+
+
+def test_normalize_is_idempotent(spark):
+    """normalize(normalize(u)) == normalize(u) — normalized output re-parses
+    to itself, so URL-level dedup keys are stable under re-processing."""
+    cases = [
+        "https://WWW.Ex.COM/Page?utm_source=a&id=7#f",
+        "http://blog.example.co.uk/post-5/",
+        "https://a.b.example.org",
+        "https://ex.com/p?utm_x=1&utm_y=2",
+    ]
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    once = df.select(urls.normalize_url(F.col("url")).alias("n"))
+    twice = once.select(urls.normalize_url(F.col("n")).alias("n"))
+    assert [r["n"] for r in once.collect()] == [r["n"] for r in twice.collect()]
+
+
+def test_snm_precision_is_one_by_construction(spark):
+    """Every returned SNM pair must actually satisfy the Jaccard threshold —
+    candidates are verified, never trusted."""
+    from hybrid_vector_search_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"common opening words here tail{i // 2}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = dd.sorted_neighborhood_pairs(docs, "doc_id", "text", min_jaccard=0.5)
+    assert all(r["jaccard"] >= 0.5 for r in out.collect())
