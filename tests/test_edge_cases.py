@@ -155,3 +155,45 @@ def test_bpe_pretokenizer_cross_engine_on_punctuation(spark, duck):
         FROM p ORDER BY doc_id
     """).fetchall()
     assert got == [tuple(r) for r in want]
+
+
+def test_r5_ops_on_null_and_empty_text(spark):
+    """Every r5 text operator must survive null/empty/short text with a
+    well-formed result, never an error."""
+    from hybrid_vector_search_spark.operators import dedup, textstats, urls
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one two three four five six seven"), (4, "x")],
+        "doc_id long, text string",
+    )
+    # SNM: null/empty keys group into their own buckets, no crash
+    pairs = dedup.sorted_neighborhood_pairs(df, "doc_id", "text").collect()
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+    # grouped minhash: docs with no shingles drop out; group of only-empty
+    # docs yields no signature row
+    sdf = spark.createDataFrame(
+        [("a", None), ("a", ""), ("b", "alpha beta gamma delta")],
+        "src string, text string",
+    )
+    sigs = dedup.grouped_minhash_signatures(sdf, "src", "text", num_hashes=8).collect()
+    assert {r["g"] for r in sigs} == {"b"}
+    # oov: null text keeps the doc at 0 tokens / rate 0.0
+    rates = {r["id"]: r for r in textstats.oov_rate(df, "doc_id", "text").collect()}
+    assert rates[1]["n_tokens"] == 0 and rates[1]["oov_rate"] == 0.0
+    # compression: null → 0 bytes, ratio 0.0
+    comp = {r["id"]: r for r in textstats.compression_ratio(df, "doc_id", "text").collect()}
+    assert comp[1]["n_bytes"] == 0 and comp[1]["compression_ratio"] == 0.0
+    # urls: null text extracts nothing
+    assert urls.extract_urls(df.where(F.col("doc_id") == 1), "doc_id", "text").count() == 0
+
+
+def test_bloom_empty_key_set(spark):
+    """An empty Bloom build yields an empty bitmap; every probe is rejected
+    (inner join on zero words) — an empty holdout decontaminates nothing."""
+    from hybrid_vector_search_spark.operators import bloom
+
+    empty = spark.createDataFrame([], "k string")
+    probes = spark.createDataFrame([("a",), ("b",)], "k string")
+    bm = bloom.bloom_build(empty, "k", m_bits=1 << 10, k=3)
+    assert bm.count() == 0
+    assert bloom.bloom_prefilter(probes, "k", bm, m_bits=1 << 10, k=3).count() == 0
