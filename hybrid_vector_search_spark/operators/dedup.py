@@ -350,45 +350,58 @@ def sorted_neighborhood_pairs(
     min_jaccard: float = 0.5,
     shingle_n: int = 3,
     round_dp: int = 6,
+    passes: int = 1,
 ) -> DataFrame:
     """Sorted-Neighborhood Method (Hernández & Stolfo 1995) near-dup pass:
     sort by a cheap blocking key (normalized-text prefix), compare each doc
     only to its ``window`` successors in the sorted order, verify candidates
     with exact shingle Jaccard. The third dedup-blocking family next to
     LSH banding (minhash/simhash) and IVF buckets — linear candidate count
-    (n·window) with recall concentrated on docs whose *openings* match,
-    which is exactly the re-crawl/boilerplate-copy shape.
+    (n·window·passes) with recall concentrated on docs whose *openings*
+    match, which is exactly the re-crawl/boilerplate-copy shape.
 
-    Distributed ordering without a global window: the sort runs per BUCKET
-    (first character of the key), so each rank window is
-    ``partitionBy(bucket)`` — no single-task global sort. The standard SNM
-    caveat applies twice: near-dups whose keys differ early, or that
-    straddle a bucket boundary, are missed in this single pass (production
-    runs multiple passes with independent keys, exactly like LSH bands).
+    ``passes=2`` adds the standard multi-pass recall fix (the SNM analog of
+    extra LSH bands): a second, independent sort key — the prefix of the
+    REVERSED normalized text, i.e. the document's ending — catches
+    near-dups whose openings differ (prepended headlines, bylines).
+    Candidates from all passes union (distinct) BEFORE verification, so
+    each surviving pair pays the Jaccard check once.
+
+    Distributed ordering without a global window: each pass sorts per
+    BUCKET (first character of its key), so each rank window is
+    ``partitionBy(bucket)`` — no single-task global sort. Pairs that
+    straddle a bucket boundary or differ in every pass's key region are
+    still missed (more passes = more recall, same as more bands).
     Returned pairs are exact-verified, so precision is 1 by construction.
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
-    keys = df.select(
-        F.col(id_col).alias("id"), norm.substr(1, key_len).alias("key")
-    ).withColumn("b", F.substring("key", 1, 1))
-    rank_w = Window.partitionBy("b").orderBy("key", "id")
-    ranked = keys.withColumn("rn", F.row_number().over(rank_w))
-    offs = F.explode(F.array(*[F.lit(i) for i in range(1, window + 1)])).alias("off")
-    left = ranked.select("b", "rn", F.col("id").alias("id_l"), offs)
-    right = ranked.select(
-        F.col("b").alias("b_r"), F.col("rn").alias("rn_r"), F.col("id").alias("id_r")
-    )
-    cand = (
-        left.join(
+    pass_keys = [norm.substr(1, key_len), F.reverse(norm).substr(1, key_len)]
+    if not 1 <= passes <= len(pass_keys):
+        raise ValueError(f"passes must be in [1, {len(pass_keys)}], got {passes}")
+
+    def _candidates(key_expr) -> DataFrame:
+        keys = df.select(
+            F.col(id_col).alias("id"), key_expr.alias("key")
+        ).withColumn("b", F.substring("key", 1, 1))
+        rank_w = Window.partitionBy("b").orderBy("key", "id")
+        ranked = keys.withColumn("rn", F.row_number().over(rank_w))
+        offs = F.explode(F.array(*[F.lit(i) for i in range(1, window + 1)])).alias("off")
+        left = ranked.select("b", "rn", F.col("id").alias("id_l"), offs)
+        right = ranked.select(
+            F.col("b").alias("b_r"), F.col("rn").alias("rn_r"), F.col("id").alias("id_r")
+        )
+        return left.join(
             right,
             (F.col("b") == F.col("b_r")) & (F.col("rn") + F.col("off") == F.col("rn_r")),
-        )
-        .select(
+        ).select(
             F.least("id_l", "id_r").alias("id_a"),
             F.greatest("id_l", "id_r").alias("id_b"),
         )
-        .distinct()
-    )
+
+    cand = _candidates(pass_keys[0])
+    for key_expr in pass_keys[1:passes]:
+        cand = cand.unionAll(_candidates(key_expr))
+    cand = cand.distinct()
     sh = shingle_table(df, id_col, text_col, n=shingle_n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (

@@ -242,15 +242,25 @@ WITH u AS (
   UNION ALL
   SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
 ),
-k AS (SELECT doc_id, substr({NORM_TEXT}, 1, 24) AS key FROM u),
-r AS (SELECT doc_id, key, substr(key, 1, 1) AS b,
-             row_number() OVER (PARTITION BY substr(key, 1, 1)
-                                ORDER BY key, doc_id) AS rn
-      FROM k),
+k AS (SELECT doc_id, substr({NORM_TEXT}, 1, 24) AS key,
+             substr(reverse({NORM_TEXT}), 1, 24) AS key2 FROM u),
+r1 AS (SELECT doc_id, row_number() OVER (PARTITION BY substr(key, 1, 1)
+                                         ORDER BY key, doc_id) AS rn,
+              substr(key, 1, 1) AS b
+       FROM k),
+r2 AS (SELECT doc_id, row_number() OVER (PARTITION BY substr(key2, 1, 1)
+                                         ORDER BY key2, doc_id) AS rn,
+              substr(key2, 1, 1) AS b
+       FROM k),
 cand AS (
-  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
-                  greatest(a.doc_id, b.doc_id) AS id_b
-  FROM r a JOIN r b ON a.b = b.b AND b.rn - a.rn BETWEEN 1 AND 3
+  SELECT DISTINCT least(id_l, id_r) AS id_a, greatest(id_l, id_r) AS id_b
+  FROM (
+    SELECT a.doc_id AS id_l, b.doc_id AS id_r
+    FROM r1 a JOIN r1 b ON a.b = b.b AND b.rn - a.rn BETWEEN 1 AND 3
+    UNION ALL
+    SELECT a.doc_id AS id_l, b.doc_id AS id_r
+    FROM r2 a JOIN r2 b ON a.b = b.b AND b.rn - a.rn BETWEEN 1 AND 3
+  )
 ),
 tokl AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
          '[^a-z0-9]+'), t -> t <> '') AS ts FROM u),

@@ -244,14 +244,15 @@ def user_purge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SNM blocking over the planted-dupes corpus: rank-window candidates
-    (first-char buckets, normalized-prefix sort key, window 3) verified with
-    exact 3-gram Jaccard ≥ 0.5. Planted exact dupes share their original's
-    key, so they sort adjacent and are guaranteed candidates — the oracle
-    replays rank, candidates, and Jaccard verbatim."""
+    """Two-pass SNM blocking over the planted-dupes corpus: rank-window
+    candidates (first-char buckets, window 3) from BOTH the normalized-
+    prefix key and the reversed-text (ending) key, unioned before one exact
+    3-gram Jaccard ≥ 0.5 verification. Planted exact dupes share both keys,
+    so they sort adjacent in both passes — the oracle replays ranks,
+    candidate union, and Jaccard verbatim."""
     docs = _with_planted_dupes(load_table(spark, sf_dir, "documents"))
     out = dedup.sorted_neighborhood_pairs(
-        docs, "doc_id", "text", key_len=24, window=3, min_jaccard=0.5
+        docs, "doc_id", "text", key_len=24, window=3, min_jaccard=0.5, passes=2
     )
     return out.select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"

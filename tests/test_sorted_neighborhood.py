@@ -57,3 +57,26 @@ def test_window_is_bucketed_not_global(spark):
     )
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(b" in plan, plan
+
+
+def test_second_pass_catches_differing_openings(spark):
+    """Docs identical except a prepended headline miss the prefix pass but
+    share the reversed-text (ending) key — passes=2 must find them."""
+    body = "shared body text alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, body), (2, "zzz unique headline " + body)]
+        + [(10 + i, f"filler document number {i} totally different words") for i in range(8)],
+        "doc_id long, text string",
+    )
+    one = dedup.sorted_neighborhood_pairs(docs, "doc_id", "text", min_jaccard=0.5, passes=1)
+    two = dedup.sorted_neighborhood_pairs(docs, "doc_id", "text", min_jaccard=0.5, passes=2)
+    assert not [r for r in one.collect() if (r["id_a"], r["id_b"]) == (1, 2)]
+    assert [r for r in two.collect() if (r["id_a"], r["id_b"]) == (1, 2)]
+
+
+def test_passes_validation(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.sorted_neighborhood_pairs(docs, "doc_id", "text", passes=3)
