@@ -998,7 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verifies a prefix window (~50), so the round-5 layout retires the oldest
     evidence first: (1) the 3 queries whose last driver hash-match is r2 —
     two testdata regenerations ago — plus heavy_hitters_cm, whose r4-added
-    cell-replay oracle has never actually been driver-run; (2) the 30
+    cell-replay oracle has never actually been driver-run; (2) the 31
     queries NEW in r5 (PQ ANN, degenerate-exact IVF near-dup, streaming
     count-min, multimodal resize, sequence packing, positional phrase
     search, per-source cap, NB classifier, frame sampling, salted-agg
@@ -1009,8 +1009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     per-source MinHash similarity, winsorized stats, centroid outliers,
     sorted-neighborhood dedup, exact-k stratified sampling, right-to-
     erasure purge, URL/domain rollups, OOV-rate coverage, zlib
-    compression-ratio) — never driver-checked, so ahead of
-    re-attestation;
+    compression-ratio, per-gate cleaning funnel) — never driver-checked,
+    so ahead of re-attestation;
     (3) the next r3-verified queries — ordered non-relational/complex
     first; the remaining r3-green relational
     ones sit just past the ~50 cut and lead r6's rotation; (4) the
@@ -1052,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_exact_k": pipeline.stratified_sample_exact_k,
         "url_domain_stats": pipeline.url_domain_stats,
         "oov_rate_stats": pipeline.oov_rate_stats,
+        "corpus_clean_funnel": pipeline.corpus_clean_funnel,
         # rows-only: zlib has no SQL twin (like ann_* / approx sketches);
         # determinism and value bands pinned in tests/test_textstats_extra.py
         "compression_ratio": pipeline.compression_ratio_stats,

@@ -549,7 +549,7 @@ GROUP BY 1, 2
 ORDER BY split, lang
 """
 
-def _corpus_clean_sql() -> str:
+def _corpus_clean_sql(tail: str | None = None) -> str:
     langs = sorted(STOPWORDS)
     ratios = ", ".join(
         f"round(len(list_intersect(dt, {_stop_list(lg)}))::DOUBLE / greatest(len(dt), 1), 6) AS ratio_{lg}"
@@ -589,7 +589,11 @@ sp AS (
               ELSE 'train' END AS split
   FROM documents
 )
-SELECT source, count(*) AS n_docs, round(sum(quality), 4) AS sum_quality
+{tail or _CORPUS_CLEAN_TAIL}
+"""
+
+
+_CORPUS_CLEAN_TAIL = """SELECT source, count(*) AS n_docs, round(sum(quality), 4) AS sum_quality
 FROM documents
 JOIN q USING (doc_id)
 JOIN lg USING (doc_id)
@@ -597,11 +601,31 @@ JOIN dup USING (doc_id)
 JOIN sp USING (doc_id)
 WHERE quality >= 0.5 AND pred_lang = 'en' AND NOT is_duplicate AND split = 'train'
 GROUP BY source
-ORDER BY source
-"""
+ORDER BY source"""
+
+
+# pipeline.corpus_clean_funnel: per-gate pass counts over the SAME gate CTEs
+# — the per-source funnel a pipeline dashboard reads (each count independent,
+# n_kept = the conjunction, reconciling with corpus_clean's n_docs)
+_CORPUS_FUNNEL_TAIL = """SELECT source,
+       count(*)::BIGINT AS n_total,
+       sum((quality >= 0.5)::INT)::BIGINT AS n_quality,
+       sum((pred_lang = 'en')::INT)::BIGINT AS n_lang,
+       sum((NOT is_duplicate)::INT)::BIGINT AS n_unique,
+       sum((split = 'train')::INT)::BIGINT AS n_train,
+       sum((quality >= 0.5 AND pred_lang = 'en' AND NOT is_duplicate
+            AND split = 'train')::INT)::BIGINT AS n_kept
+FROM documents
+JOIN q USING (doc_id)
+JOIN lg USING (doc_id)
+JOIN dup USING (doc_id)
+JOIN sp USING (doc_id)
+GROUP BY source
+ORDER BY source"""
 
 
 CORPUS_CLEAN = _corpus_clean_sql()
+CORPUS_CLEAN_FUNNEL = _corpus_clean_sql(_CORPUS_FUNNEL_TAIL)
 
 
 def _pii_sql() -> str:
@@ -1156,6 +1180,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dataset_split_counts": DATASET_SPLIT_COUNTS,
     "lang_temperature_mix": LANG_TEMPERATURE_MIX,
     "corpus_clean": CORPUS_CLEAN,
+    "corpus_clean_funnel": CORPUS_CLEAN_FUNNEL,
     "gopher_quality_rules": GOPHER_RULES,
     "duplicate_spans": DUPLICATE_SPANS,
     "char_entropy_score": CHAR_ENTROPY,

@@ -503,6 +503,28 @@ def lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_stratum", "keep_rate").orderBy("doc_id")
 
 
+def _corpus_gates(docs: DataFrame) -> DataFrame:
+    """docs + the four cleaning-gate columns (quality, pred_lang,
+    is_duplicate, split) as ONE Catalyst plan — shared by corpus_clean
+    (keep + summarize), corpus_clean_funnel (per-gate accounting), and the
+    Observation variant."""
+    q = textstats.quality_score(docs, "doc_id", "text").select("doc_id", "quality")
+    lang = textstats.language_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    dup = dedup.exact_dedup(docs, "doc_id", "text").select("doc_id", "is_duplicate")
+    split = sampling.dataset_split(docs, "doc_id").select("doc_id", "split")
+    return docs.join(q, "doc_id").join(lang, "doc_id").join(dup, "doc_id").join(split, "doc_id")
+
+
+def _corpus_keep():
+    # built lazily: classic-mode Column construction needs an active context
+    return (
+        (F.col("quality") >= 0.5)
+        & (F.col("pred_lang") == "en")
+        & (~F.col("is_duplicate"))
+        & (F.col("split") == "train")
+    )
+
+
 def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite cleaning pipeline — quality gate ∧ language gate ∧
     exact-dedup ∧ train-split, summarized per source.
@@ -512,27 +534,65 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     one Catalyst plan (scan once; no stage materializes the corpus).
     """
     docs = load_table(spark, sf_dir, "documents")
-    q = textstats.quality_score(docs, "doc_id", "text").select("doc_id", "quality")
-    lang = textstats.language_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
-    dup = dedup.exact_dedup(docs, "doc_id", "text").select("doc_id", "is_duplicate")
-    split = sampling.dataset_split(docs, "doc_id").select("doc_id", "split")
-    kept = (
-        docs.join(q, "doc_id")
-        .join(lang, "doc_id")
-        .join(dup, "doc_id")
-        .join(split, "doc_id")
-        .where(
-            (F.col("quality") >= 0.5)
-            & (F.col("pred_lang") == "en")
-            & (~F.col("is_duplicate"))
-            & (F.col("split") == "train")
-        )
-    )
+    kept = _corpus_gates(docs).where(_corpus_keep())
     return (
         kept.groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.round(F.sum("quality"), 4).alias("sum_quality"))
         .orderBy("source")
     )
+
+
+def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source gate-by-gate retention accounting over the SAME gate plan
+    as corpus_clean — the funnel a pipeline dashboard shows (how many docs
+    each gate passes independently, and the kept conjunction). One fact
+    aggregate; each gate is a flag sum, so the funnel costs one pass no
+    matter how many gates compose."""
+    docs = load_table(spark, sf_dir, "documents")
+    flag = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return (
+        _corpus_gates(docs)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            flag(F.col("quality") >= 0.5).alias("n_quality"),
+            flag(F.col("pred_lang") == "en").alias("n_lang"),
+            flag(~F.col("is_duplicate")).alias("n_unique"),
+            flag(F.col("split") == "train").alias("n_train"),
+            flag(_corpus_keep()).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_clean_observed(spark: SparkSession, sf_dir: str):
+    """(result_df, Observation) — corpus_clean with Spark's native
+    Observation metrics attached to the pre-filter relation: ONE action on
+    the result also yields corpus-wide funnel counters (no second job, no
+    second scan — the observe node is a free side-channel on the same
+    pass). The numbers equal corpus_clean_funnel's totals; pinned in
+    tests/test_observe.py."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("corpus_clean")
+    flag = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    observed = _corpus_gates(docs).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        flag(F.col("quality") >= 0.5).alias("n_quality"),
+        flag(F.col("pred_lang") == "en").alias("n_lang"),
+        flag(~F.col("is_duplicate")).alias("n_unique"),
+        flag(F.col("split") == "train").alias("n_train"),
+        flag(_corpus_keep()).alias("n_kept"),
+    )
+    result = (
+        observed.where(_corpus_keep())
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.round(F.sum("quality"), 4).alias("sum_quality"))
+        .orderBy("source")
+    )
+    return result, obs
 
 
 def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
