@@ -691,6 +691,13 @@ def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_op.hourly_rollup(load_table(spark, sf_dir, "events"))
 
 
+def q_events_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/15min windows (the third window family next to tumbling
+    and session); the oracle replays Spark's epoch-aligned window
+    assignment as time_bucket arithmetic."""
+    return events_op.sliding_rollup(load_table(spark, sf_dir, "events"))
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # user subset: sessionization semantics fully exercised (the per-user
     # window never crosses users) with a result-transfer-light output
@@ -998,7 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verifies a prefix window (~50), so the round-5 layout retires the oldest
     evidence first: (1) the 3 queries whose last driver hash-match is r2 —
     two testdata regenerations ago — plus heavy_hitters_cm, whose r4-added
-    cell-replay oracle has never actually been driver-run; (2) the 31
+    cell-replay oracle has never actually been driver-run; (2) the 32
     queries NEW in r5 (PQ ANN, degenerate-exact IVF near-dup, streaming
     count-min, multimodal resize, sequence packing, positional phrase
     search, per-source cap, NB classifier, frame sampling, salted-agg
@@ -1009,7 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     per-source MinHash similarity, winsorized stats, centroid outliers,
     sorted-neighborhood dedup, exact-k stratified sampling, right-to-
     erasure purge, URL/domain rollups, OOV-rate coverage, zlib
-    compression-ratio, per-gate cleaning funnel) — never driver-checked,
+    compression-ratio, per-gate cleaning funnel, sliding windows) — never driver-checked,
     so ahead of re-attestation;
     (3) the next r3-verified queries — ordered non-relational/complex
     first; the remaining r3-green relational
@@ -1053,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_stats": pipeline.url_domain_stats,
         "oov_rate_stats": pipeline.oov_rate_stats,
         "corpus_clean_funnel": pipeline.corpus_clean_funnel,
+        "events_sliding_rate": q_events_sliding_rate,
         # rows-only: zlib has no SQL twin (like ann_* / approx sketches);
         # determinism and value bands pinned in tests/test_textstats_extra.py
         "compression_ratio": pipeline.compression_ratio_stats,
@@ -1961,6 +1969,18 @@ GROUP BY 1, 2
 ORDER BY 1, 2
 """
 
+# streaming.events.sliding_rollup: each event belongs to the 4 sliding
+# windows whose epoch-aligned 15-min starts fall in (ts - 1h, ts]
+_SLIDING_ORACLE = """
+SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE AS w_start,
+       event_type,
+       count(*) AS n_events,
+       sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
+FROM events, range(0, 4) k(k)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
 _SESSION_WINDOW_ORACLE = """
 WITH g AS (
   SELECT event_id, user_id, ts, value,
@@ -2200,6 +2220,7 @@ def oracle_sql() -> dict[str, str]:
         "flatten_roundtrip": _FLATTEN_ORACLE,
         **PIPELINE_ORACLES,
         "events_hourly_rollup": _EVENTS_HOURLY_ORACLE,
+        "events_sliding_rate": _SLIDING_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,
         "events_session_window": _SESSION_WINDOW_ORACLE,
         "knn_bulk_topk": _KNN_BULK_ORACLE,

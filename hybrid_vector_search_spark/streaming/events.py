@@ -59,6 +59,32 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_rollup(events: DataFrame) -> DataFrame:
+    """SLIDING 1-hour window advancing every 15 minutes, per event_type —
+    the window family tumbling (hourly_rollup) and session (session_windows)
+    don't cover. Each event lands in exactly 4 overlapping windows;
+    `F.window(ts, '1 hour', '15 minutes')` replicates it JVM-side (the same
+    Expand shape as streaming would maintain incrementally), then one
+    groupBy aggregates — the 4× row fan-out carries only (window, type,
+    value), never the payload. Sums ride DECIMAL for engine-exactness.
+
+    The DuckDB oracle derives the same 4 epoch-aligned starts per event
+    (time_bucket 15 min, minus k·15 min for k in 0..3), pinning Spark's
+    window assignment arithmetic cross-engine.
+    """
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").start.alias("w_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
 def _event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """Parquet file-source stream of events with the same ts normalization as
     sources.loaders.load_table (TIMESTAMP_NTZ relabelled as UTC TIMESTAMP so
@@ -88,6 +114,27 @@ def stream_hourly_rollup(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
             F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+    )
+
+
+def stream_sliding_rollup(
+    spark: SparkSession, source_dir: str, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of :func:`sliding_rollup` — watermarked overlapping
+    windows; state holds only windows newer than (max event time −
+    watermark − 1 h), i.e. ≤ ~12 live windows per event_type at any moment
+    regardless of stream length."""
+    stream = _event_stream(spark, source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").start.alias("w_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
         )
     )
 

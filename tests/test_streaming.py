@@ -304,3 +304,27 @@ def test_stream_merge_into_recovers_from_mid_swap_crash(spark, tmp_path):
     assert out.count() == 105
     assert out.where("k < 100").count() == 100
     assert not os.path.exists(f"{tgt}._old")
+
+
+def test_stream_sliding_rollup_matches_batch(spark, events_dir):
+    """Overlapping (sliding) windows drained availableNow equal the batch
+    sliding_rollup on the same subset — window assignment and DECIMAL sums
+    agree across the incremental and one-shot plans."""
+    from hybrid_vector_search_spark.sources import load_table
+    from hybrid_vector_search_spark.streaming.events import sliding_rollup, stream_sliding_rollup
+
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    _drain(stream_sliding_rollup(spark, events_dir), name)
+    got = (
+        spark.table(name)
+        .select("w_start", "event_type", "n_events", "sum_value")
+        .orderBy("w_start", "event_type")
+        .collect()
+    )
+    want = (
+        sliding_rollup(load_table(spark, SF_SMALL, "events").where("user_id % 7 = 0"))
+        .select("w_start", "event_type", "n_events", "sum_value")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
