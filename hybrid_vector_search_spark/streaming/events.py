@@ -342,3 +342,67 @@ def stream_dedup_events(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+# ---------------------------------------- transformWithState (Spark 4 API)
+
+
+def stream_user_totals_tws(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-stateful API (typed state handles + timers) that
+    supersedes applyInPandasWithState; this engine carries both so either
+    generation of Spark streaming job migrates cleanly.
+
+    State: one ValueState (n_events, total scaled to int 1e4ths). The value
+    accumulates as SCALED INTEGERS so the running total is exact and
+    batch-order-independent — the streaming answer equals the batch
+    groupBy's DECIMAL sum bit-for-bit (pinned in tests/test_streaming.py).
+    Update mode emits each user's refreshed totals per micro-batch;
+    availableNow drains give one final row per user.
+
+    Requires the RocksDB state store provider (a transformWithState
+    prerequisite) — callers set
+    ``spark.sql.streaming.stateStore.providerClass`` before starting — and
+    protobuf (the TWS driver-worker wire format; not shipped in this
+    container, so the parity test is an importorskip lane that auto-runs
+    when the dependency appears, same policy as the codec lane).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n LONG, cents LONG")
+
+        def handleInputRows(
+            self, key, rows, timerValues
+        ) -> Iterator[pd.DataFrame]:
+            n, cents = self._state.get() or (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(round(float(pdf["value"].sum()) * 10_000))
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 10_000.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = _event_stream(spark, source_dir)
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

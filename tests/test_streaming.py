@@ -29,11 +29,11 @@ def events_dir(tmp_path_factory, spark):
     return str(d / "events.parquet")
 
 
-def _drain(stream_df, query_name: str):
+def _drain(stream_df, query_name: str, output_mode: str = "complete"):
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -328,3 +328,51 @@ def test_stream_sliding_rollup_matches_batch(spark, events_dir):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) > 0
+
+
+def test_transform_with_state_user_totals_match_batch(spark, events_dir):
+    """Spark 4 transformWithStateInPandas: per-user running totals drained
+    availableNow must equal the batch groupBy's DECIMAL-exact aggregate —
+    the new-generation stateful API answers to the same semantics as the
+    rest of the engine. Requires the RocksDB state store provider AND
+    protobuf (TWS's driver-worker wire format — absent in this container,
+    so the lane auto-upgrades when it appears, same policy as the
+    Pillow/av codec lane)."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState driver worker needs protobuf"
+    )
+    from hybrid_vector_search_spark.sources import load_table
+    from hybrid_vector_search_spark.streaming.events import stream_user_totals_tws
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        _drain(stream_user_totals_tws(spark, events_dir), name, output_mode="update")
+        # Update mode: keep each user's LAST emitted row (the final totals)
+        got = {
+            r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+            for r in spark.table(name).collect()
+        }
+        want = {
+            r["user_id"]: (r["n"], round(r["total"], 4))
+            for r in (
+                load_table(spark, SF_SMALL, "events")
+                .where("user_id % 7 = 0")
+                .groupBy("user_id")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+                )
+                .collect()
+            )
+        }
+        assert got == want and len(got) > 0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
