@@ -1005,7 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verifies a prefix window (~50), so the round-5 layout retires the oldest
     evidence first: (1) the 3 queries whose last driver hash-match is r2 —
     two testdata regenerations ago — plus heavy_hitters_cm, whose r4-added
-    cell-replay oracle has never actually been driver-run; (2) the 32
+    cell-replay oracle has never actually been driver-run; (2) the 33
     queries NEW in r5 (PQ ANN, degenerate-exact IVF near-dup, streaming
     count-min, multimodal resize, sequence packing, positional phrase
     search, per-source cap, NB classifier, frame sampling, salted-agg
@@ -1016,7 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     per-source MinHash similarity, winsorized stats, centroid outliers,
     sorted-neighborhood dedup, exact-k stratified sampling, right-to-
     erasure purge, URL/domain rollups, OOV-rate coverage, zlib
-    compression-ratio, per-gate cleaning funnel, sliding windows) — never driver-checked,
+    compression-ratio, per-gate cleaning funnel, sliding windows,
+    data-quality constraint sweep) — never driver-checked,
     so ahead of re-attestation;
     (3) the next r3-verified queries — ordered non-relational/complex
     first; the remaining r3-green relational
@@ -1061,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate_stats": pipeline.oov_rate_stats,
         "corpus_clean_funnel": pipeline.corpus_clean_funnel,
         "events_sliding_rate": q_events_sliding_rate,
+        "data_quality_report": relational.data_quality_report,
         # rows-only: zlib has no SQL twin (like ann_* / approx sketches);
         # determinism and value bands pinned in tests/test_textstats_extra.py
         "compression_ratio": pipeline.compression_ratio_stats,
@@ -1901,6 +1903,44 @@ GROUP BY a.l_returnflag
 ORDER BY a.l_returnflag
 """
 
+# relational.data_quality_report: each check replayed as its own aggregate,
+# unioned; "constraint" quoted (DuckDB keyword)
+_DATA_QUALITY_ORACLE = """
+WITH ref AS (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 0)
+SELECT * FROM (
+  SELECT 'not_null(o_custkey)' AS "constraint",
+         coalesce(sum((o_custkey IS NULL)::INT), 0)::BIGINT AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'in_range(o_totalprice)',
+         coalesce(sum((o_totalprice IS NOT NULL
+                       AND (o_totalprice < 0 OR o_totalprice > 300000))::INT), 0)::BIGINT
+  FROM orders
+  UNION ALL
+  SELECT 'accepted_values(o_orderstatus)',
+         coalesce(sum((o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O', 'F', 'P'))::INT), 0)::BIGINT
+  FROM orders
+  UNION ALL
+  SELECT 'matches(o_orderpriority)',
+         coalesce(sum((o_orderpriority IS NOT NULL
+                       AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))::INT), 0)::BIGINT
+  FROM orders
+  UNION ALL
+  SELECT 'unique(o_orderkey)', count(*)::BIGINT FROM (
+    SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL
+    GROUP BY o_orderkey HAVING count(*) > 1
+  )
+  UNION ALL
+  SELECT 'foreign_key(o_custkey->active_customer.c_custkey)', count(*)::BIGINT
+  FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM ref r WHERE r.c_custkey = o.o_custkey)
+)
+ORDER BY "constraint"
+"""
+
+
 # relational.winsorized_value_stats: Spark's exact `percentile` interpolates
 # identically to quantile_cont; means are exact decimal sums of 6-dp-rounded
 # values divided as double, so partial-agg order can't perturb them
@@ -2202,6 +2242,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_revenue": _CUBE_ORACLE,
         "events_value_deciles": _DECILES_ORACLE,
         "winsorized_value_stats": _WINSORIZED_ORACLE,
+        "data_quality_report": _DATA_QUALITY_ORACLE,
         "revenue_calendar_fill": _CALENDAR_FILL_ORACLE,
         "nation_revenue_share": _NATION_SHARE_ORACLE,
         "events_latest_per_user": _LATEST_PER_USER_ORACLE,

@@ -797,6 +797,32 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint sweep over orders (operators.constraints):
+    null / domain / regex / range row checks folded into ONE aggregate
+    pass, key-uniqueness as one groupBy, and referential integrity against
+    the active-customer relation (positive balance) as a broadcast anti
+    join — the report is (constraint, n_violations), one row per check.
+    The range and FK checks are chosen to have NONZERO natural violations
+    so the sweep's counting is actually exercised."""
+    from ..operators import constraints as C
+
+    orders = load_table(spark, sf_dir, "orders")
+    active = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    report = C.validate(
+        orders,
+        [
+            C.not_null("o_custkey"),
+            C.in_range("o_totalprice", 0, 300_000),
+            C.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            C.matches("o_orderpriority", "^[1-5]-"),
+            C.unique("o_orderkey"),
+            C.foreign_key("o_custkey", active, "c_custkey", "active_customer"),
+        ],
+    )
+    return report.orderBy("constraint")
+
+
 def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type event-value stats: clip (winsorize) each value into
     its type's [P5, P95] band, then aggregate — the standard
