@@ -175,6 +175,19 @@ PICKS = {
         "broadcasts into the scoring join, and the corpus makes one exploded\n"
         "pass + one groupBy(id)."
     ),
+    "data_quality_report": (
+        "Declarative constraint sweep: every row-level check (null, range,\n"
+        "domain, regex) folds into ONE aggregate scan of orders; uniqueness\n"
+        "is one groupBy counting duplicated keys; referential integrity is a\n"
+        "broadcast anti join against the active-customer relation. The\n"
+        "report relation is checks-sized, never row-sized."
+    ),
+    "events_sliding_rate": (
+        "Sliding 1h/15min windows: the Expand node fans each event into its\n"
+        "4 overlapping windows carrying only (window, type, value) - never\n"
+        "the payload - then one partial-aggregated groupBy reduces; DECIMAL\n"
+        "sums keep the result engine- and partitioning-exact."
+    ),
 }
 
 
