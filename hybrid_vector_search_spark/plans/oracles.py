@@ -127,6 +127,44 @@ ORDER BY label, cos_centroid, vec_id
 """
 
 
+# pipeline.embedding_drift: same decimal-exact centroid + sequential-fold
+# cosine recipe as EMBEDDING_CENTROID_OUTLIERS, split on vec_id parity
+EMBEDDING_DRIFT = """
+WITH p AS (
+  SELECT (vec_id % 2 = 0) AS is_ref, label, idx,
+         round(val::DOUBLE, 7)::DECIMAL(20,7) AS val FROM (
+    SELECT vec_id, label, generate_subscripts(embedding, 1) AS idx,
+           unnest(embedding) AS val
+    FROM embeddings
+  )
+),
+cent AS (
+  SELECT is_ref, label, idx, sum(val)::DOUBLE / count(*) AS c
+  FROM p GROUP BY is_ref, label, idx
+),
+carr AS (
+  SELECT is_ref, label, list(c ORDER BY idx) AS cv
+  FROM cent GROUP BY is_ref, label
+),
+counts AS (
+  SELECT label,
+         sum((vec_id % 2 = 0)::INT)::BIGINT AS n_ref,
+         sum((vec_id % 2 <> 0)::INT)::BIGINT AS n_cur
+  FROM embeddings GROUP BY label
+)
+SELECT r.label, counts.n_ref, counts.n_cur,
+       round(
+         list_dot_product(r.cv, c.cv) /
+         (sqrt(list_dot_product(r.cv, r.cv)) * sqrt(list_dot_product(c.cv, c.cv))),
+         6) AS centroid_cos
+FROM carr r
+JOIN carr c ON c.label = r.label AND NOT c.is_ref
+JOIN counts ON counts.label = r.label
+WHERE r.is_ref
+ORDER BY r.label
+"""
+
+
 # textstats.oov_rate: top-1000-by-(df desc, tok asc) vocabulary, left-join
 # scoring; token-less docs kept with rate 0.0 (explode_outer ↔ LEFT JOIN)
 OOV_RATE_STATS = f"""
@@ -1160,6 +1198,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "decontaminate_bloom": DECONTAMINATE,
     "source_minhash_similarity": SOURCE_MINHASH_SIMILARITY,
     "embedding_centroid_outliers": EMBEDDING_CENTROID_OUTLIERS,
+    "embedding_drift": EMBEDDING_DRIFT,
     "sorted_neighborhood_dedup": SORTED_NEIGHBORHOOD,
     "stratified_sample_exact_k": STRATIFIED_EXACT_K,
     "url_domain_stats": URL_DOMAIN_STATS,

@@ -310,6 +310,65 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-drift monitor in embedding space: split the corpus into a
+    reference snapshot (even vec_ids — standing in for "last month's data")
+    and a current snapshot (odd vec_ids), compute each label's centroid in
+    both, and report the centroid-to-centroid cosine per label plus the
+    count shift. A drifting pipeline (encoder change, upstream distribution
+    shift, label contamination) shows up as cos < 1 long before downstream
+    metrics move — this is the standing data-quality monitor for embedding
+    columns, complementing the in-snapshot outlier scorer
+    (embedding_centroid_outliers).
+
+    Same engine-exactness recipe as the outlier scorer: decimal-exact
+    centroid components, sequential-fold cosine, 6-dp rounding. One
+    posexplode + one (half, label, idx) groupBy — shuffle carries partial
+    sums only, and the centroid relations are |labels|-sized.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = (F.col("vec_id") % 2 == 0)
+    pos = emb.select(
+        half.alias("is_ref"),
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("idx", "val"),
+    )
+    cent = (
+        pos.groupBy("is_ref", "label", "idx")
+        .agg(
+            F.sum(F.round(F.col("val"), 7).cast("decimal(20,7)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "is_ref", "label", "idx", (F.col("s").cast("double") / F.col("n")).alias("c")
+        )
+    )
+    arrs = cent.groupBy("is_ref", "label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    ref = arrs.where(F.col("is_ref")).select("label", F.col("centroid").alias("c_ref"))
+    cur = arrs.where(~F.col("is_ref")).select("label", F.col("centroid").alias("c_cur"))
+    counts = emb.groupBy("label").agg(
+        F.sum(half.cast("long")).alias("n_ref"),
+        F.sum((~half).cast("long")).alias("n_cur"),
+    )
+    from ..functions.vector import cosine
+
+    return (
+        ref.join(cur, "label")
+        .join(counts, "label")
+        .select(
+            "label",
+            "n_ref",
+            "n_cur",
+            F.round(cosine(F.col("c_ref"), F.col("c_cur")), 6).alias("centroid_cos"),
+        )
+        .orderBy("label")
+    )
+
+
 def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level near-dup radar: a MinHash signature per SOURCE (union of
     each source's doc shingles) and the pairwise agreement-fraction Jaccard
