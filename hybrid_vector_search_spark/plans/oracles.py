@@ -127,6 +127,33 @@ ORDER BY label, cos_centroid, vec_id
 """
 
 
+# textstats.source_token_divergence: exact count ratios, double log-sum,
+# 6-dp rounding — the LM scorers' engine-parity recipe
+SOURCE_TOKEN_KL = f"""
+WITH {TOKL},
+toks AS (
+  SELECT d.source AS g, u.tok FROM (
+    SELECT doc_id, unnest(ts) AS tok FROM tokl
+  ) u JOIN documents d USING (doc_id)
+),
+gt AS (SELECT g, tok, count(*) AS c FROM toks GROUP BY g, tok),
+g_tot AS (SELECT g, sum(c) AS n_g FROM gt GROUP BY g),
+corp AS (SELECT tok, sum(c) AS c_t FROM gt GROUP BY tok),
+n_total AS (SELECT sum(c_t) AS n_total FROM corp)
+SELECT g AS source,
+       any_value(n_g)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_vocab,
+       round(sum((c::DOUBLE / n_g) * ln((c::DOUBLE / n_g) / (c_t::DOUBLE / n_total))), 6)
+         AS kl_divergence
+FROM gt
+JOIN corp USING (tok)
+JOIN g_tot USING (g)
+CROSS JOIN n_total
+GROUP BY g
+ORDER BY source
+"""
+
+
 # pipeline.embedding_drift: same decimal-exact centroid + sequential-fold
 # cosine recipe as EMBEDDING_CENTROID_OUTLIERS, split on vec_id parity
 EMBEDDING_DRIFT = """
@@ -1199,6 +1226,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "source_minhash_similarity": SOURCE_MINHASH_SIMILARITY,
     "embedding_centroid_outliers": EMBEDDING_CENTROID_OUTLIERS,
     "embedding_drift": EMBEDDING_DRIFT,
+    "source_token_kl": SOURCE_TOKEN_KL,
     "sorted_neighborhood_dedup": SORTED_NEIGHBORHOOD,
     "stratified_sample_exact_k": STRATIFIED_EXACT_K,
     "url_domain_stats": URL_DOMAIN_STATS,

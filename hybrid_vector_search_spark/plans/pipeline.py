@@ -310,6 +310,17 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift radar for text: per-source unigram KL divergence
+    from the corpus distribution (textstats.source_token_divergence) — the
+    token-side sibling of embedding_drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = textstats.source_token_divergence(docs, "source", "text")
+    return out.select(
+        F.col("g").alias("source"), "n_tokens", "n_vocab", "kl_divergence"
+    ).orderBy("source")
+
+
 def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-drift monitor in embedding space: split the corpus into a
     reference snapshot (even vec_ids — standing in for "last month's data")

@@ -74,3 +74,20 @@ def test_compression_ratio_partition_invariant(spark):
         map(tuple, textstats.compression_ratio(docs.repartition(13), "doc_id", "text").collect())
     )
     assert one == many
+
+
+def test_kl_zero_for_identical_distribution_and_positive_for_skew(spark):
+    """A group whose token distribution equals the corpus's has KL 0; a
+    group concentrated on its own jargon scores strictly higher. KL >= 0
+    always (Gibbs)."""
+    same = [("a", "x y z"), ("b", "x y z")]  # both groups == corpus mix
+    df = spark.createDataFrame(same, "src string, text string")
+    rows = {r["g"]: r for r in textstats.source_token_divergence(df, "src", "text").collect()}
+    assert rows["a"]["kl_divergence"] == 0.0 == rows["b"]["kl_divergence"]
+
+    skew = [("a", "x x x x y"), ("b", "jargon jargon jargon jargon y")]
+    df2 = spark.createDataFrame(skew, "src string, text string")
+    rows2 = {r["g"]: r for r in textstats.source_token_divergence(df2, "src", "text").collect()}
+    assert rows2["a"]["kl_divergence"] > 0 and rows2["b"]["kl_divergence"] > 0
+    # all groups' KL values are non-negative by Gibbs' inequality
+    assert min(r["kl_divergence"] for r in rows2.values()) >= 0.0
