@@ -1005,7 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verifies a prefix window (~50), so the round-5 layout retires the oldest
     evidence first: (1) the 3 queries whose last driver hash-match is r2 —
     two testdata regenerations ago — plus heavy_hitters_cm, whose r4-added
-    cell-replay oracle has never actually been driver-run; (2) the 35
+    cell-replay oracle has never actually been driver-run; (2) the 36
     queries NEW in r5 (PQ ANN, degenerate-exact IVF near-dup, streaming
     count-min, multimodal resize, sequence packing, positional phrase
     search, per-source cap, NB classifier, frame sampling, salted-agg
@@ -1018,7 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     erasure purge, URL/domain rollups, OOV-rate coverage, zlib
     compression-ratio, per-gate cleaning funnel, sliding windows,
     data-quality constraint sweep, embedding drift monitor, per-source
-    token-KL divergence) — never
+    token-KL divergence, training manifest) — never
     driver-checked,
     so ahead of re-attestation;
     (3) the next r3-verified queries — ordered non-relational/complex
@@ -1067,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_report": relational.data_quality_report,
         "embedding_drift": pipeline.embedding_drift,
         "source_token_kl": pipeline.source_token_kl,
+        "training_manifest": pipeline.training_manifest,
         # rows-only: zlib has no SQL twin (like ann_* / approx sketches);
         # determinism and value bands pinned in tests/test_textstats_extra.py
         "compression_ratio": pipeline.compression_ratio_stats,

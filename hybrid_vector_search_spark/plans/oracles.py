@@ -693,6 +693,24 @@ CORPUS_CLEAN = _corpus_clean_sql()
 CORPUS_CLEAN_FUNNEL = _corpus_clean_sql(_CORPUS_FUNNEL_TAIL)
 
 
+# pipeline.training_manifest: post-gate (split, lang) doc/token accounting
+# over the SAME gate CTEs; tokl supplies the token counts
+_TRAINING_MANIFEST_TAIL = """SELECT split, pred_lang,
+       count(*)::BIGINT AS n_docs,
+       sum(len(ts))::BIGINT AS n_tokens
+FROM documents
+JOIN q USING (doc_id)
+JOIN lg USING (doc_id)
+JOIN dup USING (doc_id)
+JOIN sp USING (doc_id)
+JOIN tokl USING (doc_id)
+WHERE quality >= 0.5 AND NOT is_duplicate
+GROUP BY split, pred_lang
+ORDER BY split, pred_lang"""
+
+TRAINING_MANIFEST = _corpus_clean_sql(_TRAINING_MANIFEST_TAIL)
+
+
 def _pii_sql() -> str:
     """Byte-identical regex rules as operators.pii.REDACTION_RULES, applied in
     the same order; planting mirrors pipeline.pii_redact's doc_id-derived
@@ -1248,6 +1266,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "lang_temperature_mix": LANG_TEMPERATURE_MIX,
     "corpus_clean": CORPUS_CLEAN,
     "corpus_clean_funnel": CORPUS_CLEAN_FUNNEL,
+    "training_manifest": TRAINING_MANIFEST,
     "gopher_quality_rules": GOPHER_RULES,
     "duplicate_spans": DUPLICATE_SPANS,
     "char_entropy_score": CHAR_ENTROPY,

@@ -635,6 +635,29 @@ def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone accounting every pretraining run starts from: after the
+    quality and dedup gates (language left free so the mix is visible),
+    how many documents and TOKENS does each (split, language) cell actually
+    contribute? This is the number the mixture weights, token budgets, and
+    epoch math consume. One pass over the shared gate plan plus a
+    token-count projection — no extra scans."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = _corpus_gates(docs).where(
+        (F.col("quality") >= 0.5) & (~F.col("is_duplicate"))
+    )
+    return (
+        kept.groupBy("split", "pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+        )
+        .orderBy("split", "pred_lang")
+    )
+
+
 def corpus_clean_observed(spark: SparkSession, sf_dir: str):
     """(result_df, Observation) — corpus_clean with Spark's native
     Observation metrics attached to the pre-filter relation: ONE action on
