@@ -70,19 +70,39 @@ def unique(col: str) -> Check:
     return Check(f"unique({col})", None, kind="unique", params=(col,))
 
 
-def foreign_key(col: str, ref: DataFrame, ref_col: str, ref_name: str) -> Check:
+def foreign_key(
+    col: str, ref: DataFrame, ref_col: str, ref_name: str, broadcast: bool = False
+) -> Check:
     """Rows of df whose ``col`` has no match in ``ref[ref_col]`` (nulls are
-    not FK violations — SQL semantics). ``ref_name`` labels the report."""
+    not FK violations — SQL semantics). ``ref_name`` labels the report.
+
+    ``broadcast=True`` force-broadcasts the reference keys — only safe when
+    the reference is dimension-sized. The default leaves the join strategy
+    to AQE/auto-broadcast so a fact-to-fact FK check shuffles instead of
+    OOM-ing the driver."""
     return Check(
         f"foreign_key({col}->{ref_name}.{ref_col})",
         None,
         kind="fk",
-        params=(col, ref, ref_col),
+        params=(col, ref, ref_col, broadcast),
     )
 
 
 def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
-    """(constraint, n_violations) — one row per declared check."""
+    """(constraint, n_violations) — one row per declared check.
+
+    An empty ``checks`` list yields an empty report with the same schema
+    (not an error); duplicate check names are allowed — the unpivot is an
+    explode over an array of structs, not a map, so no key-dedup policy
+    applies and each declared check keeps its own row."""
+    if not checks:
+        return (
+            df.sparkSession.range(0)
+            .select(
+                F.lit("").alias("constraint"),
+                F.lit(0).cast("long").alias("n_violations"),
+            )
+        )
     row_checks = [c for c in checks if c.kind == "row"]
     parts: list[DataFrame] = []
     if row_checks:
@@ -92,20 +112,24 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
                 for i, c in enumerate(row_checks)
             ]
         )
-        # one aggregate pass → unpivot the 1-row result to (constraint, n)
-        pairs = [
-            x
-            for i, c in enumerate(row_checks)
-            for x in (F.lit(c.name), F.coalesce(F.col(f"_v{i}"), F.lit(0)))
-        ]
+        # one aggregate pass → unpivot the 1-row result to (constraint, n);
+        # array-of-structs (not map_from_arrays) so duplicate names survive
         parts.append(
             agg.select(
                 F.explode(
-                    F.map_from_arrays(
-                        F.array(*pairs[0::2]), F.array(*pairs[1::2])
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c.name).alias("constraint"),
+                                F.coalesce(F.col(f"_v{i}"), F.lit(0))
+                                .cast("long")
+                                .alias("n_violations"),
+                            )
+                            for i, c in enumerate(row_checks)
+                        ]
                     )
-                ).alias("constraint", "n_violations")
-            )
+                ).alias("kv")
+            ).select("kv.constraint", "kv.n_violations")
         )
     for c in checks:
         if c.kind == "unique":
@@ -123,14 +147,12 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
                 )
             )
         elif c.kind == "fk":
-            col, ref, ref_col = c.params
-            missing = (
-                df.where(F.col(col).isNotNull())
-                .join(
-                    F.broadcast(ref.select(F.col(ref_col).alias(col)).distinct()),
-                    col,
-                    "left_anti",
-                )
+            col, ref, ref_col, bcast = c.params
+            ref_keys = ref.select(F.col(ref_col).alias(col)).distinct()
+            if bcast:
+                ref_keys = F.broadcast(ref_keys)
+            missing = df.where(F.col(col).isNotNull()).join(
+                ref_keys, col, "left_anti"
             )
             parts.append(
                 missing.agg(

@@ -29,8 +29,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-URL_RE = r"https?://[A-Za-z0-9.-]+(?:/[^\s]*)?"
-_HOST_RE = r"https?://([A-Za-z0-9.-]+)"
+# host must END on an alphanumeric: prose like 'see https://example.com.'
+# would otherwise capture host 'example.com.' and roll up under domain 'com.'
+URL_RE = r"https?://[A-Za-z0-9.-]*[A-Za-z0-9](?:/[^\s]*)?"
+_HOST_RE = r"https?://([A-Za-z0-9.-]*[A-Za-z0-9])"
 # tracking params dropped by normalize_url; the trailing &/? tidy-up runs after
 _TRACKING_RE = r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?"
 MULTI_PART_TLDS = ("co.uk", "com.au", "co.jp", "co.in", "com.br")
@@ -54,7 +56,7 @@ def normalize_url(url: Column) -> Column:
     fragment, strip tracking params, tidy dangling '?'/'&', strip one
     trailing slash. Identical regexp sequence in the oracle."""
     host = url_host(url)
-    path = F.regexp_extract(url, r"https?://[A-Za-z0-9.-]+(/[^\s]*)?", 1)
+    path = F.regexp_extract(url, r"https?://[A-Za-z0-9.-]*[A-Za-z0-9](/[^\s]*)?", 1)
     u = F.concat(F.lit("https://"), host, path)
     u = F.regexp_replace(u, r"#[^\s]*", "")
     u = F.regexp_replace(u, _TRACKING_RE, "")

@@ -231,15 +231,15 @@ WITH planted AS (
 ),
 u AS (
   SELECT doc_id AS id,
-         unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(?:/[^\s]*)?')) AS url
+         unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]*[A-Za-z0-9](?:/[^\s]*)?')) AS url
   FROM planted
 ),
 e AS (
   SELECT id, url,
-         lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)) AS host,
+         lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]*[A-Za-z0-9])', 1)) AS host,
          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-           'https://' || lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1))
-             || regexp_extract(url, 'https?://[A-Za-z0-9.-]+(/[^\s]*)?', 1),
+           'https://' || lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]*[A-Za-z0-9])', 1))
+             || regexp_extract(url, 'https?://[A-Za-z0-9.-]*[A-Za-z0-9](/[^\s]*)?', 1),
            '#[^\s]*', '', 'g'),
            '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
            '[?&]$', '', 'g'),
@@ -284,8 +284,12 @@ ORDER BY lang, doc_id
 USER_PURGE_COUNTS = """
 WITH purge AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
 kept AS (
+  -- NOT EXISTS, not NOT IN: Spark's LEFT ANTI keeps null-key rows, NOT IN
+  -- drops every row when any null is involved — NOT EXISTS matches anti-join
+  -- null semantics exactly (same policy as _DATA_QUALITY_ORACLE's FK check)
   SELECT event_type, count(*) AS n_kept
-  FROM events WHERE user_id NOT IN (SELECT user_id FROM purge)
+  FROM events e
+  WHERE NOT EXISTS (SELECT 1 FROM purge p WHERE p.user_id = e.user_id)
   GROUP BY event_type
 ),
 total AS (SELECT event_type, count(*) AS n_total FROM events GROUP BY event_type)

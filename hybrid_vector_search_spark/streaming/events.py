@@ -382,7 +382,17 @@ def stream_user_totals_tws(spark: SparkSession, source_dir: str) -> DataFrame:
             n, cents = self._state.get() or (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                cents += int(round(float(pdf["value"].sum()) * 10_000))
+                # scale-and-round PER VALUE before summing: each value maps
+                # to one integer once, so the running total is genuinely
+                # batch-order/batch-boundary independent (rounding a whole
+                # batch's float64 sum would let the boundary placement leak
+                # into the total)
+                cents += int(
+                    (pdf["value"].astype("float64") * 10_000)
+                    .round()
+                    .astype("int64")
+                    .sum()
+                )
             self._state.update((n, cents))
             yield pd.DataFrame(
                 {

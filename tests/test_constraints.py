@@ -74,3 +74,38 @@ def test_row_checks_fold_into_one_aggregate(spark):
         C.validate(df, checks)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan") == 1, plan
+
+
+def test_empty_checks_returns_empty_report(spark):
+    """No declared checks → empty (constraint, n_violations) relation, not
+    an IndexError (ADVICE r5)."""
+    df = spark.createDataFrame([(1,)], "id long")
+    out = C.validate(df, [])
+    assert out.columns == ["constraint", "n_violations"]
+    assert out.count() == 0
+
+
+def test_duplicate_check_names_each_get_a_row(spark):
+    """Declaring the same check twice must not trip Spark's map-key dedup
+    policy (ADVICE r5) — the unpivot is array-of-structs, so both rows
+    survive."""
+    df = spark.createDataFrame([(1,), (None,)], "id long")
+    rows = C.validate(df, [C.not_null("id"), C.not_null("id")]).collect()
+    assert [r["n_violations"] for r in rows] == [1, 1]
+    assert {r["constraint"] for r in rows} == {"not_null(id)"}
+
+
+def test_foreign_key_broadcast_is_opt_in(spark):
+    """Default FK leaves join strategy to the planner (no forced broadcast
+    hint — a fact-to-fact FK must be allowed to shuffle); broadcast=True
+    plants the hint for dimension refs."""
+    df = spark.createDataFrame([(1,), (9,)], "k long")
+    ref = spark.createDataFrame([(1,), (2,)], "k long")
+    for bcast in (False, True):
+        got = {
+            r["constraint"]: r["n_violations"]
+            for r in C.validate(df, [C.foreign_key("k", ref, "k", "ref", broadcast=bcast)]).collect()
+        }
+        assert got == {"foreign_key(k->ref.k)": 1}
+    hinted = C.validate(df, [C.foreign_key("k", ref, "k", "ref", broadcast=True)])
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()

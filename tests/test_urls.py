@@ -93,3 +93,18 @@ def test_snm_precision_is_one_by_construction(spark):
     )
     out = dd.sorted_neighborhood_pairs(docs, "doc_id", "text", min_jaccard=0.5)
     assert all(r["jaccard"] >= 0.5 for r in out.collect())
+
+
+def test_sentence_trailing_dot_not_absorbed_into_host(spark):
+    """'see https://example.com.' must yield host example.com, not
+    'example.com.' (whose registrable domain would be 'com.') — ADVICE r5."""
+    df = spark.createDataFrame(
+        [(1, "see https://example.com. And http://a.b.co.uk- then.")],
+        "id long, text string",
+    )
+    got = sorted(
+        r["url"] for r in urls.extract_urls(df, "id", "text").collect()
+    )
+    assert got == ["http://a.b.co.uk", "https://example.com"]
+    stats = urls.domain_stats(df, "id", "text")
+    assert sorted(r["domain"] for r in stats.collect()) == ["b.co.uk", "example.com"]
