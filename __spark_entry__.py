@@ -1077,87 +1077,27 @@ def q_hybrid_fusion_details(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is the driver's correctness-check priority: the driver
-    verifies a prefix window (~50), so the round-5 layout retires the oldest
-    evidence first: (1) the 3 queries whose last driver hash-match is r2 —
-    two testdata regenerations ago — plus heavy_hitters_cm, whose r4-added
-    cell-replay oracle has never actually been driver-run; (2) the 36
-    queries NEW in r5 (PQ ANN, degenerate-exact IVF near-dup, streaming
-    count-min, multimodal resize, sequence packing, positional phrase
-    search, per-source cap, NB classifier, frame sampling, salted-agg
-    equivalence, Z-order keys, incremental cross-corpus dedup, C4-style
-    span dedup, temperature mixing, BPE pre-tokenizer stats, streaming
-    sessionization, stream-stream interval join, streaming dedup,
-    conversion funnel, ROLLUP grouping sets, Bloom decontamination,
-    per-source MinHash similarity, winsorized stats, centroid outliers,
-    sorted-neighborhood dedup, exact-k stratified sampling, right-to-
-    erasure purge, URL/domain rollups, OOV-rate coverage, zlib
-    compression-ratio, per-gate cleaning funnel, sliding windows,
-    data-quality constraint sweep, embedding drift monitor, per-source
-    token-KL divergence, training manifest) — never
-    driver-checked,
-    so ahead of re-attestation;
-    (3) the next r3-verified queries — ordered non-relational/complex
-    first; the remaining r3-green relational
-    ones sit just past the ~50 cut and lead r6's rotation; (4) the
-    queries verified green in r4 (CORRECTNESS_r04), freshest, so last.
-    After r5's window runs, no checked query's latest driver row predates
-    r3, and only those r3-green relational rows await r6."""
+    verifies a prefix window (~50), so the round-6 layout retires ALL
+    remaining r3-latest evidence and re-attests everything this round
+    touched: (1) the 39 queries whose last driver hash-match is r3 — the 7
+    rows r5 staged just past its cut, then the 32 relational/operator rows
+    behind them (after this window runs, no declared query's latest driver
+    row predates r4); (2) the three ANN approximates, reshaped this round
+    into self-attesting recall reports with real oracles — never checked in
+    that shape; (3) the 7 queries whose code paths changed in r6 (BM25
+    index cache: fulltext/hybrid family; NOT EXISTS purge oracle; URL host
+    anchoring; constraints validate rework); (4) queries whose latest
+    green is r4, oldest remaining evidence; (5) the r5-verified set,
+    freshest, so last."""
     return {
-        # --- (1) r2-stale re-attestation + first-ever heavy_hitters_cm oracle run
-        "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
-        "distinct_values": q_distinct_values,
-        "knn_cosine_prefilter": q_knn_cosine_prefilter,
-        "heavy_hitters_cm": q_heavy_hitters_cm,
-        # --- (2) NEW in r5: promoted library operators + new pipeline ops
-        "ann_pq_topk": q_ann_pq_topk,
-        "dedup_embedding_ivf": pipeline.dedup_embedding_ivf,
-        "stream_heavy_hitters": q_stream_heavy_hitters,
-        "multimodal_resize_stats": pipeline.multimodal_resize_stats,
-        "seq_pack": pipeline.seq_pack,
-        "phrase_match": pipeline.phrase_match,
-        "source_cap": pipeline.source_cap,
-        "nb_language_classifier": pipeline.nb_language_classifier,
-        "frame_sample": pipeline.frame_sample,
-        "skew_salted_agg": pipeline.skew_salted_agg,
-        "zorder_bucket_counts": pipeline.zorder_bucket_counts,
-        "dedup_incremental": pipeline.dedup_incremental,
-        "span_dedup": pipeline.span_dedup,
-        "lang_temperature_mix": pipeline.lang_temperature_mix,
-        "bpe_token_stats": pipeline.bpe_token_stats,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_view_click_join": q_stream_view_click_join,
-        "stream_dedup_events": q_stream_dedup_events,
-        "events_funnel": relational.events_funnel,
-        "revenue_rollup": relational.revenue_rollup,
-        "decontaminate_bloom": pipeline.decontaminate_bloom,
-        "source_minhash_similarity": pipeline.source_minhash_similarity,
-        "winsorized_value_stats": relational.winsorized_value_stats,
-        "embedding_centroid_outliers": pipeline.embedding_centroid_outliers,
-        "sorted_neighborhood_dedup": pipeline.sorted_neighborhood_dedup,
-        "stratified_sample_exact_k": pipeline.stratified_sample_exact_k,
-        "url_domain_stats": pipeline.url_domain_stats,
-        "oov_rate_stats": pipeline.oov_rate_stats,
-        "corpus_clean_funnel": pipeline.corpus_clean_funnel,
-        "events_sliding_rate": q_events_sliding_rate,
-        "data_quality_report": relational.data_quality_report,
-        "embedding_drift": pipeline.embedding_drift,
-        "source_token_kl": pipeline.source_token_kl,
-        "training_manifest": pipeline.training_manifest,
-        # rows-only: zlib has no SQL twin (like ann_* / approx sketches);
-        # determinism and value bands pinned in tests/test_textstats_extra.py
-        "compression_ratio": pipeline.compression_ratio_stats,
-        "user_purge_counts": pipeline.user_purge_counts,
-        # --- (3) last verified r3: operator-heavy first
-        "heavy_hitters": q_heavy_hitters,
-        "embed_roundtrip": q_embed_roundtrip,
-        "sink_roundtrip": q_sink_roundtrip,
-        "hybrid_fusion_details": q_hybrid_fusion_details,
-        "gopher_quality_rules": pipeline.gopher_quality_rules,
-        "duplicate_spans": pipeline.duplicate_spans,
-        "char_entropy_score": pipeline.char_entropy_score,
-        "dedup_canonical": pipeline.dedup_canonical,
-        "embedding_sign_buckets": pipeline.embedding_sign_buckets,
-        "dedup_simhash_pairs": pipeline.dedup_simhash_pairs,
+        # --- (1) r3-latest evidence: the 7 rows past r5's cut, then the remaining 32
+        "cube_revenue": relational.cube_revenue,
+        "revenue_calendar_fill": relational.revenue_calendar_fill,
+        "nation_revenue_share": relational.nation_revenue_share,
+        "union_evolved_sources": relational.union_evolved_sources,
+        "lineitem_unpivot": relational.lineitem_unpivot,
+        "order_price_ranks": relational.order_price_ranks,
+        "segment_conditional_stats": relational.segment_conditional_stats,
         "doc_keywords_tfidf": pipeline.doc_keywords_tfidf,
         "source_mixture_weights": pipeline.source_mixture_weights,
         "knn_dot": q_knn_dot,
@@ -1190,15 +1130,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lone_late_suppliers": relational.lone_late_suppliers,
         "high_balance_inactive": relational.high_balance_inactive,
         "revenue_moving_avg": relational.revenue_moving_avg,
-        # --- ~50-window cut: these 7 r3-green rows head r6's rotation
-        "cube_revenue": relational.cube_revenue,
-        "revenue_calendar_fill": relational.revenue_calendar_fill,
-        "nation_revenue_share": relational.nation_revenue_share,
-        "union_evolved_sources": relational.union_evolved_sources,
-        "lineitem_unpivot": relational.lineitem_unpivot,
-        "order_price_ranks": relational.order_price_ranks,
-        "segment_conditional_stats": relational.segment_conditional_stats,
-        # --- (4) verified green in r4 (CORRECTNESS_r04): freshest, so last
+        # --- (2) reshaped r6: self-attesting ANN recall reports (first oracle run)
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        # --- (3) code paths touched in r6 (BM25 index cache / oracle+regex fixes)
+        "fulltext_bm25": q_fulltext_bm25,
+        "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
+        "hybrid_fusion": q_hybrid_fusion,
+        "hybrid_fusion_details": q_hybrid_fusion_details,
+        "user_purge_counts": pipeline.user_purge_counts,
+        "url_domain_stats": pipeline.url_domain_stats,
+        "data_quality_report": relational.data_quality_report,
+        # --- (4) latest green r4 - oldest remaining evidence
         "events_sessionize": q_events_sessionize,
         "events_interval_join": q_events_interval_join,
         "events_session_window": q_events_session_window,
@@ -1218,7 +1162,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_star": pipeline.dedup_components_star,
         "pii_redact": pipeline.pii_redact,
         "knn_bulk_topk": q_knn_bulk_topk,
-        "hybrid_fusion": q_hybrid_fusion,
         "dedup_exact": pipeline.dedup_exact,
         "ngram_jaccard_pairs": pipeline.ngram_jaccard_pairs,
         "dedup_components": pipeline.dedup_components,
@@ -1241,14 +1184,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": relational.set_ops_customers,
         "daily_revenue_running_total": relational.daily_revenue_running_total,
         "approx_distinct_users": relational.approx_distinct_users,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "cli_range_bounds": q_cli_range_bounds,
         "knn_limit_clamped": q_knn_limit_clamped,
         "value_percentiles_approx": relational.value_percentiles_approx,
         "value_histogram": relational.value_histogram,
         "knn_cosine": q_knn_cosine,
-        "fulltext_bm25": q_fulltext_bm25,
+        # --- (5) verified green in r5 (CORRECTNESS_r05): freshest, so last
+        "distinct_values": q_distinct_values,
+        "knn_cosine_prefilter": q_knn_cosine_prefilter,
+        "heavy_hitters_cm": q_heavy_hitters_cm,
+        "dedup_embedding_ivf": pipeline.dedup_embedding_ivf,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
+        "multimodal_resize_stats": pipeline.multimodal_resize_stats,
+        "seq_pack": pipeline.seq_pack,
+        "phrase_match": pipeline.phrase_match,
+        "source_cap": pipeline.source_cap,
+        "nb_language_classifier": pipeline.nb_language_classifier,
+        "frame_sample": pipeline.frame_sample,
+        "skew_salted_agg": pipeline.skew_salted_agg,
+        "zorder_bucket_counts": pipeline.zorder_bucket_counts,
+        "dedup_incremental": pipeline.dedup_incremental,
+        "span_dedup": pipeline.span_dedup,
+        "lang_temperature_mix": pipeline.lang_temperature_mix,
+        "bpe_token_stats": pipeline.bpe_token_stats,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_view_click_join": q_stream_view_click_join,
+        "stream_dedup_events": q_stream_dedup_events,
+        "events_funnel": relational.events_funnel,
+        "revenue_rollup": relational.revenue_rollup,
+        "decontaminate_bloom": pipeline.decontaminate_bloom,
+        "source_minhash_similarity": pipeline.source_minhash_similarity,
+        "winsorized_value_stats": relational.winsorized_value_stats,
+        "embedding_centroid_outliers": pipeline.embedding_centroid_outliers,
+        "sorted_neighborhood_dedup": pipeline.sorted_neighborhood_dedup,
+        "stratified_sample_exact_k": pipeline.stratified_sample_exact_k,
+        "oov_rate_stats": pipeline.oov_rate_stats,
+        "corpus_clean_funnel": pipeline.corpus_clean_funnel,
+        "events_sliding_rate": q_events_sliding_rate,
+        "embedding_drift": pipeline.embedding_drift,
+        "source_token_kl": pipeline.source_token_kl,
+        "training_manifest": pipeline.training_manifest,
+        "compression_ratio": pipeline.compression_ratio_stats,
+        "heavy_hitters": q_heavy_hitters,
+        "embed_roundtrip": q_embed_roundtrip,
+        "sink_roundtrip": q_sink_roundtrip,
+        "gopher_quality_rules": pipeline.gopher_quality_rules,
+        "duplicate_spans": pipeline.duplicate_spans,
+        "char_entropy_score": pipeline.char_entropy_score,
+        "dedup_canonical": pipeline.dedup_canonical,
+        "embedding_sign_buckets": pipeline.embedding_sign_buckets,
+        "dedup_simhash_pairs": pipeline.dedup_simhash_pairs,
     }
 
 

@@ -121,6 +121,26 @@ def main() -> None:
             "source": prev[0],
             "queries": {k: prev[1][k] for k in timings if k in prev[1]},
         }
+        # Regression gate (r5 verdict ask #8): flag any query slower than
+        # 1.5x its previous recorded time AND >0.25s absolute delta (sub-
+        # second queries jitter more than 1.5x on shared machines; a flagged
+        # row should mean a plan regressed, not that the scheduler hiccuped).
+        regressed = {
+            k: {"now": timings[k], "prev": prev[1][k]}
+            for k in timings
+            if k in prev[1]
+            and prev[1][k] > 0
+            and timings[k] > 1.5 * prev[1][k]
+            and timings[k] - prev[1][k] > 0.25
+        }
+        summary["n_regressed"] = len(regressed)
+        if regressed:
+            summary["regressed"] = regressed
+            for k, v in regressed.items():
+                print(
+                    f"# REGRESSION {k}: {v['prev']:.3f}s -> {v['now']:.3f}s",
+                    file=sys.stderr,
+                )
     # Full details to a file (the per-query map is too long to trust to a
     # tail-truncating stdout capture — BENCH_r01 lost its headline that way).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_details.json"), "w") as f:
@@ -138,6 +158,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_errors": len(errors),
+                "n_regressed": summary.get("n_regressed", 0),
                 "details": "bench_details.json",
             }
         )

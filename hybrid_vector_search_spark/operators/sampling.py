@@ -64,6 +64,7 @@ def stratified_sample_exact(
     k: int,
     *,
     salt: str = "",
+    method: str = "window",
 ) -> DataFrame:
     """EXACTLY min(k, |stratum|) rows per stratum, hash-ranked: rank rows
     within each stratum by md5(salt#key) (key as tiebreak) and keep the
@@ -74,20 +75,64 @@ def stratified_sample_exact(
     Deterministic and stable under corpus growth in the same sense as a
     rate: a row's RANK depends on what else is in its stratum, but the
     ORDERING never changes, so adding rows can only push tail rows out —
-    never reshuffle the kept prefix arbitrarily. Window partitions by
-    stratum (one exchange); at 100 TB with huge k prefer per-partition
-    pre-ranking (TakeOrdered-style) — for quota-sized k the window is the
-    right plan.
+    never reshuffle the kept prefix arbitrarily.
+
+    ``method`` picks the physical plan; both produce identical rows
+    (equivalence pinned in tests/test_sampling.py):
+    - ``"window"``: one exchange on stratum + window rank. Right for
+      quota-sized k; but the shuffle carries EVERY row of every stratum,
+      and a single stratum's rows land on one reducer — wrong when strata
+      are huge or skewed.
+    - ``"prerank"``: partition-local sort + streaming first-k-per-stratum
+      Arrow prune (the knn_join TakeOrdered shape, knn.py:137), THEN the
+      window over ≤ partitions·k rows per stratum. The shuffle carries at
+      most partitions·k rows per stratum instead of the stratum — the
+      100 TB / huge-k / skewed-stratum plan.
     """
     from pyspark.sql import Window
 
     h = F.md5(F.concat(F.lit(f"{salt}#"), F.col(key_col).cast("string")))
-    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= k)
-        .drop("_rk")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("_hrk").asc(), F.col(key_col).asc()
     )
+    keyed = df.withColumn("_hrk", h)
+    if method == "prerank":
+        keyed = _local_first_k_per_stratum(keyed, stratum_col, key_col, k)
+    elif method != "window":
+        raise ValueError(f"unknown method {method!r}")
+    return (
+        keyed.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk", "_hrk")
+    )
+
+
+def _local_first_k_per_stratum(
+    keyed: DataFrame, stratum_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Partition-local TakeOrdered: sortWithinPartitions (no exchange) then
+    an Arrow pass keeping the first k rows per stratum per partition,
+    carrying per-stratum counts across batch boundaries. Output is a
+    superset of every stratum's global top-k (each global top-k row is in
+    SOME partition's local top-k), so the downstream window is exact."""
+
+    def _prune(batches):
+        taken: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            in_batch = pdf.groupby(stratum_col, sort=False).cumcount()
+            offset = pdf[stratum_col].map(taken).fillna(0).astype("int64")
+            keep = (in_batch + offset) < k
+            counts = pdf.loc[keep, stratum_col].value_counts()
+            for s, n in counts.items():
+                taken[s] = taken.get(s, 0) + int(n)
+            if keep.any():
+                yield pdf.loc[keep]
+
+    return keyed.sortWithinPartitions(
+        stratum_col, F.col("_hrk").asc(), F.col(key_col).asc()
+    ).mapInPandas(_prune, keyed.schema)
 
 
 def dataset_split(

@@ -22,14 +22,32 @@ thin presence across MANY batches can be missed — if that distribution
 matters, raise m (``candidates_per_partition``) or run the exact batch
 top-k over the retained corpus as the periodic verifier.
 
-State swap uses the same crash-safe staging/rename pattern as
-ingest.stream_merge_into. foreachBatch is at-least-once, so fold_batch
-records the last applied (checkpoint, epoch) in the state dir and skips a
-replayed epoch — without this, a crash after the swap but before the
-checkpoint commit would double-count the batch on restart. The guard keys
-on checkpoint identity, not the bare epoch number: epoch ids restart at 0
+Commit contract — two modes, pick by filesystem semantics:
+
+- ``commit_mode="rename"`` (default): build the next version in a staging
+  dir, then ONE atomic directory rename. Correct ONLY where directory
+  rename is atomic — POSIX local filesystems and HDFS. On S3-class object
+  stores "rename" is copy+delete (neither atomic nor cheap), so this mode
+  is WRONG there.
+- ``commit_mode="manifest"``: each fold writes a NEW immutable version
+  directory (never renamed, never mutated after commit), then commits by
+  rewriting one small pointer file — the lakehouse manifest-pointer
+  pattern (Delta/Iceberg commit shape). Locally the pointer update is an
+  ``os.replace`` of a tiny file; on an object store it is a single small
+  PUT, which IS atomic there. Readers resolve the pointer first, so they
+  only ever see fully-written versions; a crash mid-version-write leaves
+  garbage the next fold of the same epoch overwrites, with the pointer
+  still on the last committed version. The previous version is retained
+  one fold (readers may hold it); older versions are garbage-collected.
+
+foreachBatch is at-least-once, so fold_batch records the last applied
+(checkpoint, epoch) inside the committed version and skips a replayed
+epoch — without this, a crash after the commit but before the checkpoint
+commit would double-count the batch on restart. The guard keys on
+checkpoint identity, not the bare epoch number: epoch ids restart at 0
 under a fresh checkpoint, so state built by a different checkpoint fails
-loudly instead of silently skipping batches.
+loudly instead of silently skipping batches. The guard is mode-independent
+(it rides inside whichever commit unit the mode swaps/points at).
 """
 
 from __future__ import annotations
@@ -48,13 +66,38 @@ CANDS = "cands"
 CURRENT = "current"
 
 
+POINTER = "_CURRENT.json"
+
+
 def _current_dir(state_dir: str) -> str:
-    """Resolve the live state version, restoring the crash-recovery copy if
-    a previous swap died between rename-aside and move-in."""
+    """rename-mode: resolve the live state version, restoring the
+    crash-recovery copy if a previous swap died between rename-aside and
+    move-in. Assumes atomic directory rename (POSIX/HDFS — see module
+    docstring; use commit_mode='manifest' on object stores)."""
     current, old = os.path.join(state_dir, CURRENT), os.path.join(state_dir, f"{CURRENT}._old")
     if not os.path.exists(current) and os.path.exists(old):
         os.replace(old, current)
     return current
+
+
+def _read_pointer(state_dir: str) -> dict | None:
+    p = os.path.join(state_dir, POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _resolve_current(state_dir: str, commit_mode: str) -> str:
+    """Path of the live committed state version (may not exist yet)."""
+    if commit_mode == "rename":
+        return _current_dir(state_dir)
+    if commit_mode != "manifest":
+        raise ValueError(f"unknown commit_mode {commit_mode!r}")
+    ptr = _read_pointer(state_dir)
+    if ptr is None:
+        return os.path.join(state_dir, "v-none")
+    return os.path.join(state_dir, ptr["version"])
 
 
 def stream_heavy_hitters(
@@ -70,6 +113,7 @@ def stream_heavy_hitters(
     max_candidates: int = 4096,
     max_files_per_trigger: int | None = None,
     candidates_per_partition: int | None = None,
+    commit_mode: str = "rename",
 ):
     """Start (availableNow) the sketch-maintenance stream; returns the query.
 
@@ -89,7 +133,7 @@ def stream_heavy_hitters(
     ckpt_id = os.path.abspath(checkpoint_path)
 
     def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        current = _current_dir(state_dir)
+        current = _resolve_current(state_dir, commit_mode)
         epoch_file = os.path.join(current, "_epoch")
         # at-least-once guard: a replayed epoch (crash between the state swap
         # below and Spark's checkpoint commit) must not fold twice. The epoch
@@ -144,22 +188,49 @@ def stream_heavy_hitters(
                 cm_topk(cells, cands, max_candidates, depth=depth, width=width)
                 .select(F.col("value").alias("v"))
             )
-        # build the next version in staging, then ONE atomic rename
-        staging = os.path.join(state_dir, f"{CURRENT}._staging")
-        if os.path.exists(staging):
-            shutil.rmtree(staging)
-        cells.write.mode("overwrite").parquet(os.path.join(staging, CELLS))
-        cands.write.mode("overwrite").parquet(os.path.join(staging, CANDS))
-        with open(os.path.join(staging, "_epoch"), "w") as fh:
-            json.dump({"epoch": epoch_id, "checkpoint": ckpt_id}, fh)
-        old = os.path.join(state_dir, f"{CURRENT}._old")
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        if os.path.exists(current):
-            os.replace(current, old)
-        os.replace(staging, current)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        meta = {"epoch": epoch_id, "checkpoint": ckpt_id}
+        if commit_mode == "rename":
+            # build the next version in staging, then ONE atomic rename
+            staging = os.path.join(state_dir, f"{CURRENT}._staging")
+            if os.path.exists(staging):
+                shutil.rmtree(staging)
+            cells.write.mode("overwrite").parquet(os.path.join(staging, CELLS))
+            cands.write.mode("overwrite").parquet(os.path.join(staging, CANDS))
+            with open(os.path.join(staging, "_epoch"), "w") as fh:
+                json.dump(meta, fh)
+            old = os.path.join(state_dir, f"{CURRENT}._old")
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            if os.path.exists(current):
+                os.replace(current, old)
+            os.replace(staging, current)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        else:
+            # manifest-pointer commit (object-store safe): write a NEW
+            # immutable version dir under its final name — no directory
+            # rename anywhere — then commit by atomically rewriting the one
+            # small pointer file (os.replace locally ≙ a single PUT on an
+            # object store). A crash before the pointer write leaves the
+            # pointer on the old version and a partial v-dir that THIS
+            # epoch's replay overwrites.
+            version = f"v{epoch_id:012d}"
+            vdir = os.path.join(state_dir, version)
+            cells.write.mode("overwrite").parquet(os.path.join(vdir, CELLS))
+            cands.write.mode("overwrite").parquet(os.path.join(vdir, CANDS))
+            with open(os.path.join(vdir, "_epoch"), "w") as fh:
+                json.dump(meta, fh)
+            prev = _read_pointer(state_dir)
+            tmp = os.path.join(state_dir, POINTER + ".tmp")
+            with open(tmp, "w") as fh:
+                json.dump({"version": version, **meta}, fh)
+            os.replace(tmp, os.path.join(state_dir, POINTER))
+            # GC: keep the new version and its immediate predecessor (an
+            # in-flight reader may have resolved it); drop anything older
+            keep = {version, prev["version"] if prev else None}
+            for name in os.listdir(state_dir):
+                if name.startswith("v") and name not in keep:
+                    shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
         mixed.unpersist()
 
     return (
@@ -177,14 +248,17 @@ def heavy_hitters_from_state(
     *,
     depth: int = 4,
     width: int = 2048,
+    commit_mode: str = "rename",
 ) -> DataFrame:
     """Current top-k (value, n_est) from the maintained state — the same
     cm_topk finisher the batch path uses, over the incrementally merged
     cells. The result is materialized eagerly (localCheckpoint) against one
     state version; read contract is read-between-folds (availableNow drained
-    or between triggers) — a read racing an in-flight swap can still lose
-    the version directory between listing and scan, in which case retry."""
-    current = _current_dir(state_dir)
+    or between triggers) — in rename mode a read racing an in-flight swap
+    can still lose the version directory between listing and scan (retry);
+    in manifest mode the resolved version is immutable and retained one
+    fold, so the race window is the GC horizon instead."""
+    current = _resolve_current(state_dir, commit_mode)
     cells = spark.read.parquet(os.path.join(current, CELLS))
     cands = spark.read.parquet(os.path.join(current, CANDS))
     return cm_topk(cells, cands, k, depth=depth, width=width).localCheckpoint(eager=True)

@@ -113,3 +113,89 @@ def test_stream_sketch_rejects_foreign_checkpoint(spark, tmp_path):
         q2.awaitTermination(120)
         if q2.exception() is not None:
             raise q2.exception()
+
+
+def test_manifest_commit_mode_matches_batch(spark, tmp_path):
+    """commit_mode='manifest' (object-store-safe pointer commit): multi-batch
+    fold reproduces the one-shot batch sketch, the pointer names the live
+    immutable version, and at most two versions are retained (GC)."""
+    import json
+    import os
+
+    from hybrid_vector_search_spark.operators.sketch import count_min_heavy_hitters
+    from hybrid_vector_search_spark.streaming.sketch import (
+        POINTER,
+        heavy_hitters_from_state,
+        stream_heavy_hitters,
+    )
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    src = str(tmp_path / "src")
+    events.where("event_id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(src)
+    events.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    q = stream_heavy_hitters(
+        spark, src, "user_id", state, ckpt, k=20,
+        max_files_per_trigger=1, commit_mode="manifest",
+    )
+    q.awaitTermination(120)
+
+    got = _topk(heavy_hitters_from_state(spark, state, 20, commit_mode="manifest"))
+    want = _topk(count_min_heavy_hitters(spark.read.parquet(src), "user_id", 20))
+    assert got == want and len(got) > 0
+
+    with open(os.path.join(state, POINTER)) as fh:
+        ptr = json.load(fh)
+    versions = sorted(n for n in os.listdir(state) if n.startswith("v"))
+    assert ptr["version"] in versions
+    assert len(versions) <= 2  # live + one predecessor, older GC'd
+    assert ptr["version"] == versions[-1]
+
+
+def test_manifest_crash_before_pointer_write_is_safe(spark, tmp_path):
+    """A partially-written NEW version dir with the pointer still on the old
+    version (crash between version write and pointer commit) must leave
+    readers on the committed state, and a re-fold of the same data must
+    overwrite the garbage and commit cleanly."""
+    import json
+    import os
+
+    from hybrid_vector_search_spark.operators.sketch import count_min_heavy_hitters
+    from hybrid_vector_search_spark.streaming.sketch import (
+        POINTER,
+        heavy_hitters_from_state,
+        stream_heavy_hitters,
+    )
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    src = str(tmp_path / "src")
+    first = events.where("event_id % 3 = 0")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    q = stream_heavy_hitters(
+        spark, src, "user_id", state, ckpt, k=20, commit_mode="manifest"
+    )
+    q.awaitTermination(120)
+    committed = _topk(heavy_hitters_from_state(spark, state, 20, commit_mode="manifest"))
+
+    # simulate the crash: garbage half-version newer than the pointer
+    garbage = os.path.join(state, "v999999999999")
+    os.makedirs(os.path.join(garbage, "cells"), exist_ok=True)
+    with open(os.path.join(garbage, "_epoch"), "w") as fh:
+        fh.write("{}")
+    assert (
+        _topk(heavy_hitters_from_state(spark, state, 20, commit_mode="manifest"))
+        == committed
+    ), "reader must resolve the pointer, never the newest directory"
+
+    # new data arrives; the next fold commits past the garbage and GC's it
+    events.where("event_id % 3 <> 0").coalesce(1).write.mode("append").parquet(src)
+    q = stream_heavy_hitters(
+        spark, src, "user_id", state, ckpt, k=20, commit_mode="manifest"
+    )
+    q.awaitTermination(120)
+    got = _topk(heavy_hitters_from_state(spark, state, 20, commit_mode="manifest"))
+    want = _topk(count_min_heavy_hitters(spark.read.parquet(src), "user_id", 20))
+    assert got == want
+    assert not os.path.exists(garbage)
