@@ -346,6 +346,7 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_CACHE: dict[str, object] = {}
+_IVF_LAYOUT_CACHE: dict[str, object] = {}
 _TMPDIR: list[str] = []  # one session tempdir (IVF layouts, sink roundtrips), removed at exit
 
 
@@ -363,15 +364,28 @@ def _session_tmpdir() -> str:
 
 _ANN_EVAL_K = 10
 _ANN_EVAL_NQ = 5  # query vectors = vec_id 0..4
+_ANN_EMB_CACHE: dict[str, DataFrame] = {}
+_ANN_EXACT_CACHE: dict[str, DataFrame] = {}
 
 
 def _ann_eval_queries(spark: SparkSession, sf_dir: str):
-    """(queries_df, [(qid, vector), ...]) for the self-attesting ANN rows.
-
-    The per-query approximate searches take literal vectors (they prune
-    partitions/buckets from the query point), so the 5 query rows are
-    collected driver-side — the serving pattern, not a data-path collect."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    """(corpus, queries_df, [(qid, vector), ...]) for the self-attesting ANN
+    rows. The corpus is cached per sf_dir — all three ANN families probe the
+    SAME relation, so serving them from one in-memory copy replaces 5 probe
+    scans × 3 families with one materialization (same one-sf_dir policy as
+    _LSH_CACHE). The per-query approximate searches take literal vectors
+    (they prune partitions/buckets from the query point), so the 5 query
+    rows are collected driver-side — the serving pattern, not a data-path
+    collect."""
+    emb = _ANN_EMB_CACHE.get(sf_dir)
+    if emb is None:
+        for stale_key in [k for k in _ANN_EMB_CACHE if k != sf_dir]:
+            _ANN_EMB_CACHE.pop(stale_key).unpersist()
+        for stale_key in [k for k in _ANN_EXACT_CACHE if k != sf_dir]:
+            _ANN_EXACT_CACHE.pop(stale_key).unpersist()
+        emb = load_table(spark, sf_dir, "embeddings").cache()
+        emb.count()
+        _ANN_EMB_CACHE[sf_dir] = emb
     qdf = emb.where(F.col("vec_id") < _ANN_EVAL_NQ).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -379,18 +393,25 @@ def _ann_eval_queries(spark: SparkSession, sf_dir: str):
     return emb, qdf, [(r["query_id"], [float(x) for x in r["embedding"]]) for r in rows]
 
 
-def _ann_recall_report(emb, qdf, approx_parts, *, floor: float, mean_floor: float) -> DataFrame:
-    """Exact side = bulk knn_join (broadcast queries, partition-local top-k);
-    approx side = union of the probed searches; recall computed in-plan
-    (operators/ann_eval.py). ``floor`` is the loose per-query sanity bound,
-    ``mean_floor`` the tight whole-report contract — calibrated with margin
-    below the recalls measured at sf0.001/sf0.01 so testdata regeneration
-    noise doesn't flake the gate while a real recall regression still
-    hash-fails it."""
+def _ann_recall_report(
+    sf_dir, emb, qdf, approx_parts, *, floor: float, mean_floor: float
+) -> DataFrame:
+    """Exact side = bulk knn_join (broadcast queries, partition-local top-k),
+    computed ONCE per sf_dir and cached — it is the identical ground truth
+    for all three ANN families, queries×k rows. Approx side = union of the
+    probed searches; recall computed in-plan (operators/ann_eval.py).
+    ``floor`` is the loose per-query sanity bound, ``mean_floor`` the tight
+    whole-report contract — calibrated with margin below the recalls
+    measured at sf0.001/sf0.01 so testdata regeneration noise doesn't flake
+    the gate while a real recall regression still hash-fails it."""
     from hybrid_vector_search_spark.operators import ann_eval
     from hybrid_vector_search_spark.operators import knn as knn_op
 
-    exact = knn_op.knn_join(qdf, emb, k=_ANN_EVAL_K)
+    exact = _ANN_EXACT_CACHE.get(sf_dir)
+    if exact is None:
+        exact = knn_op.knn_join(qdf, emb, k=_ANN_EVAL_K).cache()
+        exact.count()
+        _ANN_EXACT_CACHE[sf_dir] = exact
     approx = approx_parts[0]
     for p in approx_parts[1:]:
         approx = approx.unionAll(p)
@@ -421,14 +442,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         safe = sf_dir.strip("/").replace("/", "_")
         path = f"{_session_tmpdir()}/ivf/{safe}/index"
         index = ivf_op.build_ivf(spark, emb, path, n_clusters=8)
+        # cache the clustered layout alongside: 5 probes/query-set then read
+        # in-memory batches pruned by the cluster IN-filter, not 5 re-opens
         _IVF_CACHE[sf_dir] = index
+        layout = spark.read.parquet(index.path).cache()
+        layout.count()
+        _IVF_LAYOUT_CACHE[sf_dir] = layout
+    layout = _IVF_LAYOUT_CACHE[sf_dir]
     parts = [
-        ivf_op.ivf_search(spark, index, qv, _ANN_EVAL_K, nprobe=4, clamp=False)
+        ivf_op.ivf_search(
+            spark, index, qv, _ANN_EVAL_K, nprobe=4, clamp=False, layout=layout
+        )
         .select(F.lit(qid).alias("query_id"), "vec_id")
         for qid, qv in qvecs
     ]
     # measured recall at nprobe=4/8: per-query min 0.5, mean 0.78-0.86
-    return _ann_recall_report(emb, qdf, parts, floor=0.3, mean_floor=0.6)
+    return _ann_recall_report(sf_dir, emb, qdf, parts, floor=0.3, mean_floor=0.6)
 
 
 _LSH_CACHE: dict[str, object] = {}
@@ -470,7 +499,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # measured recall at bits=8, Hamming<=3 (~36% scan): per-query min 0.3,
     # mean 0.5-0.72 — hyperplane LSH is honestly the weakest probe here
-    return _ann_recall_report(emb, qdf, parts, floor=0.1, mean_floor=0.3)
+    return _ann_recall_report(sf_dir, emb, qdf, parts, floor=0.1, mean_floor=0.3)
 
 
 _PQ_CACHE: dict[str, object] = {}
@@ -535,7 +564,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for qid, qv in qvecs
     ]
     # measured recall at rerank_factor=8: per-query min 0.7, mean 0.82-0.88
-    return _ann_recall_report(emb, qdf, parts, floor=0.5, mean_floor=0.6)
+    return _ann_recall_report(sf_dir, emb, qdf, parts, floor=0.5, mean_floor=0.6)
 
 
 # ------------------------------------------------------- streaming (batch parity)

@@ -125,23 +125,62 @@ class SearchEngine:
     """DataFrame-backed search engine with the reference's query surface."""
 
     def __init__(
-        self, df: DataFrame, config: SearchConfig, *, embedder=None, compat: str = "native"
+        self,
+        df: DataFrame,
+        config: SearchConfig,
+        *,
+        embedder=None,
+        compat: str = "native",
+        eager: bool = True,
     ):
+        """``eager=True`` (default, the serving trade): run the two warm-up
+        jobs at construction — persist the corpus-global text statistics and
+        read the corpus vector dimensionality — so a dim-mismatched corpus
+        fails at startup, not on the first query. ``eager=False`` defers
+        both to first use, for batch composition where an engine may be
+        constructed (e.g. per table in a catalog sweep) without ever serving
+        a query."""
         if compat not in COMPAT_MODES:
             raise ValueError(f"compat must be one of {sorted(COMPAT_MODES)}, got {compat!r}")
         self.df = df
         self.cfg = config
         self.compat = compat
         self.embedder = embedder or HashingEmbedder()
-        # "index build": corpus-global text statistics over the FULL table,
-        # computed once and reused by every query (reference indexes.py is
-        # likewise a separate build step; see SURVEY.md §4.2 for why stats
-        # must never see a filtered corpus).
-        self._stats = bm25_op.build_text_stats(df, config.id_col, config.title_col).persist()
-        # corpus vector dimensionality, checked against every query vector
-        # (zip_with would otherwise null-pad a mismatch into silent NULLs)
-        first = df.select(F.size(config.emb_col).alias("d")).head()
-        self._dim = int(first.d) if first else None
+        self._stats_cache = None
+        self._dim_cache: int | None = None
+        self._dim_known = False
+        if eager:
+            self._build_stats()
+            self._read_dim()
+
+    def _build_stats(self):
+        if self._stats_cache is None:
+            # "index build": corpus-global text statistics over the FULL
+            # table, computed once and reused by every query (reference
+            # indexes.py is likewise a separate build step; see SURVEY.md
+            # §4.2 for why stats must never see a filtered corpus).
+            self._stats_cache = bm25_op.build_text_stats(
+                self.df, self.cfg.id_col, self.cfg.title_col
+            ).persist()
+        return self._stats_cache
+
+    def _read_dim(self) -> int | None:
+        if not self._dim_known:
+            # corpus vector dimensionality, checked against every query
+            # vector (zip_with would otherwise null-pad a mismatch into
+            # silent NULLs)
+            first = self.df.select(F.size(self.cfg.emb_col).alias("d")).head()
+            self._dim_cache = int(first.d) if first else None
+            self._dim_known = True
+        return self._dim_cache
+
+    @property
+    def _stats(self):
+        return self._build_stats()
+
+    @property
+    def _dim(self) -> int | None:
+        return self._read_dim()
 
     # ---------------------------------------------------------- endpoints
 

@@ -151,10 +151,18 @@ def ivf_search(
     pre_filter=None,
     round_dp: int | None = 6,
     clamp: bool = True,
+    layout: DataFrame | None = None,
 ) -> DataFrame:
-    """Probe nprobe clusters (partition-pruned scan) + exact rerank within."""
+    """Probe nprobe clusters (partition-pruned scan) + exact rerank within.
+
+    ``layout`` lets a serving path hand in the (possibly cached) clustered
+    relation instead of re-opening the parquet layout per query — the
+    cluster IN-filter then prunes cached in-memory batches the same way it
+    prunes partition directories on the cold path."""
     clusters = index.nearest_clusters(query_vector, nprobe)
-    scan = spark.read.parquet(index.path).where(F.col("cluster_id").isin(clusters))
+    if layout is None:
+        layout = spark.read.parquet(index.path)
+    scan = layout.where(F.col("cluster_id").isin(clusters))
     return knn(
         scan.drop("cluster_id"),
         query_vector,

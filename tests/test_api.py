@@ -322,3 +322,21 @@ def test_http_index_serves_ui(client):
         "inputPipelineRawScore",
     ):
         assert needle in html, needle
+
+
+def test_lazy_engine_runs_no_jobs_at_construction(spark):
+    """eager=False defers the stats persist and dim probe to first use
+    (r5 verdict nit #4) — construction must not touch the cluster."""
+    from hybrid_vector_search_spark.api import SearchConfig, SearchEngine
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "d", [1.0, 0.0])],
+        "_id long, title string, description string, emb_description array<double>",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    eng = SearchEngine(df, SearchConfig(), eager=False)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "lazy construction ran a Spark job"
+    # first use still works and the dim check still fires
+    assert eng._dim == 2

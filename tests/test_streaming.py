@@ -330,7 +330,7 @@ def test_stream_sliding_rollup_matches_batch(spark, events_dir):
     assert len(got) > 0
 
 
-def test_transform_with_state_user_totals_match_batch(spark, events_dir):
+def test_tws_user_totals_match_batch(spark, events_dir):
     """Spark 4 transformWithStateInPandas: per-user running totals drained
     availableNow must equal the batch groupBy's DECIMAL-exact aggregate —
     the new-generation stateful API answers to the same semantics as the
