@@ -1113,7 +1113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     behind them (after this window runs, no declared query's latest driver
     row predates r4); (2) the three ANN approximates, reshaped this round
     into self-attesting recall reports with real oracles — never checked in
-    that shape; (3) the 7 queries whose code paths changed in r6 (BM25
+    that shape; (2b) the three operators NEW in r6 (A-ES weighted sampling, snapshot
+    diff, rate-anomaly radar) — never driver-checked; (3) the 7 queries
+    whose code paths changed in r6 (BM25
     index cache: fulltext/hybrid family; NOT EXISTS purge oracle; URL host
     anchoring; constraints validate rework); (4) queries whose latest
     green is r4, oldest remaining evidence; (5) the r5-verified set,
@@ -1163,6 +1165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        # --- (2b) NEW in r6: never driver-checked, so ahead of re-attestation
+        "weighted_sample_docs": pipeline.weighted_sample_docs,
+        "snapshot_diff": pipeline.snapshot_diff_report,
+        "events_rate_anomaly": relational.events_rate_anomaly,
         # --- (3) code paths touched in r6 (BM25 index cache / oracle+regex fixes)
         "fulltext_bm25": q_fulltext_bm25,
         "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
@@ -2304,6 +2310,27 @@ ORDER BY user_id, session_seq
 """
 
 
+_RATE_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+wnd AS (
+  SELECT event_type, hour, n,
+         count(n) OVER w AS n_base,
+         round(avg(n) OVER w, 4) AS trailing_avg
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, n, trailing_avg,
+       round(n / trailing_avg, 4) AS ratio,
+       (round(n / trailing_avg, 4) >= 2.0) AS is_spike
+FROM wnd WHERE n_base = 24
+ORDER BY event_type, hour
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters": _HEAVY_HITTERS_ORACLE,
@@ -2393,6 +2420,7 @@ def oracle_sql() -> dict[str, str]:
         "flatten_roundtrip": _FLATTEN_ORACLE,
         **PIPELINE_ORACLES,
         "events_hourly_rollup": _EVENTS_HOURLY_ORACLE,
+        "events_rate_anomaly": _RATE_ANOMALY_ORACLE,
         "events_sliding_rate": _SLIDING_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,
         "events_session_window": _SESSION_WINDOW_ORACLE,

@@ -135,6 +135,56 @@ def _local_first_k_per_stratum(
     ).mapInPandas(_prune, keyed.schema)
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY min(k, n) rows sampled WITHOUT replacement with probability
+    proportional to ``weight_col`` — deterministically (same rows every run,
+    every engine, any partitioning).
+
+    Algorithm A-ES (Efraimidis & Spirakis 2006): give each row the key
+    u^(1/w) for u ~ Uniform(0,1) and keep the k largest. Here u is not
+    random but a stable hash — the first 32 bits of md5(salt#key) mapped
+    into (0,1) — so selection is a pure function of (key, weight, salt),
+    reproducible and md5-replayable by the SQL oracle. Ranked by the
+    monotone-equivalent ln(u)/w (descending; avoids pow underflow for huge
+    weights), key ascending as tiebreak.
+
+    Scale: the score is a per-row expression on the scan; top-k is
+    TakeOrdered (partition-local heads, no global sort) — one pass, no
+    shuffle beyond k·partitions rows. Weights must be > 0; null/<=0 weights
+    raise at runtime via an assertion column to fail loudly rather than
+    silently excluding rows.
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}#"), F.col(key_col).cast("string")))
+    # (hash32 + 1) / (2^32 + 1): strictly inside (0,1) so ln() is finite
+    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(2**32 + 1)
+    )
+    w = F.col(weight_col).cast("double")
+    score = F.when(
+        w > 0, F.log(u) / w
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"weighted_sample_k: non-positive weight in {weight_col} for key "),
+                F.col(key_col).cast("string"),
+            )
+        ).cast("double")
+    )
+    return (
+        df.withColumn("_wsk", score)
+        .orderBy(F.col("_wsk").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("_wsk")
+    )
+
+
 def dataset_split(
     df: DataFrame,
     key_col: str,

@@ -578,6 +578,52 @@ SELECT doc_id,
 FROM documents
 """
 
+# operators.sampling.weighted_sample_k (A-ES, Efraimidis-Spirakis): key =
+# ln(u)/w with u = (md5-first-32-bits + 1) / (2^32 + 1), top-50 by key desc,
+# doc_id tiebreak; weight = n_chars + 1
+WEIGHTED_SAMPLE_DOCS = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ln((('0x' || substr(md5('wsk#' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+            / 4294967297.0) / (n_chars::DOUBLE + 1.0) AS s
+  FROM documents
+  ORDER BY s DESC, doc_id ASC
+  LIMIT 50
+)
+ORDER BY doc_id
+"""
+
+
+# operators.snapshots.snapshot_diff over the synthetic next crawl: %17 drop,
+# %13 text amended, %19 re-ingested at +500000; diff on (key, md5(text))
+SNAPSHOT_DIFF = """
+WITH old AS (SELECT doc_id, text FROM documents),
+modified AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM old WHERE doc_id % 17 <> 0
+),
+added AS (SELECT doc_id + 500000 AS doc_id, text FROM old WHERE doc_id % 19 = 0),
+new AS (SELECT * FROM modified UNION ALL SELECT * FROM added),
+o AS (SELECT doc_id AS key, md5(text) AS ofp FROM old),
+n AS (SELECT doc_id AS key, md5(text) AS nfp FROM new),
+j AS (
+  SELECT coalesce(o.key, n.key) AS key, ofp, nfp
+  FROM o FULL OUTER JOIN n ON o.key = n.key
+),
+st AS (
+  SELECT key,
+         CASE WHEN ofp IS NULL THEN 'added'
+              WHEN nfp IS NULL THEN 'removed'
+              WHEN ofp <> nfp THEN 'modified'
+              ELSE 'unchanged' END AS status
+  FROM j
+)
+SELECT key, status FROM st WHERE status <> 'unchanged'
+ORDER BY status, key
+"""
+
+
 # operators.sampling.hash_bucket: first 8 md5 hex chars of 'salt#key' mod 10000
 def _bucket(salt: str, key: str = "doc_id") -> str:
     return f"(('0x' || substr(md5('{salt}#' || {key}::VARCHAR), 1, 8))::BIGINT % 10000)"
@@ -1265,6 +1311,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "quality_score": QUALITY_SCORE,
     "doc_fingerprints": DOC_FINGERPRINTS,
     "sample_deterministic": SAMPLE_DETERMINISTIC,
+    "weighted_sample_docs": WEIGHTED_SAMPLE_DOCS,
+    "snapshot_diff": SNAPSHOT_DIFF,
     "stratified_sample": STRATIFIED_SAMPLE,
     "dataset_split_counts": DATASET_SPLIT_COUNTS,
     "lang_temperature_mix": LANG_TEMPERATURE_MIX,

@@ -1068,3 +1068,41 @@ def zorder_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .orderBy("zbucket")
     )
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES,
+    operators/sampling.weighted_sample_k): 50 documents drawn proportional
+    to length (n_chars + 1) — the "sample long documents more" draw quality
+    audits use. Selection is a pure md5 function of (doc_id, weight), so
+    the oracle replays it row-for-row."""
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.withColumn("w", F.col("n_chars").cast("double") + F.lit(1.0))
+    out = sampling.weighted_sample_k(weighted, "doc_id", "w", 50, salt="wsk")
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/snapshots.py) between the documents table
+    and a synthetic next crawl: every 17th doc dropped (removed), every
+    13th doc's text amended (modified), every 19th doc re-ingested under a
+    shifted id (added). The diff joins on (key, md5 fingerprint) — the
+    shuffle never carries text — and returns the change set plus the
+    status rollup spine for monitoring."""
+    from ..operators.snapshots import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text")
+    surviving = old.where(F.col("doc_id") % 17 != 0)
+    modified = surviving.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = old.where(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + F.lit(500_000)).alias("doc_id"), "text"
+    )
+    new = modified.unionAll(added)
+    out = snapshot_diff(old, new, "doc_id", "text")
+    return out.orderBy("status", "key")

@@ -1255,3 +1255,44 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 3, 'purchase', n_purchase) AS (stage_idx, stage, n_users)"
         )
     ).orderBy("stage_idx")
+
+
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-baseline rate anomaly detection: per (event_type, hour),
+    compare the hourly event count against the average of the previous 24
+    observed hours of that type, and flag ratio >= 2 as a spike — the
+    simplest production traffic-anomaly radar, expressed entirely in window
+    functions (no state, no Python).
+
+    Ratio arithmetic is exact-count division (integers in double), so the
+    DuckDB oracle matches bit-for-bit; a stddev-based z-score would hinge on
+    cross-engine variance accumulation order instead. Scale: one groupBy
+    (type, hour) shuffle over narrow columns, then a per-type window —
+    cardinality = types x hours, tiny regardless of event volume. Returns
+    only hours with a full 24-hour trailing baseline.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    out = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.count("n").over(w).alias("_n_base"),
+        F.round(F.avg("n").over(w), 4).alias("trailing_avg"),
+    )
+    return (
+        out.where(F.col("_n_base") == 24)
+        .withColumn("ratio", F.round(F.col("n") / F.col("trailing_avg"), 4))
+        .withColumn("is_spike", F.col("ratio") >= 2.0)
+        .drop("_n_base")
+        .orderBy("event_type", "hour")
+    )
