@@ -1169,6 +1169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": pipeline.weighted_sample_docs,
         "snapshot_diff": pipeline.snapshot_diff_report,
         "events_rate_anomaly": relational.events_rate_anomaly,
+        "dedup_cluster_sizes": pipeline.dedup_cluster_sizes,
+        "token_fertility_by_lang": pipeline.token_fertility_by_lang,
         # --- (3) code paths touched in r6 (BM25 index cache / oracle+regex fixes)
         "fulltext_bm25": q_fulltext_bm25,
         "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,

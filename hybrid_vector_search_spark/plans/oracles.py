@@ -453,6 +453,29 @@ FROM reach GROUP BY n ORDER BY doc_id
 """
 
 
+# pipeline.dedup_cluster_sizes: the same recursive closure, rolled up twice
+# (component -> size, size -> n_clusters)
+DEDUP_CLUSTER_SIZES = f"""
+WITH RECURSIVE {TOKL},
+{SHINGLES3},
+{JACCARD},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5
+  UNION
+  SELECT id_b AS a, id_a AS b FROM jac WHERE jaccard >= 0.5
+),
+reach(n, m) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+),
+comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+csizes AS (SELECT component, count(*)::BIGINT AS cluster_size FROM comp GROUP BY component)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters
+FROM csizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
 def _simhash_sql(bits: int) -> str:
     votes = ", ".join(
         f"sum(tf * (2 * ((((instr('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1) >> {j % 4}) & 1)) - 1)) AS v_{j}"
@@ -518,6 +541,23 @@ SELECT doc_id,
        round(coalesce(list_sum(list_transform(ps, x -> length(x))), 0)::DOUBLE
              / greatest(len(ps), 1), 6) AS mean_piece_len
 FROM p ORDER BY doc_id
+"""
+
+
+# pipeline.token_fertility_by_lang: BPE pre-tokenizer pieces per
+# whitespace word, rolled up by language
+TOKEN_FERTILITY = r"""
+WITH c AS (
+  SELECT lang,
+         len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+'))::BIGINT AS n_pieces,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_words
+  FROM documents
+)
+SELECT lang,
+       sum(n_pieces)::BIGINT AS bpe_tokens,
+       sum(n_words)::BIGINT AS words,
+       round(sum(n_pieces)::DOUBLE / greatest(sum(n_words), 1), 6) AS fertility
+FROM c GROUP BY lang ORDER BY lang
 """
 
 
@@ -1313,6 +1353,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "sample_deterministic": SAMPLE_DETERMINISTIC,
     "weighted_sample_docs": WEIGHTED_SAMPLE_DOCS,
     "snapshot_diff": SNAPSHOT_DIFF,
+    "dedup_cluster_sizes": DEDUP_CLUSTER_SIZES,
+    "token_fertility_by_lang": TOKEN_FERTILITY,
     "stratified_sample": STRATIFIED_SAMPLE,
     "dataset_split_counts": DATASET_SPLIT_COUNTS,
     "lang_temperature_mix": LANG_TEMPERATURE_MIX,

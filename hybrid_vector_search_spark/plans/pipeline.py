@@ -1106,3 +1106,54 @@ def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = modified.unionAll(added)
     out = snapshot_diff(old, new, "doc_id", "text")
     return out.orderBy("status", "key")
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster-size distribution: (cluster_size, n_clusters)
+    over the >=0.5-jaccard connected components — the shape a dedup audit
+    reads first (a heavy tail of giant clusters usually means boilerplate
+    or a degenerate shingle, not real duplication). Two tiny aggregates on
+    top of the components relation, which is pairs-sized, never corpus-
+    sized; the oracle extends the recursive-CTE closure with the same
+    double rollup."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5)
+    comps = connected_components(pairs, "id_a", "id_b")
+    sizes = comps.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility: BPE-ish subword tokens per whitespace word, by
+    language — THE go/no-go number for a tokenizer on a multilingual corpus
+    (fertility >> 1.5 for a language means its text costs that much more
+    context budget). One pass computing both counts per doc from the shared
+    Arrow kernel + regexp count, then a lang-sized rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(textstats.BPE_PRETOKEN_RE), 0
+    )
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    counted = docs.select(
+        "lang",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(words).cast("long").alias("n_words"),
+    )
+    return (
+        counted.groupBy("lang")
+        .agg(
+            F.sum("n_pieces").alias("bpe_tokens"),
+            F.sum("n_words").alias("words"),
+            F.round(
+                F.sum("n_pieces") / F.greatest(F.sum("n_words"), F.lit(1)), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )

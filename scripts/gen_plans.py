@@ -188,6 +188,33 @@ PICKS = {
         "the payload - then one partial-aggregated groupBy reduces; DECIMAL\n"
         "sums keep the result engine- and partitioning-exact."
     ),
+    "ann_ivf_topk": (
+        "Self-attesting ANN recall (r6): the exact side is the bulk knn_join\n"
+        "(broadcast queries, partition-local top-k prune), the approximate\n"
+        "side unions the 5 probed IVF searches over the CACHED clustered\n"
+        "layout (InMemoryTableScan pruned by the cluster IN-filter), and the\n"
+        "report join + whole-report window touch queries x k rows - the\n"
+        "corpus is scanned only by the two searches being compared."
+    ),
+    "weighted_sample_docs": (
+        "A-ES weighted sampling (r6): the ln(u)/w key is pure codegen on the\n"
+        "scan (u = md5-derived, so the draw is engine-portable and\n"
+        "partition-invariant) and the top-k is TakeOrderedAndProject -\n"
+        "per-partition heaps, no global sort, no shuffle beyond k heads per\n"
+        "partition."
+    ),
+    "snapshot_diff": (
+        "Corpus snapshot diff (r6): both sides project (key, md5 fingerprint)\n"
+        "BEFORE the full-outer join, so the exchanges carry 40 bytes/row\n"
+        "however wide the documents are; status is a projection over the\n"
+        "joined fingerprints and the report is change-set-sized."
+    ),
+    "events_rate_anomaly": (
+        "Rate-anomaly radar (r6): the fact table reduces to (type, hour)\n"
+        "counts in one partial-aggregated groupBy, then the trailing-24h\n"
+        "baseline is a rowsBetween window over the types x hours rollup -\n"
+        "window state is 24 longs per type, independent of event volume."
+    ),
 }
 
 
