@@ -1171,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_anomaly": relational.events_rate_anomaly,
         "dedup_cluster_sizes": pipeline.dedup_cluster_sizes,
         "token_fertility_by_lang": pipeline.token_fertility_by_lang,
+        "orders_profile": relational.orders_profile,
         # --- (3) code paths touched in r6 (BM25 index cache / oracle+regex fixes)
         "fulltext_bm25": q_fulltext_bm25,
         "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
@@ -2333,6 +2334,22 @@ ORDER BY event_type, hour
 """
 
 
+_ORDERS_PROFILE_ORACLE = """
+SELECT 'o_orderkey' AS "column", count(*)::BIGINT AS n_rows, sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, count(DISTINCT o_orderkey)::BIGINT AS n_distinct, min(o_orderkey)::VARCHAR AS min_value, max(o_orderkey)::VARCHAR AS max_value FROM orders
+UNION ALL
+SELECT 'o_custkey' AS "column", count(*)::BIGINT AS n_rows, sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, count(DISTINCT o_custkey)::BIGINT AS n_distinct, min(o_custkey)::VARCHAR AS min_value, max(o_custkey)::VARCHAR AS max_value FROM orders
+UNION ALL
+SELECT 'o_orderstatus' AS "column", count(*)::BIGINT AS n_rows, sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, count(DISTINCT o_orderstatus)::BIGINT AS n_distinct, min(o_orderstatus)::VARCHAR AS min_value, max(o_orderstatus)::VARCHAR AS max_value FROM orders
+UNION ALL
+SELECT 'o_totalprice' AS "column", count(*)::BIGINT AS n_rows, sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, count(DISTINCT o_totalprice)::BIGINT AS n_distinct, min(o_totalprice)::DECIMAL(30,6)::VARCHAR AS min_value, max(o_totalprice)::DECIMAL(30,6)::VARCHAR AS max_value FROM orders
+UNION ALL
+SELECT 'o_orderdate' AS "column", count(*)::BIGINT AS n_rows, sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, count(DISTINCT o_orderdate)::BIGINT AS n_distinct, min(o_orderdate)::VARCHAR AS min_value, max(o_orderdate)::VARCHAR AS max_value FROM orders
+UNION ALL
+SELECT 'o_orderpriority' AS "column", count(*)::BIGINT AS n_rows, sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, count(DISTINCT o_orderpriority)::BIGINT AS n_distinct, min(o_orderpriority)::VARCHAR AS min_value, max(o_orderpriority)::VARCHAR AS max_value FROM orders
+ORDER BY "column"
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters": _HEAVY_HITTERS_ORACLE,
@@ -2423,6 +2440,7 @@ def oracle_sql() -> dict[str, str]:
         **PIPELINE_ORACLES,
         "events_hourly_rollup": _EVENTS_HOURLY_ORACLE,
         "events_rate_anomaly": _RATE_ANOMALY_ORACLE,
+        "orders_profile": _ORDERS_PROFILE_ORACLE,
         "events_sliding_rate": _SLIDING_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,
         "events_session_window": _SESSION_WINDOW_ORACLE,

@@ -1,0 +1,73 @@
+"""One-pass table profiling — the ingest-time column summary report.
+
+The first thing anyone does with a new data drop is profile it: per column,
+how many rows, how many nulls, how many distinct values, what range. This
+module is that report (the Deequ/dbt-profiler shape) as ONE Spark
+aggregation over the table: all per-column statistics are expressions
+inside a single ``df.agg`` (count-distincts plan via Expand — one scan,
+k-way expanded partials, no per-column jobs), unpivoted to a
+``(column, n_rows, n_null, n_distinct, min_value, max_value)`` relation
+via an array-of-structs explode (the same shape as
+``constraints.validate``; report size = number of columns, never rows).
+
+Cross-engine canonicalization: min/max are stringified through a fixed
+DECIMAL(30,6) for fractional numerics (plain CAST of a double renders
+scientific notation differently per engine), ISO CAST for dates and
+timestamps, and plain CAST otherwise — so the DuckDB oracle matches the
+report byte-for-byte.
+
+At 100 TB: exact count-distinct is the one statistic whose Expand fan-out
+costs k× the scan rows in partial-aggregate input; pass
+``approx_distinct=True`` to swap in HyperLogLog++ (single non-expanded
+pass, fixed-size sketches) when exactness isn't required — same report
+schema, estimates in ``n_distinct``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _canon(col: F.Column, dtype: T.DataType) -> F.Column:
+    if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
+        return col.cast("decimal(30,6)").cast("string")
+    return col.cast("string")
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """(column, n_rows, n_null, n_distinct, min_value, max_value) per column."""
+    if columns is None:
+        columns = df.columns
+    dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(columns):
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"_null{i}"))
+        if approx_distinct:
+            aggs.append(F.approx_count_distinct(col).alias(f"_dist{i}"))
+        else:
+            aggs.append(F.countDistinct(col).alias(f"_dist{i}"))
+        # aggregate on the NATIVE type (numeric/date ordering), canonicalize
+        # the single resulting value afterwards
+        aggs.append(_canon(F.min(col), dtypes[c]).alias(f"_min{i}"))
+        aggs.append(_canon(F.max(col), dtypes[c]).alias(f"_max{i}"))
+    agg = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").cast("long").alias("n_rows"),
+            F.coalesce(F.col(f"_null{i}"), F.lit(0)).cast("long").alias("n_null"),
+            F.col(f"_dist{i}").cast("long").alias("n_distinct"),
+            F.col(f"_min{i}").alias("min_value"),
+            F.col(f"_max{i}").alias("max_value"),
+        )
+        for i, c in enumerate(columns)
+    ]
+    return agg.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -1296,3 +1296,23 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_n_base")
         .orderBy("event_type", "hour")
     )
+
+
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the orders table (operators/profiling.py):
+    per column, rows/nulls/distincts/min/max — the ingest-time report every
+    new drop gets before processing. All statistics live in ONE aggregate
+    (count-distinct Expand), unpivoted to a columns-sized relation; the
+    DuckDB oracle reproduces the canonical stringification byte-for-byte."""
+    from ..operators.profiling import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    return profile_table(orders, cols).orderBy("column")

@@ -1,0 +1,51 @@
+"""operators.profiling: one-pass column profile semantics and plan shape."""
+
+from __future__ import annotations
+
+from hybrid_vector_search_spark.operators.profiling import profile_table
+
+
+def _by_col(df):
+    return {r["column"]: r for r in df.collect()}
+
+
+def test_profile_statistics(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.5), (2, "b", None), (2, None, 2.25), (4, "a", 99.0)],
+        "k long, s string, v double",
+    )
+    got = _by_col(profile_table(df))
+    assert got["k"]["n_rows"] == 4
+    assert (got["k"]["n_null"], got["k"]["n_distinct"]) == (0, 3)
+    assert (got["k"]["min_value"], got["k"]["max_value"]) == ("1", "4")
+    assert (got["s"]["n_null"], got["s"]["n_distinct"]) == (1, 2)
+    # fractional numerics canonicalize through DECIMAL(30,6): no scientific
+    # notation, fixed scale — byte-identical across engines
+    assert (got["v"]["min_value"], got["v"]["max_value"]) == (
+        "2.250000",
+        "99.000000",
+    )
+    assert got["v"]["n_null"] == 1
+
+
+def test_profile_is_one_aggregate_pass(spark):
+    """However many columns are profiled, the plan scans the relation once
+    (count-distincts ride one Expand; no per-column jobs or unions of
+    scans)."""
+    df = spark.createDataFrame(
+        [(i, str(i % 3), float(i)) for i in range(50)], "k long, s string, v double"
+    )
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") == 1, plan
+    assert "Union" not in plan
+
+
+def test_profile_approx_distinct_mode(spark):
+    """approx_distinct=True (the 100 TB default) keeps the schema, estimates
+    n_distinct, and drops the Expand from the plan."""
+    df = spark.createDataFrame([(i, i % 7) for i in range(1000)], "a long, b long")
+    prof = profile_table(df, approx_distinct=True)
+    got = _by_col(prof)
+    assert got["b"]["n_distinct"] == 7  # HLL is exact at tiny cardinality
+    assert abs(got["a"]["n_distinct"] - 1000) / 1000 < 0.05
+    assert "Expand" not in prof._jdf.queryExecution().executedPlan().toString()
