@@ -1172,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": pipeline.dedup_cluster_sizes,
         "token_fertility_by_lang": pipeline.token_fertility_by_lang,
         "orders_profile": relational.orders_profile,
+        "profit_by_nation_year": relational.profit_by_nation_year,
+        "excess_quantity_suppliers": relational.excess_quantity_suppliers,
         # --- (3) code paths touched in r6 (BM25 index cache / oracle+regex fixes)
         "fulltext_bm25": q_fulltext_bm25,
         "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
@@ -2350,6 +2352,46 @@ ORDER BY "column"
 """
 
 
+_PROFIT_Q9_ORACLE = """
+SELECT n_name AS nation,
+       year(o_orderdate)::BIGINT AS o_year,
+       round((sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))
+                  - 0.60 * p_retailprice::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)))::DOUBLE, 2) AS profit,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+_EXCESS_Q20_ORACLE = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+),
+per AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity::DECIMAL(18,2)) AS qty
+  FROM li JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%small%'
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_partkey, l_suppkey, qty,
+         sum(qty) OVER (PARTITION BY l_partkey) AS part_total
+  FROM per
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT DISTINCT l_suppkey FROM tot WHERE qty > 0.3 * part_total)
+ORDER BY s_suppkey
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters": _HEAVY_HITTERS_ORACLE,
@@ -2441,6 +2483,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_rollup": _EVENTS_HOURLY_ORACLE,
         "events_rate_anomaly": _RATE_ANOMALY_ORACLE,
         "orders_profile": _ORDERS_PROFILE_ORACLE,
+        "profit_by_nation_year": _PROFIT_Q9_ORACLE,
+        "excess_quantity_suppliers": _EXCESS_Q20_ORACLE,
         "events_sliding_rate": _SLIDING_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,
         "events_session_window": _SESSION_WINDOW_ORACLE,

@@ -1316,3 +1316,78 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     ]
     return profile_table(orders, cols).orderBy("column")
+
+
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit measure), adapted to the
+    testdata's columns: the testdata has no partsupp/ps_supplycost, so cost
+    is proxied as 60% of p_retailprice per unit. Profit per (supplier
+    nation, order year) over parts whose name contains 'gear':
+    sum(extendedprice·(1-discount) − 0.6·retailprice·quantity), DECIMAL-
+    exact so the double result is engine- and order-independent.
+
+    Plan shape: part filter pushed to its scan, part/supplier/nation
+    broadcast, lineitem-orders is the one fact shuffle, two-level partial
+    aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("gear"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = _rev() - (
+        F.lit("0.6").cast(DEC)
+        * F.col("p_retailprice").cast(DEC)
+        * F.col("l_quantity").cast(DEC)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(amount).cast("double"), 2).alias("profit"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion), adapted: suppliers who
+    shipped MORE THAN 30% of the total 1996 shipped quantity of at least
+    one 'small'-named part — the nested IN/semi-join pattern (per-(part,
+    supplier) aggregate compared against a per-part threshold, then a
+    semi-join up to supplier names).
+
+    Plan shape: one (partkey, suppkey) aggregate; the per-part total
+    derives FROM that aggregate (window over partkey — no second lineitem
+    pass); qualifying suppkeys semi-join into the broadcast supplier
+    relation."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("small"))
+    supp = load_table(spark, sf_dir, "supplier")
+    per_ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qualifying = (
+        per_ps.withColumn("part_total", F.sum("qty").over(w))
+        .where(F.col("qty") > F.lit("0.3").cast(DEC) * F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
