@@ -327,3 +327,23 @@ def test_winsorized_stats_single_fact_exchange(spark):
 
     plan = _plan(relational.winsorized_value_stats(spark, SF_SMALL))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_profit_q9_broadcasts_dims_single_fact_shuffle(spark):
+    """Q9 shape: part/supplier/nation broadcast; the lineitem-orders join is
+    the only fact-table hash exchange besides the final groupBy partials."""
+    from hybrid_vector_search_spark.plans import relational
+
+    plan = _plan(relational.profit_by_nation_year(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_excess_q20_window_reuses_aggregate_exchange(spark):
+    """Q20 shape: the per-part threshold window must consume the
+    (partkey, suppkey) aggregate WITHOUT re-scanning lineitem — exactly one
+    scan of lineitem in the whole plan."""
+    from hybrid_vector_search_spark.plans import relational
+
+    plan = _plan(relational.excess_quantity_suppliers(spark, SF_SMALL))
+    assert plan.count("Scan parquet") <= 3, plan  # lineitem + part + supplier
