@@ -1261,6 +1261,33 @@ LEFT JOIN per_doc pd ON d.doc_id = pd.doc_id
 ORDER BY d.doc_id
 """
 
+# pipeline.nb_confusion_matrix: the same closed-form scoring, rolled up to
+# the (actual, predicted) 2x2 evaluation matrix
+NB_CONFUSION = NB_CLASSIFIER[:NB_CLASSIFIER.index("SELECT d.doc_id")] + """
+SELECT (d.lang = 'en') AS actual_en,
+       (round(pr.prior + coalesce(pd.w_sum, 0), 6) > 0) AS pred_en,
+       count(*)::BIGINT AS n
+FROM documents d
+CROSS JOIN pr
+LEFT JOIN per_doc pd ON d.doc_id = pd.doc_id
+GROUP BY 1, 2
+ORDER BY actual_en, pred_en
+"""
+
+# pipeline.quality_band_tokens: fixed 0.1-wide quality bands (map-side
+# assignment - no global window, no percentile interpolation to diverge on)
+QUALITY_BAND_TOKENS = f"""
+WITH q AS ({QUALITY_SCORE})
+SELECT least(floor(quality * 10), 9)::BIGINT AS band,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       round(min(quality), 6) AS min_quality,
+       round(max(quality), 6) AS max_quality
+FROM q
+GROUP BY 1
+ORDER BY band
+"""
+
 # plans.pipeline.frame_sample: the sampling schedule of
 # multimodal.sample_frames — frame at every t in range(0, duration, 600),
 # frame_idx = t // 600, 64 fake-frame bytes. The frame CONTENT is the
@@ -1309,6 +1336,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "span_dedup": SPAN_DEDUP,
     "dedup_incremental": DEDUP_INCREMENTAL,
     "nb_language_classifier": NB_CLASSIFIER,
+    "nb_confusion_matrix": NB_CONFUSION,
+    "quality_band_tokens": QUALITY_BAND_TOKENS,
     "frame_sample": FRAME_SAMPLE,
     "skew_salted_agg": SKEW_SALTED_AGG,
     "zorder_bucket_counts": ZORDER_BUCKETS,

@@ -1157,3 +1157,45 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def nb_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation: the (actual, predicted) 2x2 confusion matrix
+    of the closed-form NB language gate scored over its own training corpus
+    — fit, score, and rollup as ONE lazy plan (precision/recall derive from
+    these four counts). The oracle replays the identical closed-form
+    scoring and aggregation."""
+    from ..operators.classifier import nb_self_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = nb_self_score(docs, "doc_id", "text", "lang", positive="en")
+    labeled = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("actual_en")),
+        "doc_id",
+    )
+    return (
+        labeled.groupBy("actual_en", F.col("pred").alias("pred_en"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("actual_en", "pred_en")
+    )
+
+
+def quality_band_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum planning: docs and token mass per fixed 0.1-wide quality
+    band. Band assignment is a map-side expression over the quality scorer
+    (deliberately NOT deciles: an ntile/percentile tiering would need a
+    global sort or interpolated quantiles — fixed bands keep the plan one
+    aggregate and the band boundaries engine-exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = textstats.quality_score(docs, "doc_id", "text")
+    band = F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("long")
+    return (
+        q.groupBy(band.alias("band"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+            F.round(F.max("quality"), 6).alias("max_quality"),
+        )
+        .orderBy("band")
+    )
