@@ -1332,12 +1332,58 @@ SELECT (zkey >> 6)::BIGINT AS zbucket, count(*)::BIGINT AS n_events
 FROM k GROUP BY 1 ORDER BY 1
 """
 
+
+
+# operators.pagerank over the deterministic synthetic link graph
+# (pipeline.pagerank_top_docs): the 10-iteration damped power iteration
+# replayed as 10 chained CTEs — contributions rounded to 12dp doubles then
+# summed as DECIMAL(38,12), so every iteration is order-independent and
+# engine-exact (the same decimal-accumulation trick as the revenue sums)
+def _pagerank_sql(iterations: int = 10, damping: float = 0.85, dp: int = 12) -> str:
+    head = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 31 + 7) % nn.n AS dst FROM documents, nn
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 17 + 3) % nn.n AS dst FROM documents, nn
+),
+deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id AS node, round(1.0 / nn.n, {dp})::DECIMAL(38,{dp}) AS rank
+       FROM documents, nn)"""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f""",
+r{i} AS (
+  SELECT d.doc_id AS node,
+         (round({1.0 - damping} / nn.n, {dp})::DECIMAL(38,{dp})
+          + coalesce(s.m, 0::DECIMAL(38,{dp})))::DECIMAL(38,{dp}) AS rank
+  FROM documents d CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           sum(round(r.rank::DOUBLE * {damping} / g.outdeg, {dp})::DECIMAL(38,{dp})) AS m
+    FROM edges e JOIN r{i - 1} r ON e.src = r.node JOIN deg g ON e.src = g.src
+    GROUP BY e.dst
+  ) s ON d.doc_id = s.node
+)""")
+    tail = f"""
+SELECT node, round(rank::DOUBLE, 10) AS rank
+FROM r{iterations}
+ORDER BY rank DESC, node ASC
+LIMIT 20
+"""
+    return head + "".join(its) + tail
+
+
+PAGERANK_TOP_DOCS = _pagerank_sql()
+
+
 PIPELINE_ORACLES: dict[str, str] = {
     "span_dedup": SPAN_DEDUP,
     "dedup_incremental": DEDUP_INCREMENTAL,
     "nb_language_classifier": NB_CLASSIFIER,
     "nb_confusion_matrix": NB_CONFUSION,
     "quality_band_tokens": QUALITY_BAND_TOKENS,
+    "pagerank_top_docs": PAGERANK_TOP_DOCS,
     "frame_sample": FRAME_SAMPLE,
     "skew_salted_agg": SKEW_SALTED_AGG,
     "zorder_bucket_counts": ZORDER_BUCKETS,

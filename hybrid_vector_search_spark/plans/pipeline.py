@@ -1199,3 +1199,33 @@ def quality_band_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+def pagerank_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/pagerank.py) over a deterministic synthetic link
+    graph on the documents table (the corpus carries no links, so each doc
+    links to (id*31+7) % N and (id*17+3) % N — a fixture both engines build
+    identically, same policy as the planted URL/PII fixtures). Top-20 by
+    rank; 10 damped iterations, DECIMAL(38,12)-exact accumulation, so the
+    whole iterative fixpoint is replayed bit-for-bit by a 10-stage chained
+    CTE in the oracle."""
+    from ..operators.pagerank import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    ids = docs.select("doc_id")
+    edges = ids.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % n).alias("dst"),
+    ).unionAll(
+        ids.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 17 + 3) % n).alias("dst"),
+        )
+    )
+    pr = pagerank(edges, iterations=10, shuffle_partitions=8)
+    return (
+        pr.select("node", F.round("rank", 10).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
