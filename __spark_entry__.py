@@ -2395,6 +2395,29 @@ ORDER BY s_suppkey
 """
 
 
+_APPROX_DISTINCT_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id)::BIGINT AS exact_users,
+       count(*)::BIGINT AS n_events,
+       true AS hll_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+_APPROX_PERCENTILES_ORACLE = """
+SELECT round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*)::BIGINT AS n,
+       true AS p50_ok,
+       true AS p90_ok,
+       true AS p99_ok
+FROM events
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters": _HEAVY_HITTERS_ORACLE,
@@ -2478,14 +2501,14 @@ def oracle_sql() -> dict[str, str]:
         "events_dow_hour": _DOW_HOUR_ORACLE,
         "segment_nation_arrays": _SEGMENT_NATIONS_ORACLE,
         "daily_revenue_running_total": _RUNNING_TOTAL_ORACLE,
-        # approx_distinct_users intentionally has no oracle: HLL sketch
-        # values are engine-specific (rows-only check; error pinned in tests)
         "set_ops_customers": _SET_OPS_ORACLE,
         "flatten_roundtrip": _FLATTEN_ORACLE,
         **PIPELINE_ORACLES,
         "events_hourly_rollup": _EVENTS_HOURLY_ORACLE,
         "events_rate_anomaly": _RATE_ANOMALY_ORACLE,
         "orders_profile": _ORDERS_PROFILE_ORACLE,
+        "approx_distinct_users": _APPROX_DISTINCT_ORACLE,
+        "value_percentiles_approx": _APPROX_PERCENTILES_ORACLE,
         "profit_by_nation_year": _PROFIT_Q9_ORACLE,
         "excess_quantity_suppliers": _EXCESS_Q20_ORACLE,
         "events_sliding_rate": _SLIDING_ORACLE,

@@ -713,17 +713,32 @@ def revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct count: users per event type. At
-    100 TB this replaces the two-level exact distinct (which shuffles every
-    (type, user) pair) with a fixed-size mergeable sketch per partition —
-    no row-level shuffle at all. Sketch values are engine-specific, so the
-    driver check is rows-only; tests pin relative error < 5% vs exact."""
+    """Self-attesting HyperLogLog++ distinct count (r6 — the ANN recall
+    pattern): per event type, the EXACT distinct count (oracle-verified
+    value-for-value) plus the in-plan claim that the HLL estimate
+    (rsd=0.02) lands within 5%. Sketch values are engine-specific, but the
+    error CONTRACT is checkable — the oracle states hll_within_5pct=TRUE,
+    so an estimator regression hash-fails the gate.
+
+    At 100 TB the production path is the sketch alone (fixed-size mergeable
+    state, no (type, user) shuffle); the exact side here is the verifier,
+    exactly as the exact scorer verifies the ANN probes."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+            F.countDistinct("user_id").alias("exact_users"),
             F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.lit(0.05) * F.col("exact_users")
+            ).alias("hll_within_5pct"),
         )
         .orderBy("event_type")
     )
@@ -780,20 +795,48 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile sketch (Greenwald-Khanna percentile_approx): the streaming /
-    100 TB companion to the exact interpolated value_percentiles query — a
-    fixed-size mergeable summary per partition replaces the global sort.
-    Sketch cut points are engine-specific, so this is a rows-only driver
-    check; tests pin the rank error against the exact quantiles."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_p"),
+    """Self-attesting Greenwald-Khanna quantile sketch (r6 — the ANN recall
+    pattern): the EXACT interpolated percentiles (oracle-verified — Spark's
+    `percentile` matches DuckDB's quantile_cont bit-for-bit, proven by the
+    value_percentiles query) plus in-plan booleans asserting each
+    percentile_approx cut point sits within 0.02% RANK error of its target
+    (accuracy=10000 ⇒ eps=1e-4; bound doubled for tie slack). Sketch cut
+    values are engine-specific, but the GK error contract is checkable —
+    the oracle states the booleans TRUE.
+
+    At 100 TB the sketch is the production path (fixed-size mergeable
+    summaries, no global sort); the second pass computing ranks-of-cuts is
+    the verifier."""
+    ev = load_table(spark, sf_dir, "events").select("value")
+    sk = (
+        ev.agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("ap")
+        )
+        .select(
+            F.col("ap")[0].alias("_a50"),
+            F.col("ap")[1].alias("_a90"),
+            F.col("ap")[2].alias("_a99"),
+        )
+    )
+    joined = ev.crossJoin(F.broadcast(sk))
+    eps = 2.0 / 10000
+
+    def rank_ok(cut_col: str, q: float):
+        n = F.count("*")
+        n_le = F.sum((F.col("value") <= F.col(cut_col)).cast("long"))
+        n_lt = F.sum((F.col("value") < F.col(cut_col)).cast("long"))
+        return (n_le >= (F.lit(q) - F.lit(eps)) * n) & (
+            n_lt <= (F.lit(q) + F.lit(eps)) * n
+        )
+
+    return joined.agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
         F.count("*").alias("n"),
-    ).select(
-        F.col("approx_p")[0].alias("p50"),
-        F.col("approx_p")[1].alias("p90"),
-        F.col("approx_p")[2].alias("p99"),
-        "n",
+        rank_ok("_a50", 0.5).alias("p50_ok"),
+        rank_ok("_a90", 0.9).alias("p90_ok"),
+        rank_ok("_a99", 0.99).alias("p99_ok"),
     )
 
 

