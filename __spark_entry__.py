@@ -2418,6 +2418,16 @@ FROM events
 """
 
 
+_COMPRESSION_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       true AS roundtrip_ok,
+       true AS compresses
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters": _HEAVY_HITTERS_ORACLE,
@@ -2509,6 +2519,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_profile": _ORDERS_PROFILE_ORACLE,
         "approx_distinct_users": _APPROX_DISTINCT_ORACLE,
         "value_percentiles_approx": _APPROX_PERCENTILES_ORACLE,
+        "compression_ratio": _COMPRESSION_ORACLE,
         "profit_by_nation_year": _PROFIT_Q9_ORACLE,
         "excess_quantity_suppliers": _EXCESS_Q20_ORACLE,
         "events_sliding_rate": _SLIDING_ORACLE,

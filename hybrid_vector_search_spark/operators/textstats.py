@@ -153,11 +153,15 @@ def compression_ratio(
     boilerplate/template/spam text: natural prose compresses to ~0.4-0.6 of
     its size, pathological repetition far below.
 
-    Arrow kernel (zlib is CPython stdlib; there is no SQL twin, so the
-    driver check is rows-only and determinism is pinned in tests instead):
-    map-only, no shuffle, fixed compression level so the ratio is a pure
-    function of the bytes. Returns (id, n_bytes, n_compressed,
-    compression_ratio[6dp]); empty docs report ratio 0.0.
+    Arrow kernel (zlib is CPython stdlib — no SQL twin for the compressed
+    SIZE, so its exact value is pinned by pytest, while the driver row
+    attests the checkable contracts instead): map-only, no shuffle, fixed
+    compression level so the ratio is a pure function of the bytes.
+    Returns (id, n_bytes, n_compressed, compression_ratio[6dp],
+    roundtrip_ok); empty docs report ratio 0.0. ``roundtrip_ok`` is the
+    losslessness attestation, verified IN the kernel:
+    decompress(compress(bytes)) == bytes — the property that makes the
+    signal trustworthy at all.
     """
     import zlib
     from typing import Iterator
@@ -169,18 +173,28 @@ def compression_ratio(
             out = []
             for i, text in zip(pdf["id"], pdf["t"]):
                 b = (text or "").encode("utf-8")
-                c = len(zlib.compress(b, level)) if b else 0
+                if b:
+                    z = zlib.compress(b, level)
+                    c = len(z)
+                    ok = zlib.decompress(z) == b
+                else:
+                    c, ok = 0, True
                 out.append(
-                    (i, len(b), c, round(c / len(b), 6) if b else 0.0)
+                    (i, len(b), c, round(c / len(b), 6) if b else 0.0, ok)
                 )
             yield pd.DataFrame(
-                out, columns=["id", "n_bytes", "n_compressed", "compression_ratio"]
+                out,
+                columns=[
+                    "id", "n_bytes", "n_compressed", "compression_ratio", "roundtrip_ok",
+                ],
             )
 
     par = df.sparkSession.sparkContext.defaultParallelism
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).repartition(par)
     return src.mapInPandas(
-        kern, "id long, n_bytes long, n_compressed long, compression_ratio double"
+        kern,
+        "id long, n_bytes long, n_compressed long, compression_ratio double,"
+        " roundtrip_ok boolean",
     )
 
 

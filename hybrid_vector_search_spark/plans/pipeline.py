@@ -155,13 +155,28 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """zlib-compressibility per doc (rows-only driver check: zlib has no SQL
-    twin; value determinism + known-fixture bands pinned in pytest)."""
+    """Self-attesting zlib compressibility (r6 — the ANN recall pattern):
+    the compressed SIZE has no SQL twin (its exact value + known-fixture
+    bands stay pinned in pytest), but the checkable contracts ride the
+    driver row — exact utf-8 byte length (oracle-verified), the in-kernel
+    losslessness round-trip (decompress∘compress = id), and the claim that
+    every >=200-byte doc actually compresses below its raw size. The
+    oracle states the booleans TRUE, so a codec/kernel regression
+    hash-fails the gate."""
     docs = load_table(spark, sf_dir, "documents")
     out = textstats.compression_ratio(docs, "doc_id", "text")
-    return out.select(
-        F.col("id").alias("doc_id"), "n_bytes", "n_compressed", "compression_ratio"
-    ).orderBy("doc_id")
+    return (
+        out.select(
+            F.col("id").alias("doc_id"),
+            "n_bytes",
+            "roundtrip_ok",
+            (
+                (F.col("n_bytes") < 200)
+                | (F.col("n_compressed") < F.col("n_bytes"))
+            ).alias("compresses"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def oov_rate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
