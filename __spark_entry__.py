@@ -1165,7 +1165,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_pq_topk": q_ann_pq_topk,
-        # --- (2b) NEW in r6: never driver-checked, so ahead of re-attestation
+        # --- (2b) NEW/reshaped in r6: never driver-checked in this form,
+        # so ahead of re-attestation (the three reshaped self-attesting
+        # sketch rows lead — their oracles are brand new)
+        "approx_distinct_users": relational.approx_distinct_users,
+        "value_percentiles_approx": relational.value_percentiles_approx,
+        "compression_ratio": pipeline.compression_ratio_stats,
         "weighted_sample_docs": pipeline.weighted_sample_docs,
         "snapshot_diff": pipeline.snapshot_diff_report,
         "events_rate_anomaly": relational.events_rate_anomaly,
@@ -1226,10 +1231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "set_ops_customers": relational.set_ops_customers,
         "daily_revenue_running_total": relational.daily_revenue_running_total,
-        "approx_distinct_users": relational.approx_distinct_users,
         "cli_range_bounds": q_cli_range_bounds,
         "knn_limit_clamped": q_knn_limit_clamped,
-        "value_percentiles_approx": relational.value_percentiles_approx,
         "value_histogram": relational.value_histogram,
         "knn_cosine": q_knn_cosine,
         # --- (5) verified green in r5 (CORRECTNESS_r05): freshest, so last
@@ -1267,7 +1270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": pipeline.embedding_drift,
         "source_token_kl": pipeline.source_token_kl,
         "training_manifest": pipeline.training_manifest,
-        "compression_ratio": pipeline.compression_ratio_stats,
         "heavy_hitters": q_heavy_hitters,
         "embed_roundtrip": q_embed_roundtrip,
         "sink_roundtrip": q_sink_roundtrip,

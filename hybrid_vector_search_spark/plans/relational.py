@@ -1350,6 +1350,10 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profiling import profile_table
 
     orders = load_table(spark, sf_dir, "orders")
+    # single-split local fixture -> fan the Expand/count-distinct work
+    # across cores (cluster inputs arrive pre-split; same note as
+    # pipeline.doc_chunks)
+    orders = orders.repartition(spark.sparkContext.defaultParallelism)
     cols = [
         "o_orderkey",
         "o_custkey",
