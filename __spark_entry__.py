@@ -1182,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_confusion_matrix": pipeline.nb_confusion_matrix,
         "quality_band_tokens": pipeline.quality_band_tokens,
         "pagerank_top_docs": pipeline.pagerank_top_docs,
+        "audio_window_stats": pipeline.audio_window_stats,
         # --- (3) code paths touched in r6 (BM25 index cache / oracle+regex fixes)
         "fulltext_bm25": q_fulltext_bm25,
         "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,

@@ -259,3 +259,69 @@ def binary_stats(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(kernel, "id long, n_bytes long, content_md5 string")
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("win_idx", T.IntegerType(), False),
+        T.StructField("start_ms", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("window", T.BinaryType(), False),
+        T.StructField("rms_u8", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_windows(df: DataFrame, *, win_ms: int = 25, hop_ms: int = 10) -> DataFrame:
+    """Audio analysis framing — the MFCC/feature front-end's windowing pass:
+    one output row per (media_id, win_idx) for each full ``win_ms`` window
+    advancing by ``hop_ms`` (start + win <= duration; trailing partial
+    windows are dropped, the standard framing convention). ``n_samples`` =
+    win_ms · sample_rate / 1000 from the clip's metadata.
+
+    The schedule, fan-out shape, and Arrow plumbing are real and
+    oracle-checkable; the PCM itself is the deterministic md5-chain fake
+    (a real build swaps `soundfile`/`av` decode into the same kernel — the
+    codec-lane policy of decode_image). Window bytes are u8 'samples'
+    sliced from the fake PCM at the window's sample offsets, and rms_u8 is
+    their root-mean-square — pinned in tests, excluded from the driver
+    query (not SQL-expressible), exactly like frame_sample's frame bytes.
+    Fan-out happens INSIDE the kernel: clip bytes are decoded once per
+    clip, never duplicated per window upstream."""
+    if win_ms <= 0 or hop_ms <= 0:
+        raise ValueError("win_ms and hop_ms must be positive")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "win_idx": [], "start_ms": [],
+                "n_samples": [], "window": [], "rms_u8": [],
+            }
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                m = dict(meta) if meta is not None else {}
+                duration = int(m.get("duration_ms") or 0)
+                rate = int(m.get("sample_rate") or 0)
+                if rate <= 0 or duration < win_ms:
+                    continue
+                n_total = duration * rate // 1000
+                pcm = np.frombuffer(
+                    _md5_expand(bytes(content), n_total), dtype=np.uint8
+                )
+                win_n = win_ms * rate // 1000
+                for idx, start in enumerate(range(0, duration - win_ms + 1, hop_ms)):
+                    s0 = start * rate // 1000
+                    w = pcm[s0 : s0 + win_n]
+                    rows["media_id"].append(int(mid))
+                    rows["win_idx"].append(idx)
+                    rows["start_ms"].append(start)
+                    rows["n_samples"].append(int(win_n))
+                    rows["window"].append(w.tobytes())
+                    rows["rms_u8"].append(
+                        round(float(np.sqrt(np.mean(w.astype(np.float64) ** 2))), 6)
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, AUDIO_WINDOW_SCHEMA)

@@ -1377,6 +1377,27 @@ LIMIT 20
 PAGERANK_TOP_DOCS = _pagerank_sql()
 
 
+
+
+# multimodal.audio_windows schedule: full 25ms windows at 10ms hop over
+# duration_ms = 500 + n_chars % 2500 at 16 kHz; n_windows =
+# floor((dur - 25) / 10) + 1, n_samples = 25*16 = 400 per window
+AUDIO_WINDOW_STATS = """
+WITH clips AS (
+  SELECT doc_id, (500 + n_chars % 2500)::INT AS dur FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(range(0, dur - 25 + 1, 10)) AS start_ms
+  FROM clips WHERE dur >= 25
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_windows,
+       max(start_ms)::INT AS last_start_ms,
+       (count(*) * 400)::BIGINT AS total_samples
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 PIPELINE_ORACLES: dict[str, str] = {
     "span_dedup": SPAN_DEDUP,
     "dedup_incremental": DEDUP_INCREMENTAL,
@@ -1384,6 +1405,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "nb_confusion_matrix": NB_CONFUSION,
     "quality_band_tokens": QUALITY_BAND_TOKENS,
     "pagerank_top_docs": PAGERANK_TOP_DOCS,
+    "audio_window_stats": AUDIO_WINDOW_STATS,
     "frame_sample": FRAME_SAMPLE,
     "skew_salted_agg": SKEW_SALTED_AGG,
     "zorder_bucket_counts": ZORDER_BUCKETS,

@@ -1244,3 +1244,42 @@ def pagerank_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )
+
+
+AUDIO_RATE, AUDIO_WIN_MS, AUDIO_HOP_MS = 16_000, 25, 10
+
+
+def audio_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing schedule (multimodal.audio_windows) over synthetic
+    clips built from real testdata: duration_ms = 500 + n_chars % 2500 (the
+    frame_sample convention), 16 kHz. The driver-checked surface is the
+    SCHEDULE — window index, start, sample count per full 25ms/10ms-hop
+    window — which the oracle replays with generate_series; the fake-PCM
+    window bytes and their RMS are pinned in tests/test_multimodal.py
+    (md5-chain content isn't SQL-expressible), mirroring frame_sample."""
+    from ..multimodal import audio_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode(F.substring("text", 1, 64), "utf-8").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(AUDIO_RATE).alias("sample_rate"),
+            (F.lit(500) + F.col("n_chars") % 2500).cast("int").alias("duration_ms"),
+            F.lit("pcm-u8").alias("format"),
+        ).alias("meta"),
+    ).repartition(par)  # single-split local fixture; pre-split on a cluster
+    wins = audio_windows(media, win_ms=AUDIO_WIN_MS, hop_ms=AUDIO_HOP_MS)
+    return (
+        wins.groupBy(F.col("media_id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.max("start_ms").alias("last_start_ms"),
+            F.sum("n_samples").alias("total_samples"),
+        )
+        .orderBy("doc_id")
+    )

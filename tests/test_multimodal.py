@@ -212,3 +212,51 @@ def test_resize_output_consumable_as_raw_rgb(spark):
     assert got == want
     meta = twice.select("meta").head().meta
     assert (meta.width, meta.height, meta.format) == (8, 8, "raw-rgb")
+
+
+def test_audio_windows_schedule_and_content(spark):
+    """25ms/10ms framing: full windows only, correct sample offsets, RMS
+    matches a direct numpy recompute of the md5-chain fake PCM."""
+    import numpy as np
+
+    from hybrid_vector_search_spark.multimodal import _md5_expand, audio_windows
+
+    df = spark.createDataFrame(
+        [
+            (1, "audio", b"seed-a", {"sample_rate": "1000", "duration_ms": "100"}),
+            (2, "audio", b"seed-b", {"sample_rate": "1000", "duration_ms": "24"}),
+            (3, "audio", b"seed-c", {"sample_rate": "0", "duration_ms": "100"}),
+        ],
+        "media_id long, kind string, content binary, meta map<string,string>",
+    )
+    rows = audio_windows(df, win_ms=25, hop_ms=10).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # clip 2 (shorter than one window) and clip 3 (no rate) emit nothing
+    assert set(by_id) == {1}
+    got = sorted(by_id[1], key=lambda r: r["win_idx"])
+    # dur=100, win=25, hop=10 -> starts 0,10,...,70 (8 windows)
+    assert [r["start_ms"] for r in got] == list(range(0, 71, 10))
+    assert all(r["n_samples"] == 25 for r in got)  # 25ms at 1 kHz
+    pcm = np.frombuffer(_md5_expand(b"seed-a", 100), dtype=np.uint8)
+    for r in got:
+        s0 = r["start_ms"]  # 1 kHz -> 1 sample per ms
+        w = pcm[s0 : s0 + 25]
+        assert bytes(r["window"]) == w.tobytes()
+        assert r["rms_u8"] == round(
+            float(np.sqrt(np.mean(w.astype(np.float64) ** 2))), 6
+        )
+
+
+def test_audio_windows_partition_invariant(spark):
+    from hybrid_vector_search_spark.multimodal import audio_windows, synthetic_media
+
+    media = synthetic_media(spark, 40, kind="audio")
+    a = sorted(
+        map(tuple, audio_windows(media.coalesce(1)).drop("window").collect())
+    )
+    b = sorted(
+        map(tuple, audio_windows(media.repartition(7)).drop("window").collect())
+    )
+    assert a == b and len(a) > 0
