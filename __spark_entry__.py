@@ -1183,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_band_tokens": pipeline.quality_band_tokens,
         "pagerank_top_docs": pipeline.pagerank_top_docs,
         "audio_window_stats": pipeline.audio_window_stats,
+        "snapshot_scd2": pipeline.snapshot_scd2,
         # --- (3) code paths touched in r6 (BM25 index cache / oracle+regex fixes)
         "fulltext_bm25": q_fulltext_bm25,
         "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,

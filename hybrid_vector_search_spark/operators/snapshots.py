@@ -69,3 +69,65 @@ def snapshot_diff_counts(
         .groupBy("status")
         .agg(F.count("*").alias("n"))
     )
+
+
+def scd2_merge(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    content_col: str,
+    *,
+    old_version: int = 1,
+    new_version: int = 2,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from two snapshots:
+    ``(key, fingerprint, valid_from, valid_to, is_current)`` — the
+    warehouse-standard history build that :func:`snapshot_diff` feeds.
+
+    Semantics per key (valid_to is NULL while current):
+    - unchanged: one row (old fp, from=old_version, to=NULL, current)
+    - modified:  (old fp, from=old_version, to=new_version, closed) +
+                 (new fp, from=new_version, to=NULL, current)
+    - removed:   (old fp, from=old_version, to=new_version, closed)
+    - added:     (new fp, from=new_version, to=NULL, current)
+
+    Scale: same join shape as snapshot_diff — fingerprints projected before
+    the one full-outer key join, then the history rows are a flat
+    projection (array-of-structs explode), so output ∝ |keys| + |changes|
+    with no additional shuffle."""
+    o = old.select(
+        F.col(key_col).alias("key"), F.md5(F.col(content_col)).alias("_ofp")
+    )
+    n = new.select(
+        F.col(key_col).alias("key"), F.md5(F.col(content_col)).alias("_nfp")
+    )
+    j = o.join(n, "key", "full_outer")
+    ov, nv = F.lit(old_version), F.lit(new_version)
+    null_i = F.lit(None).cast("int")
+    old_closed = F.struct(
+        F.col("_ofp").alias("fingerprint"),
+        ov.alias("valid_from"),
+        nv.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    old_open = F.struct(
+        F.col("_ofp").alias("fingerprint"),
+        ov.alias("valid_from"),
+        null_i.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    new_open = F.struct(
+        F.col("_nfp").alias("fingerprint"),
+        nv.alias("valid_from"),
+        null_i.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    rows = (
+        F.when(F.col("_ofp").isNull(), F.array(new_open))  # added
+        .when(F.col("_nfp").isNull(), F.array(old_closed))  # removed
+        .when(F.col("_ofp") == F.col("_nfp"), F.array(old_open))  # unchanged
+        .otherwise(F.array(old_closed, new_open))  # modified
+    )
+    return j.select("key", F.explode(rows).alias("h")).select(
+        "key", "h.fingerprint", "h.valid_from", "h.valid_to", "h.is_current"
+    )

@@ -1398,6 +1398,44 @@ FROM w GROUP BY doc_id ORDER BY doc_id
 """
 
 
+
+
+# operators.snapshots.scd2_merge over the snapshot_diff fixture pair
+SNAPSHOT_SCD2 = """
+WITH old AS (SELECT doc_id, text FROM documents),
+modified AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM old WHERE doc_id % 17 <> 0
+),
+added AS (SELECT doc_id + 500000 AS doc_id, text FROM old WHERE doc_id % 19 = 0),
+new AS (SELECT * FROM modified UNION ALL SELECT * FROM added),
+o AS (SELECT doc_id AS key, md5(text) AS ofp FROM old),
+n AS (SELECT doc_id AS key, md5(text) AS nfp FROM new),
+j AS (
+  SELECT coalesce(o.key, n.key) AS key, ofp, nfp
+  FROM o FULL OUTER JOIN n ON o.key = n.key
+),
+hist AS (
+  SELECT key, nfp AS fingerprint, 2::INT AS valid_from, NULL::INT AS valid_to,
+         true AS is_current
+  FROM j WHERE ofp IS NULL
+  UNION ALL
+  SELECT key, ofp, 1::INT, 2::INT, false FROM j WHERE nfp IS NULL
+  UNION ALL
+  SELECT key, ofp, 1::INT, NULL::INT, true FROM j WHERE ofp = nfp
+  UNION ALL
+  SELECT key, ofp, 1::INT, 2::INT, false
+  FROM j WHERE ofp IS NOT NULL AND nfp IS NOT NULL AND ofp <> nfp
+  UNION ALL
+  SELECT key, nfp, 2::INT, NULL::INT, true
+  FROM j WHERE ofp IS NOT NULL AND nfp IS NOT NULL AND ofp <> nfp
+)
+SELECT key, fingerprint, valid_from, valid_to, is_current
+FROM hist ORDER BY key, valid_from, fingerprint
+"""
+
+
 PIPELINE_ORACLES: dict[str, str] = {
     "span_dedup": SPAN_DEDUP,
     "dedup_incremental": DEDUP_INCREMENTAL,
@@ -1406,6 +1444,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "quality_band_tokens": QUALITY_BAND_TOKENS,
     "pagerank_top_docs": PAGERANK_TOP_DOCS,
     "audio_window_stats": AUDIO_WINDOW_STATS,
+    "snapshot_scd2": SNAPSHOT_SCD2,
     "frame_sample": FRAME_SAMPLE,
     "skew_salted_agg": SKEW_SALTED_AGG,
     "zorder_bucket_counts": ZORDER_BUCKETS,

@@ -1283,3 +1283,27 @@ def audio_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history (operators/snapshots.scd2_merge) over the same
+    synthetic next-crawl pair as snapshot_diff — per key, fingerprint
+    validity intervals with a current flag; the history a warehouse keeps
+    so any past snapshot is reconstructable."""
+    from ..operators.snapshots import scd2_merge
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text")
+    new = old.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionAll(
+        old.where(F.col("doc_id") % 19 == 0).select(
+            (F.col("doc_id") + F.lit(500_000)).alias("doc_id"), "text"
+        )
+    )
+    return scd2_merge(old, new, "doc_id", "text").orderBy(
+        "key", "valid_from", "fingerprint"
+    )

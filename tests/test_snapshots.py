@@ -89,3 +89,26 @@ def test_weighted_sample_k_properties(spark):
     bad = spark.createDataFrame([(1, 0.0)], "id long, w double")
     with pytest.raises(Exception, match="non-positive weight"):
         weighted_sample_k(bad, "id", "w", 1).collect()
+
+
+def test_scd2_history_semantics(spark):
+    """Type-2 history rows per diff status: unchanged=1 open, modified=1
+    closed + 1 open, removed=1 closed, added=1 open; exactly one current
+    row per key present in the new snapshot, none for removed keys."""
+    from hybrid_vector_search_spark.operators.snapshots import scd2_merge
+
+    old, new = _snaps(spark)
+    hist = scd2_merge(old, new, "doc_id", "text").collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["key"], []).append(r)
+    assert {k: len(v) for k, v in by_key.items()} == {1: 1, 2: 2, 3: 1, 4: 1, 5: 1}
+    # current rows: keys 1,2,4,5 (present in new); removed key 3 has none
+    current = {r["key"] for r in hist if r["is_current"]}
+    assert current == {1, 2, 4, 5}
+    assert all(r["valid_to"] is None for r in hist if r["is_current"])
+    assert all(r["valid_to"] == 2 for r in hist if not r["is_current"])
+    # modified key 2: closed v1 row + open v2 row with different fingerprints
+    k2 = sorted(by_key[2], key=lambda r: r["valid_from"])
+    assert [r["valid_from"] for r in k2] == [1, 2]
+    assert k2[0]["fingerprint"] != k2[1]["fingerprint"]
