@@ -1107,19 +1107,26 @@ def q_hybrid_fusion_details(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is the driver's correctness-check priority: the driver
     verifies a prefix window (~50), so the round-6 layout retires ALL
-    remaining r3-latest evidence and re-attests everything this round
-    touched: (1) the 39 queries whose last driver hash-match is r3 — the 7
+    remaining r3-latest evidence, then stacks this round's brand-new
+    oracles: (1) the 39 queries whose last driver hash-match is r3 — the 7
     rows r5 staged just past its cut, then the 32 relational/operator rows
     behind them (after this window runs, no declared query's latest driver
-    row predates r4); (2) the three ANN approximates, reshaped this round
-    into self-attesting recall reports with real oracles — never checked in
-    that shape; (2b) the three operators NEW in r6 (A-ES weighted sampling, snapshot
-    diff, rate-anomaly radar) — never driver-checked; (3) the 7 queries
-    whose code paths changed in r6 (BM25
-    index cache: fulltext/hybrid family; NOT EXISTS purge oracle; URL host
-    anchoring; constraints validate rework); (4) queries whose latest
-    green is r4, oldest remaining evidence; (5) the r5-verified set,
-    freshest, so last."""
+    row predates r4); (2) the three ANN approximates, reshaped into
+    self-attesting recall reports with real oracles — never checked in
+    that shape; (2b) the queries NEW or reshaped in r6, never
+    driver-checked in their current form — first the three reshaped
+    self-attesting sketch rows (HLL distinct, GK percentiles, zlib
+    round-trip), then the new operators (A-ES weighted sampling, snapshot
+    diff + SCD2 history, rate-anomaly radar, dedup cluster sizes,
+    tokenizer fertility, table profiling, TPC-H Q9/Q20, NB confusion
+    matrix, quality bands, DECIMAL-exact PageRank, audio framing); (3) the
+    7 queries whose code paths changed in r6 (BM25 index cache:
+    fulltext/hybrid family; NOT EXISTS purge oracle; URL host anchoring;
+    constraints validate rework) — those past the ~50 cut are covered by
+    the local oracle-parity suite at both SFs this round and lead r7's
+    rotation; (4) queries whose latest green is r4, oldest remaining
+    evidence; (5) the r5-verified set, freshest, so last. Every one of the
+    152 declared queries now has an oracle_sql() twin — zero rows-only."""
     return {
         # --- (1) r3-latest evidence: the 7 rows past r5's cut, then the remaining 32
         "cube_revenue": relational.cube_revenue,
