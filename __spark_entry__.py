@@ -1184,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": pipeline.dedup_cluster_sizes,
         "token_fertility_by_lang": pipeline.token_fertility_by_lang,
         "orders_profile": relational.orders_profile,
+        "orders_profile_approx": relational.orders_profile_approx,
         "profit_by_nation_year": relational.profit_by_nation_year,
         "excess_quantity_suppliers": relational.excess_quantity_suppliers,
         "nb_confusion_matrix": pipeline.nb_confusion_matrix,
@@ -2350,20 +2351,33 @@ ORDER BY event_type, hour
 """
 
 
-_ORDERS_PROFILE_ORACLE = """
-SELECT 'o_orderkey' AS "column", count(*)::BIGINT AS n_rows, sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, count(DISTINCT o_orderkey)::BIGINT AS n_distinct, min(o_orderkey)::VARCHAR AS min_value, max(o_orderkey)::VARCHAR AS max_value FROM orders
-UNION ALL
-SELECT 'o_custkey' AS "column", count(*)::BIGINT AS n_rows, sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, count(DISTINCT o_custkey)::BIGINT AS n_distinct, min(o_custkey)::VARCHAR AS min_value, max(o_custkey)::VARCHAR AS max_value FROM orders
-UNION ALL
-SELECT 'o_orderstatus' AS "column", count(*)::BIGINT AS n_rows, sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, count(DISTINCT o_orderstatus)::BIGINT AS n_distinct, min(o_orderstatus)::VARCHAR AS min_value, max(o_orderstatus)::VARCHAR AS max_value FROM orders
-UNION ALL
-SELECT 'o_totalprice' AS "column", count(*)::BIGINT AS n_rows, sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, count(DISTINCT o_totalprice)::BIGINT AS n_distinct, min(o_totalprice)::DECIMAL(30,6)::VARCHAR AS min_value, max(o_totalprice)::DECIMAL(30,6)::VARCHAR AS max_value FROM orders
-UNION ALL
-SELECT 'o_orderdate' AS "column", count(*)::BIGINT AS n_rows, sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, count(DISTINCT o_orderdate)::BIGINT AS n_distinct, min(o_orderdate)::VARCHAR AS min_value, max(o_orderdate)::VARCHAR AS max_value FROM orders
-UNION ALL
-SELECT 'o_orderpriority' AS "column", count(*)::BIGINT AS n_rows, sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, count(DISTINCT o_orderpriority)::BIGINT AS n_distinct, min(o_orderpriority)::VARCHAR AS min_value, max(o_orderpriority)::VARCHAR AS max_value FROM orders
-ORDER BY "column"
-"""
+def _orders_profile_sql(attest: bool = False) -> str:
+    """Per-column UNION ALL profile of orders (operators/profiling.py).
+    ``attest`` appends the stated HLL contract column — TRUE per row — so
+    the self-attesting approx twin (orders_profile_approx) hash-fails if
+    Spark's rsd=0.02 estimate drifts past 5% of the exact count."""
+    cols = {
+        "o_orderkey": "::VARCHAR",
+        "o_custkey": "::VARCHAR",
+        "o_orderstatus": "::VARCHAR",
+        "o_totalprice": "::DECIMAL(30,6)::VARCHAR",
+        "o_orderdate": "::VARCHAR",
+        "o_orderpriority": "::VARCHAR",
+    }
+    attest_col = ", true AS approx_within_tol" if attest else ""
+    selects = [
+        f"SELECT '{c}' AS \"column\", count(*)::BIGINT AS n_rows,"
+        f" sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,"
+        f" count(DISTINCT {c})::BIGINT AS n_distinct,"
+        f" min({c}){canon} AS min_value, max({c}){canon} AS max_value"
+        f"{attest_col} FROM orders"
+        for c, canon in cols.items()
+    ]
+    return "\n".join(["\nUNION ALL\n".join(selects), 'ORDER BY "column"'])
+
+
+_ORDERS_PROFILE_ORACLE = _orders_profile_sql()
+_ORDERS_PROFILE_APPROX_ORACLE = _orders_profile_sql(attest=True)
 
 
 _PROFIT_Q9_ORACLE = """
@@ -2528,6 +2542,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_rollup": _EVENTS_HOURLY_ORACLE,
         "events_rate_anomaly": _RATE_ANOMALY_ORACLE,
         "orders_profile": _ORDERS_PROFILE_ORACLE,
+        "orders_profile_approx": _ORDERS_PROFILE_APPROX_ORACLE,
         "approx_distinct_users": _APPROX_DISTINCT_ORACLE,
         "value_percentiles_approx": _APPROX_PERCENTILES_ORACLE,
         "compression_ratio": _COMPRESSION_ORACLE,

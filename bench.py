@@ -15,7 +15,10 @@ file. Each query is timed end-to-end including the collect (what a user of
 the reference's API observes: pipeline build + execution + result fetch);
 each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the
 MIN, so one-time first-touch costs and machine-load drift don't mask plan
-regressions round-over-round.
+regressions round-over-round. A query whose min would still trip the
+regression gate (>1.5x prev AND >0.25s) is escalated to
+$SPARK_GRAFT_BENCH_ESCALATED runs (default 5) before recording, so flags
+are load-bearing (escalated queries are listed under "escalated").
 """
 
 from __future__ import annotations
@@ -79,20 +82,39 @@ def main() -> None:
     # load drift observed between rounds, so a reported regression is a plan
     # regression, not noise.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Noise control (r6 verdict ask #8): a query whose min-of-n_runs still
+    # lands in the regression-flag range gets escalated to n_escalated total
+    # runs BEFORE its number is recorded, so a flagged row means the plan
+    # regressed in all five attempts, not that the machine hiccuped thrice.
+    n_escalated = max(n_runs, int(os.environ.get("SPARK_GRAFT_BENCH_ESCALATED", "5")))
+    prev = _previous_round_timings(sf)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    escalated: list[str] = []
     # Fault isolation: one broken query must never zero out the round's bench
     # (BENCH_r03 was rc=1/no numbers because a single query threw). A failed
     # query is recorded in "errors", excluded from the timing total, and the
     # contract lines still print.
     for name, fn in entry_mod.queries().items():
         best, rows = None, []
+
+        def _would_flag(t: float) -> bool:
+            p = prev[1].get(name) if prev else None
+            return p is not None and p > 0 and t > 1.5 * p and t - p > 0.25
+
         try:
             for _ in range(n_runs):
                 t0 = time.perf_counter()
                 rows = fn(spark, sf_dir).collect()
                 dt = time.perf_counter() - t0
                 best = dt if best is None or dt < best else best
+            if _would_flag(best):
+                escalated.append(name)
+                for _ in range(n_escalated - n_runs):
+                    t0 = time.perf_counter()
+                    rows = fn(spark, sf_dir).collect()
+                    dt = time.perf_counter() - t0
+                    best = dt if dt < best else best
         except Exception as exc:  # noqa: BLE001 — isolate, record, continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
@@ -111,11 +133,12 @@ def main() -> None:
     }
     if errors:
         summary["errors"] = errors
+    if escalated:
+        summary["escalated"] = escalated
     # Per-query regression surface: carry the PREVIOUS round's recorded
     # timing (latest BENCH_r*.json with a parseable per-query map at the
     # same sf) so a per-query delta is one file-read away instead of
     # cross-round archaeology.
-    prev = _previous_round_timings(sf)
     if prev:
         summary["prev"] = {
             "source": prev[0],

@@ -41,8 +41,21 @@ def profile_table(
     columns: list[str] | None = None,
     *,
     approx_distinct: bool = False,
+    attest_rsd: float | None = None,
+    attest_tolerance: float = 0.05,
 ) -> DataFrame:
-    """(column, n_rows, n_null, n_distinct, min_value, max_value) per column."""
+    """(column, n_rows, n_null, n_distinct, min_value, max_value) per column.
+
+    ``attest_rsd`` turns the report self-attesting (the approx_distinct_users
+    recipe): the HLL++ estimate at that relative standard deviation runs
+    alongside the exact count-distinct, and an extra
+    ``approx_within_tol`` boolean per column claims the estimate landed
+    within ``attest_tolerance`` of the exact value. The exact counts stay
+    oracle-checkable value-for-value; the boolean is the stated contract, so
+    an estimator regression hash-fails the driver gate. At 100 TB the
+    production report runs HLL alone (``approx_distinct=True``); the
+    attesting mode is the verifier that earns trust in that default.
+    """
     if columns is None:
         columns = df.columns
     dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
@@ -54,20 +67,31 @@ def profile_table(
             aggs.append(F.approx_count_distinct(col).alias(f"_dist{i}"))
         else:
             aggs.append(F.countDistinct(col).alias(f"_dist{i}"))
+        if attest_rsd is not None:
+            aggs.append(
+                F.approx_count_distinct(col, rsd=attest_rsd).alias(f"_hll{i}")
+            )
         # aggregate on the NATIVE type (numeric/date ordering), canonicalize
         # the single resulting value afterwards
         aggs.append(_canon(F.min(col), dtypes[c]).alias(f"_min{i}"))
         aggs.append(_canon(F.max(col), dtypes[c]).alias(f"_max{i}"))
     agg = df.agg(*aggs)
-    structs = [
-        F.struct(
+    structs = []
+    for i, c in enumerate(columns):
+        fields = [
             F.lit(c).alias("column"),
             F.col("_n").cast("long").alias("n_rows"),
             F.coalesce(F.col(f"_null{i}"), F.lit(0)).cast("long").alias("n_null"),
             F.col(f"_dist{i}").cast("long").alias("n_distinct"),
             F.col(f"_min{i}").alias("min_value"),
             F.col(f"_max{i}").alias("max_value"),
-        )
-        for i, c in enumerate(columns)
-    ]
+        ]
+        if attest_rsd is not None:
+            fields.append(
+                (
+                    F.abs(F.col(f"_hll{i}") - F.col(f"_dist{i}"))
+                    <= F.lit(attest_tolerance) * F.col(f"_dist{i}")
+                ).alias("approx_within_tol")
+            )
+        structs.append(F.struct(*fields))
     return agg.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

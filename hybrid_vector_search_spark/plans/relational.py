@@ -1365,6 +1365,31 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(orders, cols).orderBy("column")
 
 
+def orders_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-attesting HLL profile of the orders table — the SCALE default
+    made driver-visible (r6 verdict ask #4). At 100 TB the exact
+    count-distinct's Expand fan-out costs k× the scan rows in
+    partial-aggregate input, so the production report runs HLL++ alone;
+    this row earns trust in that default the approx_distinct_users way:
+    exact counts value-checked by the oracle, plus a per-column in-plan
+    claim that the rsd=0.02 estimate lands within 5% — the oracle states
+    approx_within_tol=TRUE, so an estimator regression hash-fails the
+    gate instead of hiding in pytest."""
+    from ..operators.profiling import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    orders = orders.repartition(spark.sparkContext.defaultParallelism)
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    return profile_table(orders, cols, attest_rsd=0.02).orderBy("column")
+
+
 def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit measure), adapted to the
     testdata's columns: the testdata has no partsupp/ps_supplycost, so cost
