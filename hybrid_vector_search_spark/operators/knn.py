@@ -175,32 +175,51 @@ def knn_join(
         .withColumn(score_col, score)
         .drop("__qvec", corpus_vector_col)
     )
+    return topk_per_group(
+        scored, k, group_col="__qid", score_col=score_col, id_col=corpus_id_col
+    ).withColumnRenamed("__qid", query_id_col)
 
-    # Partition-local top-k: sortWithinPartitions is a local sort (no
-    # exchange); the Arrow pass keeps the first k rows per __qid per
-    # partition, carrying a per-qid count across batch boundaries.
+
+def topk_per_group(
+    scored: DataFrame,
+    k: int,
+    *,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Top-k rows per group with (score DESC, id ASC) total order, without a
+    global sort: partition-local prune first (sortWithinPartitions is a local
+    sort, no exchange; an Arrow pass keeps the first k rows per group per
+    partition, carrying a per-group count across batch boundaries), then the
+    window re-rank runs over at most |partitions|·|groups|·k rows. No group's
+    full score stream ever lands on one reducer — the property that lets the
+    bulk KNN join and the batch ANN searches survive a 100× scale-up."""
+
     def _local_topk(batches):
         taken: dict = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            in_batch = pdf.groupby("__qid", sort=False).cumcount()
-            offset = pdf["__qid"].map(taken).fillna(0).astype("int64")
+            in_batch = pdf.groupby(group_col, sort=False).cumcount()
+            offset = pdf[group_col].map(taken).fillna(0).astype("int64")
             keep = (in_batch + offset) < k
-            counts = pdf.loc[keep, "__qid"].value_counts()
-            for qid, n in counts.items():
-                taken[qid] = taken.get(qid, 0) + int(n)
+            counts = pdf.loc[keep, group_col].value_counts()
+            for gid, n in counts.items():
+                taken[gid] = taken.get(gid, 0) + int(n)
             if keep.any():
                 yield pdf.loc[keep]
 
-    pruned = scored.sortWithinPartitions(
-        "__qid", F.col(score_col).desc(), F.col(corpus_id_col).asc()
-    ).mapInPandas(_local_topk, scored.schema)
+    from pyspark.sql import Window
 
-    w = Window.partitionBy("__qid").orderBy(F.col(score_col).desc(), F.col(corpus_id_col).asc())
+    pruned = scored.sortWithinPartitions(
+        group_col, F.col(score_col).desc(), F.col(id_col).asc()
+    ).mapInPandas(_local_topk, scored.schema)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
     return (
         pruned.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")
-        .withColumnRenamed("__qid", query_id_col)
     )

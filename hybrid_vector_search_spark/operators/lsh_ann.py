@@ -113,3 +113,49 @@ def lsh_search(
     buckets = index.probe_buckets(query_vector, probe_hamming)
     candidates = corpus_with_buckets.where(F.col("lsh_bucket").isin(buckets))
     return knn(candidates, query_vector, k, metric="cosine")
+
+
+def lsh_search_batch(
+    corpus_with_buckets: DataFrame,
+    index: LSHIndex,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    *,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Multi-probe LSH for a BATCH of queries as ONE plan: (query_id, qvec,
+    probe-bucket) rows form a broadcast relation equi-joined against the
+    bucketed corpus, scored by zip_with cosine against the joined qvec
+    column, then partition-local top-k per query (knn.topk_per_group — no
+    global sort, no full score stream on one reducer).
+
+    Returns (query_id, {id_col}, score). This is the serving shape for query
+    THROUGHPUT: per-query plans cost a driver round of analysis each and
+    scan the corpus once per query, while the probe-join scans once for the
+    whole batch and the broadcast side stays |queries|·|probes| rows no
+    matter the corpus size. On a bucket-partitioned table the join key IS
+    the partition key, so dynamic partition pruning keeps the scan to the
+    union of probed buckets."""
+    from ..functions.vector import atlas_score
+    from .knn import topk_per_group
+
+    spark = corpus_with_buckets.sparkSession
+    rows = [
+        (int(qid), [float(x) for x in qv], int(b))
+        for qid, qv in queries
+        for b in index.probe_buckets(qv, probe_hamming)
+    ]
+    probes = spark.createDataFrame(
+        rows, "query_id bigint, __qvec array<double>, lsh_bucket int"
+    )
+    scored = (
+        corpus_with_buckets.join(F.broadcast(probes), "lsh_bucket")
+        .withColumn(
+            "score",
+            F.round(atlas_score(F.col(index.vector_col), F.col("__qvec"), "cosine"), 6),
+        )
+        .select("query_id", index.id_col, "score")
+    )
+    return topk_per_group(
+        scored, k, group_col="query_id", score_col="score", id_col=index.id_col
+    )

@@ -188,3 +188,93 @@ def pq_search(
         .limit(k)
         .select(F.col("out_id").alias("id"), "score")
     )
+
+
+def pq_search_batch(
+    encoded: DataFrame,
+    codebook: PQCodebook,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    *,
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
+    id_col: str = "id",
+    vector_col: str = "v",
+) -> DataFrame:
+    """ADC search for a BATCH of queries as ONE plan. All queries' ADC
+    tables stack into one (nq, M, ksub) broadcast; the Arrow kernel scores
+    every query against each code batch in one fancy-indexing lookup,
+    emitting (query_id, id, adc_score); knn.topk_per_group takes per-query
+    ADC top-R; the optional exact rerank joins the R·nq candidate ids (tiny,
+    broadcast) back to the float vectors ONCE for the whole batch and
+    re-scores via the joined qvec column. Same scores and ordering as
+    pq_search per query — the batch shape removes the per-query plan and the
+    per-query code-column scan (one compressed-domain scan serves the whole
+    batch)."""
+    import pandas as pd
+
+    from .knn import topk_per_group
+
+    books = codebook.codebooks
+    M, ksub, dsub = books.shape
+    qids = [int(qid) for qid, _ in queries]
+    qmat = np.stack([np.asarray(qv, dtype=np.float64) for _, qv in queries])
+    tables = np.stack(
+        [
+            np.stack([books[m] @ q[m * dsub : (m + 1) * dsub] for m in range(M)])
+            for q in qmat
+        ]
+    )  # (nq, M, ksub)
+    spark = encoded.sparkSession
+    bc = spark.sparkContext.broadcast((np.asarray(qids, dtype=np.int64), tables))
+
+    def score_kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_arr, t = bc.value
+        nq = len(ids_arr)
+        rows = np.arange(M)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            # (nq, n_rows): per query, sum of its table's lookups over codes
+            scores = t[:, rows[None, :], codes].sum(axis=2)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids_arr, n),
+                    "id": np.tile(pdf["id"].to_numpy(), nq),
+                    "adc_score": np.round(scores.reshape(-1), 6),
+                }
+            )
+
+    scored = encoded.mapInPandas(
+        score_kern, "query_id bigint, id long, adc_score double"
+    )
+    n_cand = k * rerank_factor if rerank is not None else k
+    top = topk_per_group(
+        scored, n_cand, group_col="query_id", score_col="adc_score", id_col="id"
+    )
+    if rerank is None:
+        return top.select("query_id", "id", F.col("adc_score").alias("score"))
+
+    from ..functions.vector import dot
+
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+        "query_id bigint, __qvec array<double>",
+    )
+    cand = (
+        rerank.join(
+            F.broadcast(top.select("query_id", F.col("id").alias("__cand_id"))),
+            rerank[id_col] == F.col("__cand_id"),
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            F.col("__cand_id").alias("id"),
+            F.round(dot(F.col(vector_col), F.col("__qvec")), 6).alias("score"),
+        )
+    )
+    return topk_per_group(
+        cand, k, group_col="query_id", score_col="score", id_col="id"
+    )

@@ -87,3 +87,25 @@ def test_partition_pruning_reaches_scan(spark, ivf):
     df = ivf_search(spark, ivf, qv, 5, nprobe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "cluster_id" in plan and ("PartitionFilters" in plan or "partition" in plan.lower())
+
+
+def test_batch_search_equals_per_query(spark, ivf):
+    """ivf_search_batch (one cluster-join plan for the whole query set) must
+    return exactly the per-query ivf_search results."""
+    from hybrid_vector_search_spark.operators.ivf import ivf_search, ivf_search_batch
+    from hybrid_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, SF_MID, "embeddings")
+    rows = emb.where("vec_id < 4").select("vec_id", "embedding").collect()
+    queries = [(r.vec_id, [float(x) for x in r.embedding]) for r in rows]
+    k = 10
+    batch = {
+        (r.query_id, r.vec_id, r.score)
+        for r in ivf_search_batch(spark, ivf, queries, k, nprobe=3).collect()
+    }
+    single = {
+        (qid, r.vec_id, r.score)
+        for qid, qv in queries
+        for r in ivf_search(spark, ivf, qv, k, nprobe=3, clamp=False).collect()
+    }
+    assert batch == single and len(batch) == len(queries) * k

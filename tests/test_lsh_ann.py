@@ -61,3 +61,24 @@ def test_full_probe_equals_exact(spark, corpus):
     got = [(r.vec_id,) for r in lsh_search(
         bucketed, index, q, K, probe_hamming=index.bits).collect()]
     assert got == exact
+
+
+def test_batch_search_equals_per_query(spark, corpus):
+    """lsh_search_batch (one probe-join plan for the whole query set) must
+    return exactly the per-query lsh_search results — same ids, same scores,
+    same (score DESC, id ASC) top-k membership."""
+    from hybrid_vector_search_spark.operators.lsh_ann import lsh_search_batch
+
+    bucketed, index, _ = corpus
+    rows = bucketed.where("vec_id < 4").select("vec_id", "embedding").collect()
+    queries = [(r.vec_id, [float(x) for x in r.embedding]) for r in rows]
+    batch = {
+        (r.query_id, r.vec_id, r.score)
+        for r in lsh_search_batch(bucketed, index, queries, K, probe_hamming=2).collect()
+    }
+    single = {
+        (qid, r.vec_id, r.score)
+        for qid, qv in queries
+        for r in lsh_search(bucketed, index, qv, K, probe_hamming=2).collect()
+    }
+    assert batch == single and len(batch) == len(queries) * K

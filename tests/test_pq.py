@@ -85,3 +85,30 @@ def test_rerank_scores_are_exact(corpus, pq_index):
     }
     for r in got:
         assert r.score == truth[r.id]
+
+
+def test_batch_search_equals_per_query(corpus, pq_index):
+    """pq_search_batch (one ADC scan + one rerank join for the whole query
+    set) must return exactly the per-query pq_search results."""
+    from hybrid_vector_search_spark.operators.pq import pq_search, pq_search_batch
+
+    emb, q0 = corpus
+    cb, encoded = pq_index
+    rows = emb.where("id < 5").select("id", "v").collect()
+    queries = [(r.id, [float(x) for x in r.v]) for r in rows]
+    batch = {
+        (r.query_id, r.id, r.score)
+        for r in pq_search_batch(
+            encoded, cb, queries, K, rerank=emb, rerank_factor=4,
+            id_col="id", vector_col="v",
+        ).collect()
+    }
+    single = {
+        (qid, r.id, r.score)
+        for qid, qv in queries
+        for r in pq_search(
+            encoded, cb, qv, K, rerank=emb, rerank_factor=4,
+            id_col="id", vector_col="v",
+        ).collect()
+    }
+    assert batch == single and len(batch) == len(queries) * K
