@@ -1198,6 +1198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": pipeline.snapshot_diff_report,
         "events_rate_anomaly": relational.events_rate_anomaly,
         "dedup_cluster_sizes": pipeline.dedup_cluster_sizes,
+        "dedup_canonical_shared": pipeline.dedup_canonical_shared,
+        "dedup_cluster_sizes_shared": pipeline.dedup_cluster_sizes_shared,
         "token_fertility_by_lang": pipeline.token_fertility_by_lang,
         "orders_profile": relational.orders_profile,
         "orders_profile_approx": relational.orders_profile_approx,

@@ -1076,10 +1076,11 @@ def span_dedup(
 
 def canonicalize(
     docs: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     *,
     length_col: str = "n_chars",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate cluster canonicalization: given the doc table and the
     verified near-dup pair list (id_a, id_b), label EVERY document with the
@@ -1092,11 +1093,22 @@ def canonicalize(
     canonical, then a broadcast-sized left join back onto the corpus —
     clusters are vanishingly small relative to the corpus at any scale, so
     the corpus itself is never shuffled.
-    """
-    from .graph import connected_components
 
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    comp = connected_components(edges)
+    ``components`` (a precomputed (node, component) relation) skips the
+    closure entirely — the materialize-once shape: at 100 TB the component
+    fixpoint is a job of its own whose output every downstream consumer
+    (canonical election, cluster audits, purge lists) reads as a table,
+    instead of each recomputing shingles → pairs → O(log n) join rounds.
+    """
+    if (pairs is None) == (components is None):
+        raise ValueError("pass exactly one of pairs= or components=")
+    if components is None:
+        from .graph import connected_components
+
+        edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        comp = connected_components(edges)
+    else:
+        comp = components.select("node", "component")
 
     clustered = comp.join(
         docs.select(F.col(id_col).alias("node"), F.col(length_col).alias("_len")),

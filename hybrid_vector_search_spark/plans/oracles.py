@@ -1490,6 +1490,11 @@ PIPELINE_ORACLES: dict[str, str] = {
     "weighted_sample_docs": WEIGHTED_SAMPLE_DOCS,
     "snapshot_diff": SNAPSHOT_DIFF,
     "dedup_cluster_sizes": DEDUP_CLUSTER_SIZES,
+    # materialize-once closure twins: same output contract as the
+    # self-contained queries, so the same SQL replays them — the shared
+    # variants differ only in WHERE the components relation comes from
+    "dedup_canonical_shared": DEDUP_CANONICAL,
+    "dedup_cluster_sizes_shared": DEDUP_CLUSTER_SIZES,
     "token_fertility_by_lang": TOKEN_FERTILITY,
     "stratified_sample": STRATIFIED_SAMPLE,
     "dataset_split_counts": DATASET_SPLIT_COUNTS,

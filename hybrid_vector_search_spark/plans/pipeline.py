@@ -1123,6 +1123,66 @@ def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("status", "key")
 
 
+_COMPONENTS_CACHE: dict[str, DataFrame] = {}
+
+
+def components_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The >=0.5-jaccard connected-components relation, materialized ONCE
+    per sf_dir (written as parquet to a session tempdir, read back) and
+    shared by every downstream consumer — the 100 TB shape the r6 verdict
+    asked for: the component fixpoint is its own job whose OUTPUT is a
+    table; canonical election, cluster-size audits, purge lists etc. read
+    that table instead of each re-running shingles → pairs → O(log n) star
+    rounds. The self-contained queries (dedup_canonical,
+    dedup_cluster_sizes) stay as-is so each remains independently
+    oracle-replayable; the *_shared twins below are pinned equal to them in
+    tests/test_graph.py and answer to the same oracles."""
+    df = _COMPONENTS_CACHE.get(sf_dir)
+    if df is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from ..operators.graph import connected_components
+
+        for stale in [k for k in _COMPONENTS_CACHE if k != sf_dir]:
+            _COMPONENTS_CACHE.pop(stale)
+        docs = load_table(spark, sf_dir, "documents")
+        sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+        pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5)
+        comps = connected_components(pairs, "id_a", "id_b")
+        path = tempfile.mkdtemp(prefix="hvs_components_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        comps.write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
+        _COMPONENTS_CACHE[sf_dir] = df
+    return df
+
+
+def dedup_canonical_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_canonical's output computed FROM the materialized components
+    table (components_materialized) instead of recomputing the closure —
+    same rows, same oracle; the bench delta between this row and
+    dedup_canonical is the price of recomputing the closure per query."""
+    docs = load_table(spark, sf_dir, "documents")
+    comps = components_materialized(spark, sf_dir)
+    return dedup.canonicalize(
+        docs, components=comps, id_col="doc_id", length_col="n_chars"
+    ).orderBy("doc_id")
+
+
+def dedup_cluster_sizes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_cluster_sizes' double rollup read off the materialized
+    components table — same rows, same oracle as the self-contained query."""
+    comps = components_materialized(spark, sf_dir)
+    sizes = comps.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate cluster-size distribution: (cluster_size, n_clusters)
     over the >=0.5-jaccard connected components — the shape a dedup audit

@@ -73,3 +73,19 @@ def test_star_log_rounds_on_long_chain(spark):
     out = connected_components_star(df, "src", "dst", max_iter=14)
     got = {r.node: r.component for r in out.collect()}
     assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_shared_closure_variants_equal_self_contained(spark):
+    """The materialize-once components table must yield byte-identical
+    canonicalization and cluster-size rollups to the self-contained queries
+    that recompute the closure inline (r6 verdict ask: the 100 TB shape is
+    write components once, read everywhere)."""
+    from hybrid_vector_search_spark.plans import pipeline
+
+    sf = "/root/testdata/sf0.001"
+    a = pipeline.dedup_canonical(spark, sf).collect()
+    b = pipeline.dedup_canonical_shared(spark, sf).collect()
+    assert a == b and len(a) > 0
+    a = pipeline.dedup_cluster_sizes(spark, sf).collect()
+    b = pipeline.dedup_cluster_sizes_shared(spark, sf).collect()
+    assert a == b and len(a) > 0
