@@ -1122,103 +1122,60 @@ def q_hybrid_fusion_details(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is the driver's correctness-check priority: the driver
-    verifies a prefix window (~50), so the round-6 layout retires ALL
-    remaining r3-latest evidence, then stacks this round's brand-new
-    oracles: (1) the 39 queries whose last driver hash-match is r3 — the 7
-    rows r5 staged just past its cut, then the 32 relational/operator rows
-    behind them (after this window runs, no declared query's latest driver
-    row predates r4); (2) the three ANN approximates, reshaped into
-    self-attesting recall reports with real oracles — never checked in
-    that shape; (2b) the queries NEW or reshaped in r6, never
-    driver-checked in their current form — first the three reshaped
-    self-attesting sketch rows (HLL distinct, GK percentiles, zlib
-    round-trip), then the new operators (A-ES weighted sampling, snapshot
-    diff + SCD2 history, rate-anomaly radar, dedup cluster sizes,
-    tokenizer fertility, table profiling, TPC-H Q9/Q20, NB confusion
-    matrix, quality bands, DECIMAL-exact PageRank, audio framing); (3) the
-    7 queries whose code paths changed in r6 (BM25 index cache:
-    fulltext/hybrid family; NOT EXISTS purge oracle; URL host anchoring;
-    constraints validate rework) — those past the ~50 cut are covered by
-    the local oracle-parity suite at both SFs this round and lead r7's
-    rotation; (4) queries whose latest green is r4, oldest remaining
-    evidence; (5) the r5-verified set, freshest, so last. Every one of the
-    152 declared queries now has an oracle_sql() twin — zero rows-only."""
+    verifies a prefix window (~50), so the round-7 layout leads with
+    (1) the 8 r6 queries staged past r6's cut that have NEVER been
+    driver-checked (pagerank, table profile, TPC-H Q9/Q20, NB confusion
+    matrix, quality bands, audio framing, SCD2); (2) the queries NEW in r7
+    (BPE merge learning, the self-attesting HLL profile twin, the
+    materialize-once closure twins); (3) every query whose code path
+    changed in r7 — the ANN trio now served by batch probe-join plans, the
+    whole KNN family (knn_join's top-k extracted to topk_per_group, the
+    literal-vector build rewritten), the fusion family (vector scoring
+    feeds it), dedup_canonical (canonicalize signature); (4) the 5 queries
+    whose code changed in r6 but were never re-attested (BM25 cache
+    family, purge/URL/quality oracle fixes); (5) rows whose latest green
+    is r4 — oldest evidence first; (6) the r5-verified set; (7) the
+    r6-verified set, freshest, so last. Every declared query has an
+    oracle_sql() twin — zero rows-only."""
     return {
-        # --- (1) r3-latest evidence: the 7 rows past r5's cut, then the remaining 32
-        "cube_revenue": relational.cube_revenue,
-        "revenue_calendar_fill": relational.revenue_calendar_fill,
-        "nation_revenue_share": relational.nation_revenue_share,
-        "union_evolved_sources": relational.union_evolved_sources,
-        "lineitem_unpivot": relational.lineitem_unpivot,
-        "order_price_ranks": relational.order_price_ranks,
-        "segment_conditional_stats": relational.segment_conditional_stats,
-        "doc_keywords_tfidf": pipeline.doc_keywords_tfidf,
-        "source_mixture_weights": pipeline.source_mixture_weights,
-        "knn_dot": q_knn_dot,
-        "knn_euclidean": q_knn_euclidean,
-        "knn_takeordered": q_knn_takeordered,
-        "hybrid_rank_fusion": q_hybrid_rank_fusion,
-        "top_bigrams": q_top_bigrams,
-        "pricing_summary": relational.pricing_summary,
-        "revenue_by_nation": relational.revenue_by_nation,
-        "top_orders_per_segment": relational.top_orders_per_segment,
-        "rollup_revenue": relational.rollup_revenue,
-        "order_priority_counts": relational.order_priority_counts,
-        "forecast_revenue": relational.forecast_revenue,
-        "avg_qty_outliers": relational.avg_qty_outliers,
-        "customers_without_orders": relational.customers_without_orders,
-        "shipping_priority": relational.shipping_priority,
-        "volume_shipping": relational.volume_shipping,
-        "market_share": relational.market_share,
-        "returned_items": relational.returned_items,
-        "priority_line_counts": relational.priority_line_counts,
-        "promo_revenue": relational.promo_revenue,
-        "large_orders": relational.large_orders,
-        "disjunctive_revenue": relational.disjunctive_revenue,
-        "merge_upsert_orders": relational.merge_upsert_orders,
-        "min_cost_supplier": relational.min_cost_supplier,
-        "important_parts": relational.important_parts,
-        "customer_order_distribution": relational.customer_order_distribution,
-        "top_supplier": relational.top_supplier,
-        "supplier_part_counts": relational.supplier_part_counts,
-        "lone_late_suppliers": relational.lone_late_suppliers,
-        "high_balance_inactive": relational.high_balance_inactive,
-        "revenue_moving_avg": relational.revenue_moving_avg,
-        # --- (2) reshaped r6: self-attesting ANN recall reports (first oracle run)
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        # --- (2b) NEW/reshaped in r6: never driver-checked in this form,
-        # so ahead of re-attestation (the three reshaped self-attesting
-        # sketch rows lead — their oracles are brand new)
-        "approx_distinct_users": relational.approx_distinct_users,
-        "value_percentiles_approx": relational.value_percentiles_approx,
-        "compression_ratio": pipeline.compression_ratio_stats,
-        "weighted_sample_docs": pipeline.weighted_sample_docs,
-        "snapshot_diff": pipeline.snapshot_diff_report,
-        "events_rate_anomaly": relational.events_rate_anomaly,
-        "dedup_cluster_sizes": pipeline.dedup_cluster_sizes,
-        "dedup_canonical_shared": pipeline.dedup_canonical_shared,
-        "dedup_cluster_sizes_shared": pipeline.dedup_cluster_sizes_shared,
-        "token_fertility_by_lang": pipeline.token_fertility_by_lang,
+        # --- (1) never driver-checked: the 8 r6 rows staged past r6's ~50 cut
+        "pagerank_top_docs": pipeline.pagerank_top_docs,
         "orders_profile": relational.orders_profile,
-        "orders_profile_approx": relational.orders_profile_approx,
         "profit_by_nation_year": relational.profit_by_nation_year,
         "excess_quantity_suppliers": relational.excess_quantity_suppliers,
         "nb_confusion_matrix": pipeline.nb_confusion_matrix,
         "quality_band_tokens": pipeline.quality_band_tokens,
-        "pagerank_top_docs": pipeline.pagerank_top_docs,
         "audio_window_stats": pipeline.audio_window_stats,
         "snapshot_scd2": pipeline.snapshot_scd2,
-        # --- (3) code paths touched in r6 (BM25 index cache / oracle+regex fixes)
-        "fulltext_bm25": q_fulltext_bm25,
-        "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
+        # --- (2) NEW in r7, never driver-checked
+        "bpe_learn_merges": pipeline.bpe_learn_merges,
+        "bpe_vocab_usage": pipeline.bpe_vocab_usage,
+        "orders_profile_approx": relational.orders_profile_approx,
+        "dedup_canonical_shared": pipeline.dedup_canonical_shared,
+        "dedup_cluster_sizes_shared": pipeline.dedup_cluster_sizes_shared,
+        # --- (3) code paths changed in r7 (batch ANN serving, topk_per_group, literal-array build, canonicalize signature)
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "knn_bulk_topk": q_knn_bulk_topk,
+        "knn_cosine": q_knn_cosine,
+        "knn_dot": q_knn_dot,
+        "knn_euclidean": q_knn_euclidean,
+        "knn_takeordered": q_knn_takeordered,
+        "knn_cosine_prefilter": q_knn_cosine_prefilter,
+        "knn_limit_clamped": q_knn_limit_clamped,
+        "cli_range_bounds": q_cli_range_bounds,
+        "dedup_canonical": pipeline.dedup_canonical,
         "hybrid_fusion": q_hybrid_fusion,
         "hybrid_fusion_details": q_hybrid_fusion_details,
+        "hybrid_rank_fusion": q_hybrid_rank_fusion,
+        # --- (4) code paths changed in r6, never re-attested (BM25 index cache / oracle fixes)
+        "fulltext_bm25": q_fulltext_bm25,
+        "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
         "user_purge_counts": pipeline.user_purge_counts,
         "url_domain_stats": pipeline.url_domain_stats,
         "data_quality_report": relational.data_quality_report,
-        # --- (4) latest green r4 - oldest remaining evidence
+        # --- (5) oldest evidence: latest driver green is r4
         "events_sessionize": q_events_sessionize,
         "events_interval_join": q_events_interval_join,
         "events_session_window": q_events_session_window,
@@ -1237,7 +1194,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": pipeline.dedup_minhash_lsh,
         "dedup_components_star": pipeline.dedup_components_star,
         "pii_redact": pipeline.pii_redact,
-        "knn_bulk_topk": q_knn_bulk_topk,
         "dedup_exact": pipeline.dedup_exact,
         "ngram_jaccard_pairs": pipeline.ngram_jaccard_pairs,
         "dedup_components": pipeline.dedup_components,
@@ -1259,13 +1215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "set_ops_customers": relational.set_ops_customers,
         "daily_revenue_running_total": relational.daily_revenue_running_total,
-        "cli_range_bounds": q_cli_range_bounds,
-        "knn_limit_clamped": q_knn_limit_clamped,
         "value_histogram": relational.value_histogram,
-        "knn_cosine": q_knn_cosine,
-        # --- (5) verified green in r5 (CORRECTNESS_r05): freshest, so last
+        # --- (6) r5-verified, fresher
         "distinct_values": q_distinct_values,
-        "knn_cosine_prefilter": q_knn_cosine_prefilter,
         "heavy_hitters_cm": q_heavy_hitters_cm,
         "dedup_embedding_ivf": pipeline.dedup_embedding_ivf,
         "stream_heavy_hitters": q_stream_heavy_hitters,
@@ -1304,9 +1256,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_rules": pipeline.gopher_quality_rules,
         "duplicate_spans": pipeline.duplicate_spans,
         "char_entropy_score": pipeline.char_entropy_score,
-        "dedup_canonical": pipeline.dedup_canonical,
         "embedding_sign_buckets": pipeline.embedding_sign_buckets,
         "dedup_simhash_pairs": pipeline.dedup_simhash_pairs,
+        # --- (7) r6-verified: freshest, so last
+        "cube_revenue": relational.cube_revenue,
+        "revenue_calendar_fill": relational.revenue_calendar_fill,
+        "nation_revenue_share": relational.nation_revenue_share,
+        "union_evolved_sources": relational.union_evolved_sources,
+        "lineitem_unpivot": relational.lineitem_unpivot,
+        "order_price_ranks": relational.order_price_ranks,
+        "segment_conditional_stats": relational.segment_conditional_stats,
+        "doc_keywords_tfidf": pipeline.doc_keywords_tfidf,
+        "source_mixture_weights": pipeline.source_mixture_weights,
+        "top_bigrams": q_top_bigrams,
+        "pricing_summary": relational.pricing_summary,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "top_orders_per_segment": relational.top_orders_per_segment,
+        "rollup_revenue": relational.rollup_revenue,
+        "order_priority_counts": relational.order_priority_counts,
+        "forecast_revenue": relational.forecast_revenue,
+        "avg_qty_outliers": relational.avg_qty_outliers,
+        "customers_without_orders": relational.customers_without_orders,
+        "shipping_priority": relational.shipping_priority,
+        "volume_shipping": relational.volume_shipping,
+        "market_share": relational.market_share,
+        "returned_items": relational.returned_items,
+        "priority_line_counts": relational.priority_line_counts,
+        "promo_revenue": relational.promo_revenue,
+        "large_orders": relational.large_orders,
+        "disjunctive_revenue": relational.disjunctive_revenue,
+        "merge_upsert_orders": relational.merge_upsert_orders,
+        "min_cost_supplier": relational.min_cost_supplier,
+        "important_parts": relational.important_parts,
+        "customer_order_distribution": relational.customer_order_distribution,
+        "top_supplier": relational.top_supplier,
+        "supplier_part_counts": relational.supplier_part_counts,
+        "lone_late_suppliers": relational.lone_late_suppliers,
+        "high_balance_inactive": relational.high_balance_inactive,
+        "revenue_moving_avg": relational.revenue_moving_avg,
+        "approx_distinct_users": relational.approx_distinct_users,
+        "value_percentiles_approx": relational.value_percentiles_approx,
+        "compression_ratio": pipeline.compression_ratio_stats,
+        "weighted_sample_docs": pipeline.weighted_sample_docs,
+        "snapshot_diff": pipeline.snapshot_diff_report,
+        "events_rate_anomaly": relational.events_rate_anomaly,
+        "dedup_cluster_sizes": pipeline.dedup_cluster_sizes,
+        "token_fertility_by_lang": pipeline.token_fertility_by_lang,
     }
 
 

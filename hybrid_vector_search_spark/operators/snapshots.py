@@ -131,3 +131,77 @@ def scd2_merge(
     return j.select("key", F.explode(rows).alias("h")).select(
         "key", "h.fingerprint", "h.valid_from", "h.valid_to", "h.is_current"
     )
+
+
+def scd2_apply(
+    history: DataFrame | None,
+    changes: DataFrame,
+    version: int,
+    key_col: str,
+    content_col: str,
+    *,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply ONE CDC batch to an SCD2 history table and return the new
+    history — the incremental maintenance step :func:`scd2_merge` is the
+    two-snapshot special case of.
+
+    ``changes`` carries (key, content, op) with op ∈ 'upsert' | 'delete',
+    at most one op per key per batch (extra rows collapse via
+    dropDuplicates on the key). Per current row:
+
+    - no change row, or upsert with an UNCHANGED fingerprint → kept as-is
+    - delete, or upsert with a changed fingerprint → closed
+      (valid_to = version)
+    - upsert with no current row or a changed fingerprint → a new open row
+      (valid_from = version)
+
+    Applying the same batch twice yields the same history (fingerprints
+    already current → no-ops), which is what makes the streaming
+    foreachBatch wrapper (streaming.ingest.stream_scd2_apply) safe under
+    at-least-once batch redelivery.
+
+    Scale: fingerprints are projected before the single full-outer join of
+    CURRENT rows (∝ live keys) with the batch (∝ change set); closed
+    history rows pass through untouched — no shuffle ever carries content
+    or the closed tail.
+    """
+    ch = changes.dropDuplicates([key_col]).select(
+        F.col(key_col).alias("key"),
+        F.md5(F.col(content_col)).alias("_nfp"),
+        F.col(op_col).alias("_op"),
+    )
+    spark = changes.sparkSession
+    if history is None:
+        key_type = changes.schema[key_col].dataType.simpleString()
+        history = spark.createDataFrame(
+            [],
+            f"key {key_type}, fingerprint string, valid_from int,"
+            " valid_to int, is_current boolean",
+        )
+    cur = history.where(F.col("is_current"))
+    closed_tail = history.where(~F.col("is_current"))
+    j = cur.join(ch, "key", "full_outer")
+    has_cur = F.col("fingerprint").isNotNull()
+    has_ch = F.col("_op").isNotNull()
+    closes = has_cur & has_ch & (
+        (F.col("_op") == "delete") | (F.col("_nfp") != F.col("fingerprint"))
+    )
+    opens = has_ch & (F.col("_op") == "upsert") & (
+        ~has_cur | (F.col("_nfp") != F.col("fingerprint"))
+    )
+    v = F.lit(int(version))
+    null_i = F.lit(None).cast("int")
+    closed = j.where(closes).select(
+        "key", "fingerprint", "valid_from", v.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    kept = j.where(has_cur & ~closes).select(
+        "key", "fingerprint", "valid_from", null_i.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    opened = j.where(opens).select(
+        "key", F.col("_nfp").alias("fingerprint"), v.alias("valid_from"),
+        null_i.alias("valid_to"), F.lit(True).alias("is_current"),
+    )
+    return closed_tail.unionAll(closed).unionAll(kept).unionAll(opened)

@@ -1377,6 +1377,70 @@ LIMIT 20
 PAGERANK_TOP_DOCS = _pagerank_sql()
 
 
+# operators.bpe_train.learn_bpe (pipeline.bpe_learn_merges): the 10-merge
+# BPE training fixpoint replayed as a chained CTE — per iteration, the
+# integer-weighted pair count (exact, order-independent), the (cnt DESC,
+# lhs, rhs) top-1 merge decision, and the P-pass ' l r ' → ' lr ' replace
+# re-segmentation (Spark's and DuckDB's replace share left-to-right
+# non-overlapping scan semantics, so the segment tables stay byte-equal).
+# AS MATERIALIZED is load-bearing: s{i} is referenced by both p{i+1} and
+# s{i+1}, and without it DuckDB inlines the chain into a 2^N-blowup.
+def _bpe_sql(merges: int = 10, passes: int = 6, tail: str | None = None) -> str:
+    head = """
+WITH w AS MATERIALIZED (
+  SELECT t AS word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS t FROM documents
+  ) WHERE t <> '' GROUP BY t
+),
+s0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(regexp_extract_all(word, '[a-z]'), ' ') || ' ' AS seq, freq
+  FROM w
+)"""
+    its = []
+    for i in range(1, merges + 1):
+        reseg = "seq"
+        for _ in range(passes):
+            reseg = (
+                f"replace({reseg}, ' ' || m.lhs || ' ' || m.rhs || ' ',"
+                f" ' ' || m.lhs || m.rhs || ' ')"
+            )
+        its.append(f""",
+p{i} AS (
+  SELECT t[i] AS lhs, t[i+1] AS rhs, sum(freq)::BIGINT AS cnt FROM (
+    SELECT t, freq, unnest(generate_series(1, len(t) - 1)) AS i FROM (
+      SELECT string_split(trim(seq), ' ') AS t, freq FROM s{i - 1}
+    )
+  ) GROUP BY 1, 2
+),
+m{i} AS MATERIALIZED (
+  SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+),
+s{i} AS MATERIALIZED (SELECT {reseg} AS seq, freq FROM s{i - 1}, m{i} m)""")
+    if tail is None:
+        sels = [
+            f"SELECT {i} AS rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count"
+            f" FROM m{i}"
+            for i in range(1, merges + 1)
+        ]
+        tail = (
+            "\nSELECT * FROM (\n" + "\nUNION ALL\n".join(sels) + "\n) ORDER BY rank"
+        )
+    return head + "".join(its) + tail
+
+
+BPE_LEARN_MERGES = _bpe_sql()
+
+# pipeline.bpe_vocab_usage: the same 10-merge training chain, rolled up to
+# the frequency-weighted usage of the final segment table's tokens
+BPE_VOCAB_USAGE = _bpe_sql(
+    tail="""
+SELECT token, sum(freq)::BIGINT AS total_count FROM (
+  SELECT unnest(string_split(trim(seq), ' ')) AS token, freq FROM s10
+) GROUP BY token ORDER BY total_count DESC, token ASC LIMIT 20
+"""
+)
+
+
 
 
 # multimodal.audio_windows schedule: full 25ms windows at 10ms hop over
@@ -1443,6 +1507,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "nb_confusion_matrix": NB_CONFUSION,
     "quality_band_tokens": QUALITY_BAND_TOKENS,
     "pagerank_top_docs": PAGERANK_TOP_DOCS,
+    "bpe_learn_merges": BPE_LEARN_MERGES,
+    "bpe_vocab_usage": BPE_VOCAB_USAGE,
     "audio_window_stats": AUDIO_WINDOW_STATS,
     "snapshot_scd2": SNAPSHOT_SCD2,
     "frame_sample": FRAME_SAMPLE,

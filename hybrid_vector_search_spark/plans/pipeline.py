@@ -1205,6 +1205,50 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Train once per sf_dir; the merge table AND the trained segmentation
+    are both training OUTPUTS (the seg is localCheckpointed by the loop), so
+    the vocab-usage query reads them instead of re-running 10 iterations —
+    the same materialize-once policy as components_materialized."""
+    cached = _BPE_CACHE.get(sf_dir)
+    if cached is None:
+        from ..operators.bpe_train import train_bpe
+
+        for stale in [k for k in _BPE_CACHE if k != sf_dir]:
+            _BPE_CACHE.pop(stale)
+        docs = load_table(spark, sf_dir, "documents")
+        cached = train_bpe(docs, merges=10, shuffle_partitions=8)
+        _BPE_CACHE[sf_dir] = cached
+    return cached
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (operators/bpe_train.py): the first 10
+    merges learned over the documents corpus' word frequencies — pair count
+    → top merge → re-segment as an iterative DataFrame fixpoint (the
+    pagerank.py lineage/determinism policy: integer-exact counts, total-order
+    tie-breaks, localCheckpoint per round). The oracle replays all 10
+    iterations as a chained, materialized CTE; a property test additionally
+    pins the learner against an independent pure-Python implementation
+    (tests/test_bpe_train.py)."""
+    return _bpe_trained(spark, sf_dir)[0]
+
+
+def bpe_vocab_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus usage of the LEARNED subword vocabulary: top-20 tokens of the
+    trained segmentation by frequency-weighted occurrence count — the
+    histogram a tokenizer report leads with (it shows which merges carry
+    corpus mass). Reads the training output (one shared train_bpe per
+    sf_dir); the oracle re-learns the same 10 merges in its chained CTE and
+    rolls up the final segment table."""
+    from ..operators.bpe_train import vocab_usage
+
+    return vocab_usage(_bpe_trained(spark, sf_dir)[1], topk=20)
+
+
 def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility: BPE-ish subword tokens per whitespace word, by
     language — THE go/no-go number for a tokenizer on a multilingual corpus

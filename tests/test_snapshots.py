@@ -112,3 +112,102 @@ def test_scd2_history_semantics(spark):
     k2 = sorted(by_key[2], key=lambda r: r["valid_from"])
     assert [r["valid_from"] for r in k2] == [1, 2]
     assert k2[0]["fingerprint"] != k2[1]["fingerprint"]
+
+
+def _hist_key(r):
+    return (r["key"], r["fingerprint"], r["valid_from"], r["valid_to"], r["is_current"])
+
+
+def test_scd2_apply_two_batches_equals_snapshot_merge(spark):
+    """Incremental maintenance: applying batch 1 = snapshot 1 as upserts,
+    batch 2 = the snapshot diff (modified/added upserts + removed deletes)
+    must yield exactly the two-snapshot scd2_merge history."""
+    from hybrid_vector_search_spark.operators.snapshots import scd2_apply, scd2_merge
+
+    old, new = _snaps(spark)
+    batch1 = old.selectExpr("doc_id", "text", "'upsert' AS op")
+    batch2 = spark.createDataFrame(
+        [(2, "B!", "upsert"), (3, None, "delete"), (5, "e", "upsert")],
+        "doc_id long, text string, op string",
+    )
+    h1 = scd2_apply(None, batch1, 1, "doc_id", "text")
+    h2 = scd2_apply(h1, batch2, 2, "doc_id", "text")
+    want = sorted(_hist_key(r) for r in scd2_merge(old, new, "doc_id", "text").collect())
+    got = sorted(_hist_key(r) for r in h2.collect())
+    assert got == want
+
+
+def test_scd2_apply_is_idempotent_per_batch(spark):
+    """Re-applying the SAME batch (at-least-once redelivery) must change
+    nothing: fingerprints are already current, deletes already closed."""
+    from hybrid_vector_search_spark.operators.snapshots import scd2_apply
+
+    old, _ = _snaps(spark)
+    batch1 = old.selectExpr("doc_id", "text", "'upsert' AS op")
+    batch2 = spark.createDataFrame(
+        [(2, "B!", "upsert"), (3, None, "delete"), (5, "e", "upsert")],
+        "doc_id long, text string, op string",
+    )
+    h1 = scd2_apply(None, batch1, 1, "doc_id", "text")
+    h2 = scd2_apply(h1, batch2, 2, "doc_id", "text")
+    h2 = h2.localCheckpoint()
+    replayed = scd2_apply(h2, batch2, 2, "doc_id", "text")
+    assert sorted(map(_hist_key, replayed.collect())) == sorted(
+        map(_hist_key, h2.collect())
+    )
+
+
+def test_stream_scd2_apply_matches_batch_build(spark, tmp_path):
+    """The streaming foreachBatch wrapper over two staged CDC files must
+    build the same history as the two-snapshot batch scd2_merge, and a
+    restart with the same checkpoint must process only NEW files."""
+    import os
+    import shutil
+
+    from hybrid_vector_search_spark.operators.snapshots import scd2_merge
+    from hybrid_vector_search_spark.streaming.ingest import stream_scd2_apply
+
+    old, new = _snaps(spark)
+    src = tmp_path / "cdc"
+    src.mkdir()
+
+    def stage(df, name, mtime):
+        d = tmp_path / f"_stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dest = src / f"{name}.parquet"
+        shutil.copy(d / part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    batch1 = old.selectExpr("doc_id", "text", "'upsert' AS op")
+    batch2 = spark.createDataFrame(
+        [(2, "B!", "upsert"), (3, None, "delete"), (5, "e", "upsert")],
+        "doc_id long, text string, op string",
+    )
+    stage(batch1, "cdc_001", 1_000_000_000)
+    stage(batch2, "cdc_002", 1_000_000_100)
+    hist_path = str(tmp_path / "history")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_scd2_apply(
+        spark, str(src), hist_path, ckpt, key_col="doc_id", content_col="text"
+    )
+    q.awaitTermination()
+    got = sorted(_hist_key(r) for r in spark.read.parquet(hist_path).collect())
+    want = sorted(_hist_key(r) for r in scd2_merge(old, new, "doc_id", "text").collect())
+    assert got == want
+
+    # restart: a third CDC file closes key 1 at version 3; keys already
+    # processed are not re-applied (checkpoint), versions continue
+    batch3 = spark.createDataFrame(
+        [(1, None, "delete")], "doc_id long, text string, op string"
+    )
+    stage(batch3, "cdc_003", 1_000_000_200)
+    q = stream_scd2_apply(
+        spark, str(src), hist_path, ckpt, key_col="doc_id", content_col="text"
+    )
+    q.awaitTermination()
+    hist = spark.read.parquet(hist_path).collect()
+    k1 = sorted((r["valid_from"], r["valid_to"], r["is_current"])
+                for r in hist if r["key"] == 1)
+    assert k1 == [(1, 3, False)]
+    assert {r["key"] for r in hist if r["is_current"]} == {2, 4, 5}
