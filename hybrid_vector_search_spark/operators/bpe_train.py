@@ -62,11 +62,13 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _initial_segments(words: DataFrame) -> DataFrame:
-    """' w o r d ' — every char its own symbol, space-delimited with outer
-    sentinels so every symbol occurrence (first/last included) matches the
-    ' l r ' replace pattern."""
+    """(word, ' w o r d ', freq) — every char its own symbol, space-delimited
+    with outer sentinels so every symbol occurrence (first/last included)
+    matches the ' l r ' replace pattern. The word key rides along untouched
+    so training OUTPUT doubles as the word → segmentation lookup table."""
     chars = F.regexp_extract_all(F.col("word"), F.lit("[a-z]"), 0)
     return words.select(
+        "word",
         F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias("seq"),
         "freq",
     )
@@ -169,7 +171,7 @@ def _learn_bpe_loop(spark, docs, text_col, merges, passes):
         for _ in range(passes):
             col = F.replace(col, F.lit(pattern), F.lit(repl))
         # localCheckpoint: constant-size plan per iteration (pagerank policy)
-        seg = seg.select(col.alias("seq"), "freq").localCheckpoint()
+        seg = seg.select("word", col.alias("seq"), "freq").localCheckpoint()
     merge_table = spark.createDataFrame(
         learned, "rank int, lhs string, rhs string, merged string, pair_count long"
     ).orderBy("rank")

@@ -67,15 +67,25 @@ def profile_table(
             aggs.append(F.approx_count_distinct(col).alias(f"_dist{i}"))
         else:
             aggs.append(F.countDistinct(col).alias(f"_dist{i}"))
-        if attest_rsd is not None:
-            aggs.append(
-                F.approx_count_distinct(col, rsd=attest_rsd).alias(f"_hll{i}")
-            )
         # aggregate on the NATIVE type (numeric/date ordering), canonicalize
         # the single resulting value afterwards
         aggs.append(_canon(F.min(col), dtypes[c]).alias(f"_min{i}"))
         aggs.append(_canon(F.max(col), dtypes[c]).alias(f"_max{i}"))
     agg = df.agg(*aggs)
+    if attest_rsd is not None:
+        # The HLL attestations run as their OWN single-row aggregate,
+        # crossJoined (1 row × 1 row) with the profile: mixing the HLL
+        # buffers into the multi-countDistinct aggregate forces the whole
+        # Expand through a SortAggregate cascade (measured 23s vs 2.9s on
+        # sf0.1 orders) because the imperative HLL buffer disqualifies hash
+        # aggregation; two separate scans each keep their natural plan.
+        hll = df.agg(
+            *[
+                F.approx_count_distinct(F.col(c), rsd=attest_rsd).alias(f"_hll{i}")
+                for i, c in enumerate(columns)
+            ]
+        )
+        agg = agg.crossJoin(hll)
     structs = []
     for i, c in enumerate(columns):
         fields = [

@@ -1393,7 +1393,9 @@ WITH w AS MATERIALIZED (
   ) WHERE t <> '' GROUP BY t
 ),
 s0 AS MATERIALIZED (
-  SELECT ' ' || array_to_string(regexp_extract_all(word, '[a-z]'), ' ') || ' ' AS seq, freq
+  SELECT word,
+         ' ' || array_to_string(regexp_extract_all(word, '[a-z]'), ' ') || ' ' AS seq,
+         freq
   FROM w
 )"""
     its = []
@@ -1415,7 +1417,7 @@ p{i} AS (
 m{i} AS MATERIALIZED (
   SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
 ),
-s{i} AS MATERIALIZED (SELECT {reseg} AS seq, freq FROM s{i - 1}, m{i} m)""")
+s{i} AS MATERIALIZED (SELECT word, {reseg} AS seq, freq FROM s{i - 1}, m{i} m)""")
     if tail is None:
         sels = [
             f"SELECT {i} AS rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count"
@@ -1437,6 +1439,24 @@ BPE_VOCAB_USAGE = _bpe_sql(
 SELECT token, sum(freq)::BIGINT AS total_count FROM (
   SELECT unnest(string_split(trim(seq), ' ')) AS token, freq FROM s10
 ) GROUP BY token ORDER BY total_count DESC, token ASC LIMIT 20
+"""
+)
+
+# pipeline.bpe_learned_fertility: corpus words joined to the trained
+# word → segmentation table for post-merge token counts, per-lang rollup
+BPE_LEARNED_FERTILITY = _bpe_sql(
+    tail="""
+SELECT lang, sum(n_tokens)::BIGINT AS bpe_tokens, count(*)::BIGINT AS words,
+       round(sum(n_tokens)::DOUBLE / count(*), 6) AS fertility
+FROM (
+  SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+  FROM documents
+) d
+JOIN (
+  SELECT word, len(string_split(trim(seq), ' '))::BIGINT AS n_tokens FROM s10
+) n USING (word)
+WHERE d.word <> ''
+GROUP BY lang ORDER BY lang
 """
 )
 
@@ -1509,6 +1529,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "pagerank_top_docs": PAGERANK_TOP_DOCS,
     "bpe_learn_merges": BPE_LEARN_MERGES,
     "bpe_vocab_usage": BPE_VOCAB_USAGE,
+    "bpe_learned_fertility": BPE_LEARNED_FERTILITY,
     "audio_window_stats": AUDIO_WINDOW_STATS,
     "snapshot_scd2": SNAPSHOT_SCD2,
     "frame_sample": FRAME_SAMPLE,

@@ -1249,6 +1249,38 @@ def bpe_vocab_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_usage(_bpe_trained(spark, sf_dir)[1], topk=20)
 
 
+def bpe_learned_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility of the LEARNED 10-merge BPE tokenizer, by language — the
+    after-training counterpart to token_fertility_by_lang (which measures
+    the pre-tokenizer): corpus words broadcast-join the trained word →
+    segmentation table for their post-merge token counts, rolled up per
+    lang. At scale the trained segmentation is vocabulary-sized, so the
+    join is a broadcast against the corpus word stream — the corpus never
+    shuffles. The oracle re-learns the same merges in its chained CTE and
+    replays the join."""
+    docs = load_table(spark, sf_dir, "documents")
+    seg = _bpe_trained(spark, sf_dir)[1]
+    words = docs.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+        ).alias("word"),
+    )
+    ntok = seg.select(
+        "word", F.size(F.split(F.trim(F.col("seq")), " ")).cast("long").alias("_nt")
+    )
+    return (
+        words.join(F.broadcast(ntok), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("_nt").alias("bpe_tokens"),
+            F.count("*").alias("words"),
+            F.round(F.sum("_nt") / F.count("*"), 6).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
 def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility: BPE-ish subword tokens per whitespace word, by
     language — THE go/no-go number for a tokenizer on a multilingual corpus
