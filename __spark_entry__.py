@@ -1151,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn_merges": pipeline.bpe_learn_merges,
         "bpe_vocab_usage": pipeline.bpe_vocab_usage,
         "bpe_learned_fertility": pipeline.bpe_learned_fertility,
+        "rag_retrieve": pipeline.rag_retrieve,
         "orders_profile_approx": relational.orders_profile_approx,
         "dedup_canonical_shared": pipeline.dedup_canonical_shared,
         "dedup_cluster_sizes_shared": pipeline.dedup_cluster_sizes_shared,

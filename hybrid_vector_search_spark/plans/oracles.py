@@ -1050,6 +1050,91 @@ SELECT doc_id, chunk_id::INT AS chunk_id,
 FROM x ORDER BY doc_id, chunk_id
 """
 
+# plans.pipeline.rag_retrieve: the full chunk → embed → score → top-k RAG
+# pipeline replayed in SQL. Chunking reuses DOC_CHUNKS' arithmetic; both the
+# chunk texts and the literal query string run through the HashingEmbedder's
+# md5 pipeline (the embed_roundtrip bit-exactness result) as sparse
+# (bucket, float32) rows; the dot is per-product 12dp-rounded DECIMAL(38,12)
+# sums (order-independent), and chunks sharing no bucket with the query
+# coalesce to exactly 0 — mirroring Spark's dense zip over all 64 buckets.
+RAG_RETRIEVE = f"""
+WITH {TOKL},
+n AS (SELECT doc_id, ts, len(ts) AS nt FROM tokl),
+c AS (
+  SELECT doc_id, ts, nt,
+         CASE WHEN nt <= 0 THEN 0
+              WHEN nt <= 32 THEN 1
+              ELSE 1 + (nt - 32 + 23) // 24 END AS n_chunks
+  FROM n
+),
+x AS (SELECT doc_id, ts, nt, unnest(range(0, n_chunks)) AS chunk_id FROM c),
+chunks AS (
+  SELECT doc_id, chunk_id::INT AS chunk_id,
+         ts[chunk_id*24 + 1 : least(chunk_id*24 + 32, nt)] AS cts
+  FROM x
+),
+cfeat AS (
+  SELECT doc_id, chunk_id,
+         unnest(list_concat(cts, [cts[i] || '_' || cts[i+1] FOR i IN range(1, len(cts))])) AS f
+  FROM chunks
+),
+chit AS (
+  SELECT doc_id, chunk_id,
+         (('0x' || substr(md5(f), 1, 8))::UBIGINT % 64)::INT AS bucket,
+         CASE WHEN ('0x' || substr(md5(f), 9, 2))::UBIGINT % 2 = 1
+              THEN 1 ELSE -1 END AS sgn
+  FROM cfeat
+),
+cbsum AS (
+  SELECT doc_id, chunk_id, bucket, sum(sgn)::BIGINT AS s
+  FROM chit GROUP BY doc_id, chunk_id, bucket
+),
+cnrm AS (
+  SELECT doc_id, chunk_id, sqrt(sum((s * s)::DOUBLE)) AS nn
+  FROM cbsum GROUP BY doc_id, chunk_id
+),
+cvec AS (
+  SELECT b.doc_id, b.chunk_id, b.bucket, ((b.s::DOUBLE) / m.nn)::FLOAT AS val
+  FROM cbsum b JOIN cnrm m USING (doc_id, chunk_id)
+  WHERE b.s <> 0
+),
+qtok AS (
+  SELECT list_filter(string_split_regex(lower('fast spark table value'), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+),
+qfeat AS (
+  SELECT unnest(list_concat(ts, [ts[i] || '_' || ts[i+1] FOR i IN range(1, len(ts))])) AS f
+  FROM qtok
+),
+qhit AS (
+  SELECT (('0x' || substr(md5(f), 1, 8))::UBIGINT % 64)::INT AS bucket,
+         CASE WHEN ('0x' || substr(md5(f), 9, 2))::UBIGINT % 2 = 1
+              THEN 1 ELSE -1 END AS sgn
+  FROM qfeat
+),
+qbsum AS (SELECT bucket, sum(sgn)::BIGINT AS s FROM qhit GROUP BY bucket),
+qnrm AS (SELECT sqrt(sum((s * s)::DOUBLE)) AS nn FROM qbsum),
+qvec AS (
+  SELECT bucket, ((s::DOUBLE) / (SELECT nn FROM qnrm))::FLOAT AS val
+  FROM qbsum WHERE s <> 0
+),
+dots AS (
+  SELECT c.doc_id, c.chunk_id,
+         sum(round((c.val::DOUBLE) * (q.val::DOUBLE), 12)::DECIMAL(38,12)) AS d
+  FROM cvec c JOIN qvec q USING (bucket)
+  GROUP BY c.doc_id, c.chunk_id
+),
+scored AS (
+  SELECT ch.doc_id, ch.chunk_id, coalesce(d.d, 0::DECIMAL(38,12)) AS d
+  FROM chunks ch LEFT JOIN dots d USING (doc_id, chunk_id)
+)
+SELECT doc_id, chunk_id, round(d::DOUBLE, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC, chunk_id ASC
+LIMIT 10
+"""
+
+
 # plans.pipeline.multimodal_resize_stats: replay the nearest-neighbor gather
 # byte-for-byte. Src image = text rpadded to 32·32·3 bytes (ASCII corpus, so
 # rpad/substring char positions ARE byte positions in both engines); out
@@ -1544,6 +1629,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_embedding_ivf": DEDUP_EMBEDDING_COSINE,
     "multimodal_resize_stats": MULTIMODAL_RESIZE,
     "doc_chunks": DOC_CHUNKS,
+    "rag_retrieve": RAG_RETRIEVE,
     "pii_redact": PII_REDACT,
     "dedup_components_star": DEDUP_COMPONENTS,
     "dedup_exact": DEDUP_EXACT,

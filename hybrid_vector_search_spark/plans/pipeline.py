@@ -118,6 +118,58 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RAG_QUERY = "fast spark table value"
+
+
+def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval as ONE lazy plan: chunk every document
+    (doc_chunks' overlapping token windows) → embed every chunk with the
+    deterministic hashing embedder (iterator Pandas UDF, Arrow-batched) →
+    score against the driver-embedded query text with a DECIMAL-exact dot
+    product (per-element products rounded to 12dp, summed as
+    DECIMAL(38,12) — order- and engine-independent, the pagerank
+    accumulation policy) → top-10 chunks by (score DESC, doc_id, chunk_id).
+
+    The whole pipeline is oracle-replayable because the embedder is pure
+    md5 arithmetic (the embed_roundtrip bit-exactness result): the oracle
+    re-chunks, re-embeds chunks AND the query string in SQL, and joins
+    sparse (bucket, value) representations — both engines produce identical
+    float32 components, so the rounded decimal dot agrees exactly.
+
+    At 100 TB: chunking and embedding are map-only (corpus never shuffles);
+    scoring is a per-row expression; top-k is TakeOrderedAndProject. The
+    serving variant would persist chunk embeddings once and probe them via
+    the IVF/LSH batch searches — this query IS that pipeline's build+score
+    path, end-to-end checked."""
+    from ..operators.embed import HashingEmbedder, embed_texts
+    from ..functions.vector import _as_double
+
+    chunks = doc_chunks(spark, sf_dir)
+    embedder = HashingEmbedder()
+    emb = chunks.withColumn("_emb", embed_texts(embedder, F.col("chunk_text")))
+    qv = [float(x) for x in embedder.embed_one(RAG_QUERY)]
+    dec = "decimal(38,12)"
+    prods = F.zip_with(
+        F.col("_emb").cast("array<double>"),
+        _as_double(qv),
+        lambda x, y: F.round(x * y, 12).cast(dec),
+    )
+    dot = F.aggregate(
+        prods,
+        F.lit(0).cast(dec),
+        lambda acc, x: (acc + x).cast(dec),
+    )
+    return (
+        emb.select(
+            "doc_id",
+            "chunk_id",
+            F.round(dot.cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("chunk_id"))
+        .limit(10)
+    )
+
+
 def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column pipeline over real testdata: utf-8 document
     bytes play the media blob; the Arrow kernel emits fixed-width features
