@@ -115,6 +115,54 @@ def build_ivf(
                     metric=metric)
 
 
+def assign_clusters(df: DataFrame, index: IVFIndex) -> DataFrame:
+    """Nearest-existing-centroid assignment for NEW vectors — one NumPy
+    argmin per Arrow batch against the broadcast centroid matrix (the index
+    is tiny by construction). Map-only, no shuffle; matches KMeans'
+    squared-euclidean assignment rule, so added rows land exactly where the
+    build pass would have put them."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = index.centroids
+    vector_col = index.vector_col
+    out_schema = StructType(
+        df.schema.fields + [StructField("cluster_id", IntegerType())]
+    )
+    c_sq = (cents * cents).sum(axis=1)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
+            )
+            # argmin ||v - c||^2 = argmin (|c|^2 - 2 v.c); |v|^2 is constant
+            d2 = c_sq[None, :] - 2.0 * (mat @ cents.T)
+            pdf = pdf.copy()
+            pdf["cluster_id"] = d2.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def ivf_add(spark: SparkSession, index: IVFIndex, new_rows: DataFrame) -> None:
+    """Append new vectors to an existing IVF layout WITHOUT retraining:
+    assign each row its nearest existing centroid and append to that
+    cluster's partition directory. This is FAISS's add-vs-train split — the
+    continuously-ingesting-corpus path (LSH gets it for free from
+    data-independence; IVF gets it by freezing the centroids): ingest stays
+    a pure map + partitioned append, no training job in the hot path.
+    Centroids drift as the corpus grows, degrading assignment quality, not
+    correctness (probing still reranks exactly); the rebuild cadence is the
+    caller's policy. Queries over the layout (ivf_search / ivf_search_batch)
+    see added rows immediately — partition pruning is directory-based."""
+    assign_clusters(new_rows, index).write.mode("append").partitionBy(
+        "cluster_id"
+    ).parquet(index.path)
+
+
 def measure_recall(
     spark: SparkSession,
     index: IVFIndex,

@@ -197,6 +197,13 @@ PICKS = {
         "union) followed by partition-local per-query top-k; the report join +\n"
         "whole-report window touch queries x k rows."
     ),
+    "rag_retrieve": (
+        "End-to-end RAG retrieval (r7): chunking and embedding are one\n"
+        "map-only span (Generate + the Arrow embed UDF — the corpus never\n"
+        "shuffles); the decimal dot is a per-row expression; the top-10 is\n"
+        "TakeOrderedAndProject (per-partition heaps, no global sort). The\n"
+        "only exchange in the plan is the final k-row driver merge."
+    ),
     "dedup_canonical_shared": (
         "Materialize-once closure (r7): the components relation is read from\n"
         "its parquet materialization (one scan, no shingle/jaccard/star-round\n"

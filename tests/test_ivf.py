@@ -109,3 +109,51 @@ def test_batch_search_equals_per_query(spark, ivf):
         for r in ivf_search(spark, ivf, qv, k, nprobe=3, clamp=False).collect()
     }
     assert batch == single and len(batch) == len(queries) * k
+
+
+def test_ivf_add_appends_without_retrain(spark, tmp_path_factory):
+    """ivf_add assigns new vectors to their nearest EXISTING centroid and
+    appends them to the layout: assignments match the argmin rule, queries
+    see added rows immediately, and a full-probe search still equals exact
+    KNN over the grown corpus."""
+    import numpy as np
+
+    from hybrid_vector_search_spark.operators.ivf import (
+        assign_clusters,
+        build_ivf,
+        ivf_add,
+        ivf_search,
+    )
+    from hybrid_vector_search_spark.operators.knn import knn
+    from hybrid_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, SF_MID, "embeddings")
+    base = emb.where("vec_id % 2 = 0")
+    new = emb.where("vec_id % 2 = 1")
+    path = str(tmp_path_factory.mktemp("ivf_add") / "index")
+    idx = build_ivf(spark, base, path, n_clusters=4)
+    n_base = spark.read.parquet(path).count()
+
+    # assignment follows the nearest-centroid rule exactly
+    got = assign_clusters(new, idx).select("vec_id", "cluster_id").collect()
+    by_id = {r.vec_id: [float(x) for x in r.embedding] for r in new.collect()}
+    for r in got[:50]:
+        v = np.asarray(by_id[r.vec_id])
+        want = int(((idx.centroids - v) ** 2).sum(axis=1).argmin())
+        assert r.cluster_id == want, (r.vec_id, r.cluster_id, want)
+
+    ivf_add(spark, idx, new)
+    layout = spark.read.parquet(path)
+    assert layout.count() == n_base + new.count()
+
+    # full probe over the grown layout equals exact KNN over the full corpus
+    q = [float(x) for x in emb.where("vec_id = 1").head().embedding]
+    exact = [(r.vec_id,) for r in knn(emb, q, 10, metric="cosine").collect()]
+    probed = [
+        (r.vec_id,)
+        for r in ivf_search(spark, idx, q, 10, nprobe=4, clamp=False).collect()
+    ]
+    assert probed == exact
+    # the added vector's own query finds it top-1 with a single probe
+    top = ivf_search(spark, idx, q, 1, nprobe=1, clamp=False).head()
+    assert top.vec_id == 1
