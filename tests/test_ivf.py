@@ -157,3 +157,17 @@ def test_ivf_add_appends_without_retrain(spark, tmp_path_factory):
     # the added vector's own query finds it top-1 with a single probe
     top = ivf_search(spark, idx, q, 1, nprobe=1, clamp=False).head()
     assert top.vec_id == 1
+
+
+def test_batch_probe_join_is_broadcast(spark, ivf):
+    from hybrid_vector_search_spark.operators.ivf import ivf_search_batch
+    from hybrid_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, SF_MID, "embeddings")
+    q = [float(x) for x in emb.where("vec_id = 0").head().embedding]
+    plan = (
+        ivf_search_batch(spark, ivf, [(0, q)], 10, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -82,3 +82,18 @@ def test_batch_search_equals_per_query(spark, corpus):
         for r in lsh_search(bucketed, index, qv, K, probe_hamming=2).collect()
     }
     assert batch == single and len(batch) == len(queries) * K
+
+
+def test_batch_probe_join_is_broadcast(spark, corpus):
+    """The batch probe relation must broadcast into the corpus join — the
+    corpus side never shuffles for the join (topk_per_group's pruned-triple
+    exchange is the only one downstream)."""
+    from hybrid_vector_search_spark.operators.lsh_ann import lsh_search_batch
+
+    bucketed, index, q = corpus
+    plan = (
+        lsh_search_batch(bucketed, index, [(0, q)], K, probe_hamming=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
