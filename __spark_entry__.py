@@ -1152,6 +1152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab_usage": pipeline.bpe_vocab_usage,
         "bpe_learned_fertility": pipeline.bpe_learned_fertility,
         "rag_retrieve": pipeline.rag_retrieve,
+        "lpa_communities": pipeline.lpa_communities,
+        "bigram_pmi": pipeline.bigram_pmi,
+        "events_robust_outliers": relational.events_robust_outliers,
         "orders_profile_approx": relational.orders_profile_approx,
         "dedup_canonical_shared": pipeline.dedup_canonical_shared,
         "dedup_cluster_sizes_shared": pipeline.dedup_cluster_sizes_shared,

@@ -176,3 +176,71 @@ def connected_components_star(
         .groupBy("node")
         .agg(F.min("component").alias("component"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007) with
+    deterministic tie-breaks — the community-DETECTION member of the graph
+    family (components answers "connected?", PageRank answers "important?",
+    LPA answers "which cluster?" on connected-but-heterogeneous graphs,
+    e.g. refining a giant near-dup component into template families).
+
+    Semantics: labels init to node ids; each round every node SIMULTANEOUSLY
+    adopts the most frequent label among its neighbors, ties broken by the
+    SMALLEST label; isolated rounds keep the node's current label. The
+    synchronous schedule + total-order tie-break make the result a pure
+    function of the graph — partition-invariant and replayable round-by-round
+    by a chained-CTE SQL oracle (asynchronous/randomized LPA variants
+    converge faster but are irreproducible, the wrong trade here).
+
+    Returns (node, community) after ``iterations`` rounds.
+
+    Scale shape per round (the pagerank.py policy): one join of the
+    symmetrized edge list with the label relation on the source endpoint
+    (co-partitionable — pre-bucket edges by src at 100 TB), one
+    groupBy(node, label) count with map-side partials, one per-node argmax
+    window over the (node × distinct neighbor labels) relation — never the
+    corpus — and a localCheckpoint to hold plan size constant.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("nbr").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iterations):
+        counts = (
+            sym.join(labels, sym.a == labels.node)
+            .groupBy(F.col("b").alias("nbr"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        winners = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(F.col("nbr").alias("node"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winners, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -1462,6 +1462,117 @@ LIMIT 20
 PAGERANK_TOP_DOCS = _pagerank_sql()
 
 
+# operators.graph.label_propagation over the pagerank synthetic link graph
+# (pipeline.lpa_communities): 5 synchronous rounds replayed as chained
+# CTEs — per round, the neighbor-label count, the (cnt DESC, label ASC)
+# per-node winner, and the coalesce-keep for isolated nodes. MATERIALIZED
+# for the same double-reference reason as the BPE chain.
+def _lpa_sql(iterations: int = 5) -> str:
+    head = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS a, (doc_id * 31 + 7) % nn.n AS b FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (doc_id * 17 + 3) % nn.n FROM documents, nn
+),
+sym AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+  ) WHERE a <> b
+),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM sym)"""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f""",
+c{i} AS (
+  SELECT s.b AS nbr, l.label, count(*)::BIGINT AS cnt
+  FROM sym s JOIN l{i - 1} l ON s.a = l.node
+  GROUP BY 1, 2
+),
+w{i} AS (
+  SELECT nbr, label FROM (
+    SELECT nbr, label,
+           row_number() OVER (PARTITION BY nbr ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+),
+l{i} AS MATERIALIZED (
+  SELECT l.node, coalesce(w.label, l.label) AS label
+  FROM l{i - 1} l LEFT JOIN w{i} w ON l.node = w.nbr
+)""")
+    tail = f"""
+SELECT node AS doc_id, label AS community FROM l{iterations} ORDER BY doc_id
+"""
+    return head + "".join(its) + tail
+
+
+LPA_COMMUNITIES = _lpa_sql()
+
+
+# relational.events_robust_outliers: median/MAD modified z per event type;
+# the z chain mirrors Spark's double ops exactly (same op order), so even
+# the |z| > 3.5 boundary comparison agrees bit-for-bit
+EVENTS_ROBUST_OUTLIERS = """
+WITH b AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+c AS (
+  SELECT e.event_type, e.value, b.med FROM events e JOIN b USING (event_type)
+),
+m AS (
+  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+  FROM c GROUP BY event_type
+),
+z AS (
+  SELECT c.event_type, c.med, m.mad,
+         CASE WHEN m.mad > 0
+              THEN abs(0.6745 * (c.value - c.med) / m.mad)
+              ELSE 0.0 END AS az
+  FROM c JOIN m USING (event_type)
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       round(any_value(med), 6) AS median_value,
+       round(any_value(mad), 6) AS mad,
+       sum(CASE WHEN az > 3.5 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       round(max(az), 6) AS max_abs_z
+FROM z GROUP BY event_type ORDER BY event_type
+"""
+
+
+# pipeline.bigram_pmi: occurrence-count PMI of adjacent token pairs; the
+# ln argument mirrors Spark's division chain exactly
+BIGRAM_PMI = f"""
+WITH {TOKL},
+uni AS (
+  SELECT tok, count(*)::DOUBLE AS c FROM (
+    SELECT unnest(ts) AS tok FROM tokl
+  ) GROUP BY tok
+),
+ntot AS (SELECT sum(c) AS n_total FROM uni),
+bi AS (
+  SELECT bigram, count(*)::DOUBLE AS cab FROM (
+    SELECT unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS bigram
+    FROM tokl WHERE len(ts) >= 2
+  ) GROUP BY bigram HAVING count(*) >= 5
+),
+btot AS (SELECT sum(cab) AS b_total FROM bi),
+j AS (
+  SELECT b.bigram, b.cab, ua.c AS ca, ub.c AS cb, ntot.n_total, btot.b_total
+  FROM bi b
+  JOIN uni ua ON ua.tok = string_split(b.bigram, ' ')[1]
+  JOIN uni ub ON ub.tok = string_split(b.bigram, ' ')[2]
+  CROSS JOIN ntot CROSS JOIN btot
+)
+SELECT bigram, cab::BIGINT AS n_pair,
+       round(ln((cab / b_total) / ((ca / n_total) * (cb / n_total))), 6) AS pmi
+FROM j
+ORDER BY pmi DESC, bigram ASC
+LIMIT 20
+"""
+
+
 # operators.bpe_train.learn_bpe (pipeline.bpe_learn_merges): the 10-merge
 # BPE training fixpoint replayed as a chained CTE — per iteration, the
 # integer-weighted pair count (exact, order-independent), the (cnt DESC,
@@ -1615,6 +1726,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     "bpe_learn_merges": BPE_LEARN_MERGES,
     "bpe_vocab_usage": BPE_VOCAB_USAGE,
     "bpe_learned_fertility": BPE_LEARNED_FERTILITY,
+    "lpa_communities": LPA_COMMUNITIES,
+    "bigram_pmi": BIGRAM_PMI,
+    "events_robust_outliers": EVENTS_ROBUST_OUTLIERS,
     "audio_window_stats": AUDIO_WINDOW_STATS,
     "snapshot_scd2": SNAPSHOT_SCD2,
     "frame_sample": FRAME_SAMPLE,

@@ -1434,6 +1434,92 @@ def pagerank_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-ranked phrase mining: pointwise mutual information of
+    adjacent token pairs, PMI = ln((c_ab/B) / ((c_a/N)·(c_b/N))) over
+    OCCURRENCE counts (top_bigrams ranks by document frequency; PMI
+    surfaces collocations that co-occur far above chance — the phrase-list
+    builder for tokenizer/stopword work). Pairs with c_ab < 5 are cut (PMI
+    is unstable on rare counts); top-20 by (rounded PMI DESC, bigram ASC).
+    Plan: one token explosion feeds both the unigram and bigram counts
+    (vocab-sized aggregates); totals are 1-row broadcast crossJoins; ln on
+    an identical double expression chain is engine-exact (the BM25 oracle
+    precedent)."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ts = docs.select(tokens(F.col("text")).alias("ts"))
+    uni = (
+        ts.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    n_tot = uni.agg(F.sum("c").alias("n_total"))
+    pairs = F.zip_with(
+        F.slice(F.col("ts"), 1, F.size("ts") - 1),
+        F.slice(F.col("ts"), 2, F.size("ts") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bi = (
+        ts.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("double").alias("cab"))
+        .where(F.col("cab") >= 5)
+    )
+    b_tot = bi.agg(F.sum("cab").alias("b_total"))
+    left = F.split(F.col("bigram"), " ").getItem(0)
+    right = F.split(F.col("bigram"), " ").getItem(1)
+    joined = (
+        bi.withColumn("tok_a", left)
+        .withColumn("tok_b", right)
+        .join(uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca")), "tok_a")
+        .join(uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb")), "tok_b")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(b_tot))
+    )
+    pmi = F.log(
+        (F.col("cab") / F.col("b_total"))
+        / ((F.col("ca") / F.col("n_total")) * (F.col("cb") / F.col("n_total")))
+    )
+    return (
+        joined.select(
+            "bigram",
+            F.col("cab").cast("long").alias("n_pair"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (operators/graph.label_propagation)
+    over the same deterministic synthetic link graph as pagerank_top_docs —
+    the community-detection member of the graph family. 5 synchronous
+    rounds with (count DESC, label ASC) tie-breaks make the per-node
+    community assignment a pure function of the graph, so the oracle
+    replays every round as a chained CTE. Returns all (doc_id, community)
+    rows — the full partition is hash-checked, not a summary."""
+    from ..operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    ids = docs.select("doc_id")
+    edges = ids.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % n).alias("dst"),
+    ).unionAll(
+        ids.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 17 + 3) % n).alias("dst"),
+        )
+    )
+    comm = label_propagation(edges, iterations=5)
+    return comm.select(
+        F.col("node").alias("doc_id"), "community"
+    ).orderBy("doc_id")
+
+
 AUDIO_RATE, AUDIO_WIN_MS, AUDIO_HOP_MS = 16_000, 25, 10
 
 

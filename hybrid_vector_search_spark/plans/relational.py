@@ -1390,6 +1390,46 @@ def orders_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(orders, cols, attest_rsd=0.02).orderBy("column")
 
 
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier radar per event type: the modified
+    z-score 0.6745·(v − median)/MAD with the standard |z| > 3.5 outlier
+    cut (Iglewicz & Hoaglin) — the winsorized query's sibling for when the
+    tail should be COUNTED, not clipped. Two same-key windows share one
+    event_type exchange; z is a fixed chain of IEEE double ops both
+    engines evaluate identically, so even the boundary comparison is
+    engine-exact. Exact percentiles are the bench-scale choice; at 100 TB
+    swap in approx_percentile bounds (the value_percentiles_approx twin)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    base = ev.select(
+        "event_type",
+        "value",
+        F.expr("percentile(value, 0.5)").over(w).alias("med"),
+    )
+    scored = base.select(
+        "event_type",
+        "value",
+        "med",
+        F.expr("percentile(abs(value - med), 0.5)").over(w).alias("mad"),
+    )
+    az = F.when(
+        F.col("mad") > 0,
+        F.abs(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")),
+    ).otherwise(F.lit(0.0))
+    return (
+        scored.withColumn("az", az)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.expr("any_value(med)"), 6).alias("median_value"),
+            F.round(F.expr("any_value(mad)"), 6).alias("mad"),
+            F.sum((F.col("az") > 3.5).cast("long")).alias("n_outliers"),
+            F.round(F.max("az"), 6).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit measure), adapted to the
     testdata's columns: the testdata has no partsupp/ps_supplycost, so cost

@@ -89,3 +89,28 @@ def test_shared_closure_variants_equal_self_contained(spark):
     a = pipeline.dedup_cluster_sizes(spark, sf).collect()
     b = pipeline.dedup_cluster_sizes_shared(spark, sf).collect()
     assert a == b and len(a) > 0
+
+
+def test_label_propagation_triangles_and_invariance(spark):
+    """Two disjoint triangles converge to their min labels within 5
+    synchronous rounds, and the assignment is partition-invariant (the
+    determinism the chained-CTE oracle relies on)."""
+    from hybrid_vector_search_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.community
+        for r in label_propagation(edges, iterations=5).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+    got13 = {
+        r.node: r.community
+        for r in label_propagation(edges.repartition(13), iterations=5).collect()
+    }
+    assert got13 == got
+    # self-loops are ignored; a graph of only self-loops has no nodes
+    loops = spark.createDataFrame([(5, 5)], "src long, dst long")
+    assert label_propagation(loops, iterations=2).count() == 0
