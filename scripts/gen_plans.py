@@ -230,6 +230,21 @@ PICKS = {
         "baseline is a rowsBetween window over the types x hours rollup -\n"
         "window state is 24 longs per type, independent of event volume."
     ),
+    "bigram_pmi": (
+        "Bigram PMI phrase mining (r7): the corpus explodes to tokens ONCE;\n"
+        "the unigram-count and bigram-count relations both derive from that\n"
+        "one Generate span (partial-aggregated groupBys), and the two\n"
+        "broadcast joins that attach unigram counts to each bigram carry only\n"
+        "the vocabulary-sized count relations - the token explosion itself is\n"
+        "never joined corpus-to-corpus."
+    ),
+    "events_robust_outliers": (
+        "Robust MAD outlier radar (r7): median and MAD are two same-key\n"
+        "percentile windows over event type, so they share ONE hash exchange\n"
+        "(a single Exchange feeds both Window operators); the modified\n"
+        "z-score and the |z|>3.5 cut are pure codegen projections - no second\n"
+        "shuffle, no driver-side stats collection."
+    ),
 }
 
 
