@@ -38,28 +38,20 @@ def _canon(col: F.Column, dtype: T.DataType) -> F.Column:
     return col.cast("string")
 
 
-def profile_table(
+def profile_aggregates(
     df: DataFrame,
-    columns: list[str] | None = None,
+    columns: list[str],
     *,
     approx_distinct: bool = False,
-    attest_rsd: float | None = None,
-    attest_tolerance: float = 0.05,
 ) -> DataFrame:
-    """(column, n_rows, n_null, n_distinct, min_value, max_value) per column.
-
-    ``attest_rsd`` turns the report self-attesting (the approx_distinct_users
-    recipe): the HLL++ estimate at that relative standard deviation runs
-    alongside the exact count-distinct, and an extra
-    ``approx_within_tol`` boolean per column claims the estimate landed
-    within ``attest_tolerance`` of the exact value. The exact counts stay
-    oracle-checkable value-for-value; the boolean is the stated contract, so
-    an estimator regression hash-fails the driver gate. At 100 TB the
-    production report runs HLL alone (``approx_distinct=True``); the
-    attesting mode is the verifier that earns trust in that default.
-    """
-    if columns is None:
-        columns = df.columns
+    """The ONE-ROW exact statistics relation under the profile report:
+    counts + count-distincts (one Expand, hash-aggregated) crossJoined
+    (1 × 1 row) with an Expand-free min/max pass. Exposed separately so
+    consumers that need the exact facts twice — the plain report AND the
+    self-attesting HLL twin — can compute them ONCE, persist the single
+    row, and build both reports from it (the ANN-trio shared-exact-pass
+    recipe): at any scale the expensive thing here is the Expand scan,
+    and it should never run once per downstream report."""
     dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
     aggs = [F.count(F.lit(1)).alias("_n")]
     minmax = []
@@ -80,7 +72,41 @@ def profile_table(
     # count-distinct Expand through a SortAggregate + Sort cascade (measured
     # 2.6s → 2.0s on sf0.1 orders); split, the Expand stays in a pure
     # HashAggregate and the min/max pass is a plain Expand-free scan.
-    agg = df.agg(*aggs).crossJoin(df.agg(*minmax))
+    return df.agg(*aggs).crossJoin(df.agg(*minmax))
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    approx_distinct: bool = False,
+    attest_rsd: float | None = None,
+    attest_tolerance: float = 0.05,
+    exact_agg: DataFrame | None = None,
+) -> DataFrame:
+    """(column, n_rows, n_null, n_distinct, min_value, max_value) per column.
+
+    ``attest_rsd`` turns the report self-attesting (the approx_distinct_users
+    recipe): the HLL++ estimate at that relative standard deviation runs
+    alongside the exact count-distinct, and an extra
+    ``approx_within_tol`` boolean per column claims the estimate landed
+    within ``attest_tolerance`` of the exact value. The exact counts stay
+    oracle-checkable value-for-value; the boolean is the stated contract, so
+    an estimator regression hash-fails the driver gate. At 100 TB the
+    production report runs HLL alone (``approx_distinct=True``); the
+    attesting mode is the verifier that earns trust in that default.
+
+    ``exact_agg`` supplies a precomputed ``profile_aggregates`` row (e.g. a
+    persisted one shared with the plain report) so the attesting twin costs
+    only the HLL scan — the exact Expand never runs twice per table.
+    """
+    if columns is None:
+        columns = df.columns
+    agg = (
+        profile_aggregates(df, columns, approx_distinct=approx_distinct)
+        if exact_agg is None
+        else exact_agg
+    )
     if attest_rsd is not None:
         # The HLL attestations run as their OWN single-row aggregate,
         # crossJoined (1 row × 1 row) with the profile: mixing the HLL

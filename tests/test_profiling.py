@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
-from hybrid_vector_search_spark.operators.profiling import profile_table
+from hybrid_vector_search_spark.operators.profiling import (
+    profile_aggregates,
+    profile_table,
+)
 
 
 def _by_col(df):
@@ -49,6 +52,47 @@ def test_profile_is_two_hash_aggregate_passes(spark):
     # anywhere in the plan)
     assert plan.count("SortAggregate") == 2, plan
     assert "+- Sort " not in plan, plan
+
+
+def test_profile_shared_exact_agg_equivalence(spark):
+    """The shared-exact-pass shapes (r7): a report unpivoted from a
+    precomputed/persisted profile_aggregates row is row-identical to the
+    self-contained plan, and the attesting twin built on the shared row
+    keeps the exact columns identical while adding only the HLL scan —
+    the Expand never has to run once per downstream report."""
+    df = spark.createDataFrame(
+        [(i, str(i % 5), float(i) / 3) for i in range(200)],
+        "k long, s string, v double",
+    )
+    cols = ["k", "s", "v"]
+    shared = profile_aggregates(df, cols).cache()
+    try:
+        shared.count()
+        base = {
+            r["column"]: r for r in profile_table(df, cols).collect()
+        }
+        via_shared = {
+            r["column"]: r
+            for r in profile_table(df, cols, exact_agg=shared).collect()
+        }
+        assert base == via_shared
+        attested = profile_table(
+            df, cols, attest_rsd=0.02, exact_agg=shared
+        ).collect()
+        for r in attested:
+            b = base[r["column"]]
+            assert (r["n_rows"], r["n_null"], r["n_distinct"]) == (
+                b["n_rows"],
+                b["n_null"],
+                b["n_distinct"],
+            )
+            assert (r["min_value"], r["max_value"]) == (
+                b["min_value"],
+                b["max_value"],
+            )
+            assert r["approx_within_tol"] is True
+    finally:
+        shared.unpersist()
 
 
 def test_profile_approx_distinct_mode(spark):
