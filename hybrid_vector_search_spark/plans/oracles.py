@@ -694,6 +694,33 @@ WHERE {_bucket('mix')} < floor(r.keep_rate * 10000)
 ORDER BY d.doc_id
 """
 
+# operators.ordering.epoch_order: shard = first 8 md5 hex chars of
+# 'epoch:1#doc_id' mod n_shards; pos = row_number within shard by the FULL
+# md5 hex (total order, ties by key) — replayed verbatim.
+EPOCH_SHUFFLE_ORDER = """
+WITH h AS (
+  SELECT doc_id, md5('epoch:1#' || doc_id::VARCHAR) AS ekey
+  FROM documents
+)
+SELECT doc_id,
+       (('0x' || substr(ekey, 1, 8))::BIGINT % 8)::INT AS shard,
+       row_number() OVER (
+         PARTITION BY (('0x' || substr(ekey, 1, 8))::BIGINT % 8)
+         ORDER BY ekey, doc_id) AS pos
+FROM h
+ORDER BY shard, pos
+"""
+
+EPOCH_SHARD_MANIFEST = """
+SELECT (('0x' || substr(md5('epoch:1#' || doc_id::VARCHAR), 1, 8))::BIGINT % 8)::INT
+         AS shard,
+       count(*) AS n_rows,
+       sum(length(text))::BIGINT AS len_sum
+FROM documents
+GROUP BY 1
+ORDER BY shard
+"""
+
 DATASET_SPLIT_COUNTS = f"""
 SELECT CASE WHEN {_bucket('split')} < 1000 THEN 'val'
             WHEN {_bucket('split')} < 2000 THEN 'test'
@@ -1785,6 +1812,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "token_fertility_by_lang": TOKEN_FERTILITY,
     "stratified_sample": STRATIFIED_SAMPLE,
     "dataset_split_counts": DATASET_SPLIT_COUNTS,
+    "epoch_shuffle_order": EPOCH_SHUFFLE_ORDER,
+    "epoch_shard_manifest": EPOCH_SHARD_MANIFEST,
     "lang_temperature_mix": LANG_TEMPERATURE_MIX,
     "corpus_clean": CORPUS_CLEAN,
     "corpus_clean_funnel": CORPUS_CLEAN_FUNNEL,

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup, sampling, textstats
+from ..operators import dedup, ordering, sampling, textstats
 from ..sources import load_table
 
 # Exact-dedup demo corpus: documents plus planted duplicates (every 50th doc
@@ -764,6 +764,36 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("split", "lang")
     )
+
+
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-1 training order (operators.ordering.epoch_order):
+    every doc gets its (shard, pos) coordinate from the epoch-salted md5 —
+    reproducible across reruns/cluster sizes, re-derivable by any engine
+    with md5 (the oracle replays it row-for-row). One shuffle + per-shard
+    sort; no global ORDER BY in the assignment itself (the trailing orderBy
+    is presentation-only on the already-computed coordinates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ordering.epoch_order(docs.select("doc_id"), "doc_id", epoch=1, n_shards=8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+def epoch_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader-fleet manifest for epoch 1 (operators.ordering.shard_manifest):
+    per-shard row count + character budget, the tiny relation a data-loader
+    scheduler packs onto workers without scanning the corpus. n_shards
+    output rows from map-side partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    ordered = ordering.epoch_order(
+        docs.select("doc_id", F.length("text").alias("n_chars")),
+        "doc_id",
+        epoch=1,
+        n_shards=8,
+    )
+    return ordering.shard_manifest(ordered, len_col="n_chars")
 
 
 def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -197,6 +197,23 @@ PICKS = {
         "union) followed by partition-local per-query top-k; the report join +\n"
         "whole-report window touch queries x k rows."
     ),
+    "ann_ivfpq_topk": (
+        "Self-attesting IVF-PQ ANN (r7): the probe relation (query_id,\n"
+        "cluster_id, coarse_offset) broadcast-joins the partitioned code\n"
+        "layout on its PARTITION key (scan pruned to the probed-cluster\n"
+        "union); the only per-row payload is M uint8 residual codes scored\n"
+        "by one Arrow lookup-table kernel; per-query top-k is partition-\n"
+        "local; the exact rerank touches k*factor float vectors via a\n"
+        "broadcast join - the float column never scans on the query path."
+    ),
+    "epoch_shuffle_order": (
+        "Deterministic epoch shuffle (r7): the (shard, pos) coordinates\n"
+        "come from one hash Exchange + a per-shard window sort - the plan\n"
+        "must show hashpartitioning on shard and NO rangepartitioning\n"
+        "stage for the assignment (pinned in tests/test_ordering.py); the\n"
+        "trailing presentation orderBy is the only global sort and exists\n"
+        "for the oracle compare, not the operator."
+    ),
     "rag_retrieve": (
         "End-to-end RAG retrieval (r7): chunking and embedding are one\n"
         "map-only span (Generate + the Arrow embed UDF — the corpus never\n"
