@@ -1254,6 +1254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "epoch_shuffle_order": pipeline.epoch_shuffle_order,
         "epoch_shard_manifest": pipeline.epoch_shard_manifest,
+        "hll_partial_union": relational.hll_partial_union,
+        "dense_doc_ids": pipeline.dense_doc_ids,
+        "sliding_distinct_users": relational.sliding_distinct_users,
         # --- (3) code paths changed in r7 (batch ANN serving, topk_per_group, literal-array build, canonicalize signature)
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2062,6 +2065,34 @@ WHERE rn <= 5
 ORDER BY c_mktsegment, rn
 """
 
+# relational.hll_partial_union: exact sides value-checked; the oracle states
+# the sketch contracts as literals — every per-type HLL estimate AND the
+# union-of-partials estimate within 5% — so an estimator/merge regression
+# hash-fails the gate (the approx_distinct_users recipe).
+_HLL_UNION_ORACLE = """
+SELECT count(DISTINCT event_type)::BIGINT AS n_types,
+       count(DISTINCT event_type)::BIGINT AS n_types_within_5pct,
+       count(DISTINCT user_id)::BIGINT AS exact_total_users,
+       TRUE AS union_within_5pct
+FROM events
+"""
+
+# relational.sliding_distinct_users: exact trailing-7-day distincts are
+# value-checked; the oracle states every window's sketch-union estimate
+# lands within 5% as a literal, so a partial/merge regression hash-fails.
+_SLIDING_DISTINCT_ORACLE = """
+WITH days AS (SELECT DISTINCT ts::DATE AS day FROM events),
+e AS (SELECT ts::DATE AS pday, user_id FROM events)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       (SELECT count(*) FROM days d2
+         WHERE d2.day BETWEEN d.day - 6 AND d.day)::BIGINT AS n_days_in_window,
+       count(DISTINCT e.user_id) AS exact_users_7d,
+       TRUE AS hll_within_5pct
+FROM days d JOIN e ON e.pday BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+ORDER BY day
+"""
+
 _SEGMENT_COND_ORACLE = """
 SELECT c_mktsegment,
        count(*)::BIGINT AS n_orders,
@@ -2647,6 +2678,8 @@ def oracle_sql() -> dict[str, str]:
         "purchase_gaps": _PURCHASE_GAPS_ORACLE,
         "lineitem_unpivot": _UNPIVOT_ORACLE,
         "order_price_ranks": _PRICE_RANKS_ORACLE,
+        "hll_partial_union": _HLL_UNION_ORACLE,
+        "sliding_distinct_users": _SLIDING_DISTINCT_ORACLE,
         "segment_conditional_stats": _SEGMENT_COND_ORACLE,
         "events_dow_hour": _DOW_HOUR_ORACLE,
         "segment_nation_arrays": _SEGMENT_NATIONS_ORACLE,

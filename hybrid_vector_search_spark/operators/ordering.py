@@ -69,6 +69,61 @@ def epoch_order(
     )
 
 
+def dense_ids(
+    df: DataFrame,
+    key_col: str,
+    *,
+    n_shards: int = 64,
+    salt: str = "ids",
+    id_name: str = "dense_id",
+) -> DataFrame:
+    """Assign globally dense, gap-free ids ``0..n-1`` WITHOUT a
+    single-partition window (the scalable replacement for
+    ``monotonically_increasing_id`` — which leaves gaps — and for
+    ``row_number() OVER ()`` — which funnels the corpus through ONE task).
+
+    Two-level rank: rows hash into ``n_shards`` shards and rank locally
+    (bounded per-shard sort, same shape as :func:`epoch_order`); a tiny
+    ``n_shards``-row census of shard sizes turns into broadcast base
+    offsets via a prefix sum, and ``dense_id = offset[shard] + pos - 1``.
+    One corpus shuffle + one broadcast join; the heavy relation never
+    sorts globally. Ids are a pure function of ``(salt, key)`` — stable
+    under reruns and repartitioning — and the global order they realize
+    is the salted-hash order, replayable as
+    ``row_number() OVER (ORDER BY md5(salt#key), key) - 1``.
+
+    Unlike :func:`epoch_order` (mod shards — any bucketing works for a
+    per-epoch permutation), shards here are contiguous RANGES of the hash
+    space (``floor(prefix32 · n_shards / 2^32)``), so shard-major +
+    within-shard hash order IS the global hash order — lexicographic
+    fixed-width lowercase hex compares identically to the 128-bit value,
+    and the 32-bit prefix ranges are prefixes of that order."""
+    ekey = _epoch_key(F.col(key_col), epoch=0, salt=salt)
+    prefix = F.conv(F.substring(ekey, 1, 8), 16, 10).cast("long")
+    shard = F.floor(prefix * n_shards / F.lit(4294967296)).cast("int")
+    win = Window.partitionBy("shard").orderBy("_ekey", F.col(key_col))
+    ordered = (
+        df.withColumn("_ekey", ekey)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(win))
+        .drop("_ekey")
+    )
+    w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ordered.groupBy("shard")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "shard",
+            F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_base"),
+        )
+    )
+    return (
+        ordered.join(F.broadcast(offsets), "shard")
+        .withColumn(id_name, (F.col("_base") + F.col("pos") - 1).cast("long"))
+        .drop("shard", "pos", "_base")
+    )
+
+
 def shard_manifest(
     ordered: DataFrame,
     *,

@@ -711,6 +711,17 @@ FROM h
 ORDER BY shard, pos
 """
 
+# operators.ordering.dense_ids: the two-level (shard rank + broadcast
+# prefix-sum offsets) construction realizes exactly the global salted-hash
+# order — one row_number replays it.
+DENSE_DOC_IDS = """
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5('ids:0#' || doc_id::VARCHAR), doc_id) - 1
+         AS dense_id
+FROM documents
+ORDER BY dense_id
+"""
+
 EPOCH_SHARD_MANIFEST = """
 SELECT (('0x' || substr(md5('epoch:1#' || doc_id::VARCHAR), 1, 8))::BIGINT % 8)::INT
          AS shard,
@@ -1813,6 +1824,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "stratified_sample": STRATIFIED_SAMPLE,
     "dataset_split_counts": DATASET_SPLIT_COUNTS,
     "epoch_shuffle_order": EPOCH_SHUFFLE_ORDER,
+    "dense_doc_ids": DENSE_DOC_IDS,
     "epoch_shard_manifest": EPOCH_SHARD_MANIFEST,
     "lang_temperature_mix": LANG_TEMPERATURE_MIX,
     "corpus_clean": CORPUS_CLEAN,

@@ -796,6 +796,20 @@ def epoch_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordering.shard_manifest(ordered, len_col="n_chars")
 
 
+def dense_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free global ids 0..n-1 (operators.ordering.dense_ids) without a
+    single-partition window over the corpus: per-shard bounded rank + a
+    broadcast prefix-sum of the 64-row shard census. The realized order is
+    the salted-hash order, so the oracle replays it as one global
+    row_number — the engines agree id-for-id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ordering.dense_ids(docs.select("doc_id"), "doc_id")
+        .select("doc_id", "dense_id")
+        .orderBy("dense_id")
+    )
+
+
 def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style structural quality gate (operators.quality_rules): one
     map-only projection per doc, rule metrics + pass/fail conjunction."""

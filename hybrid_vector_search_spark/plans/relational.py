@@ -744,6 +744,107 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch lifecycle (Datasketches HLL, `hll_sketch_agg` /
+    `hll_union_agg`): per-event-type user sketches are built in one pass,
+    then MERGED — never re-scanning raw rows — to answer the corpus-wide
+    distinct-user question. This is the canonical 100 TB pre-aggregation
+    shape: persist fixed-size sketch partials per partition/day at ingest,
+    union at query time over the tiny sketch relation; the raw table is
+    scanned once ever. The exact sides here are the verifiers (same
+    self-attesting recipe as approx_distinct_users): exact totals are
+    oracle-value-checked, and the in-plan claims pin BOTH estimators —
+    each per-type sketch and the union-of-partials — within 5%, so a
+    sketch or merge regression hash-fails the driver gate.
+
+    The reference has no sketch surface at all (Atlas `$group` exact
+    counts only, reference backend/api.py:187-204); this family is
+    brief-driven scale engineering."""
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("_sk"),
+        F.countDistinct("user_id").alias("_exact_t"),
+    )
+    merged = per_type.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(_sk, true))").alias("_union_est"),
+        F.count("*").alias("n_types"),
+        F.sum(
+            (
+                F.abs(F.expr("hll_sketch_estimate(_sk)") - F.col("_exact_t"))
+                <= F.lit(0.05) * F.col("_exact_t")
+            ).cast("int")
+        ).alias("n_types_within_5pct"),
+    )
+    exact_total = events.agg(F.countDistinct("user_id").alias("exact_total_users"))
+    return (
+        merged.crossJoin(F.broadcast(exact_total))
+        .select(
+            "n_types",
+            "n_types_within_5pct",
+            "exact_total_users",
+            (
+                F.abs(F.col("_union_est") - F.col("exact_total_users"))
+                <= F.lit(0.05) * F.col("exact_total_users")
+            ).alias("union_within_5pct"),
+        )
+    )
+
+
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from DAILY HLL PARTIALS: the
+    raw table aggregates once into one fixed-size sketch per day, and every
+    window answer is a union over ≤7 sketch rows — COUNT(DISTINCT) OVER a
+    range window without re-scanning raw data per window (which no engine
+    can do exactly without quadratic re-reads; sketch partials are the
+    standard substitute at warehouse scale). The windowing self-join runs on
+    the days×days spine (30 rows here, ~years of rows in production — always
+    broadcastable), never on events.
+
+    Self-attesting: exact per-window distincts (oracle value-checked) come
+    from a raw range join — the VERIFIER, not the scale path — and the
+    in-plan claim pins every window's union estimate within 5%."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("pday")).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("_sk")
+    )
+    days = daily.select(F.col("pday").alias("day"))
+    est = (
+        days.join(
+            F.broadcast(daily),
+            (F.col("pday") <= F.col("day"))
+            & (F.col("pday") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(_sk, true))").alias("_est"),
+            F.count("*").alias("n_days_in_window"),
+        )
+    )
+    ev_days = events.select(F.to_date("ts").alias("pday"), "user_id")
+    exact = (
+        ev_days.join(
+            F.broadcast(days),
+            (F.col("pday") <= F.col("day"))
+            & (F.col("pday") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
+    return (
+        est.join(exact, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_days_in_window",
+            "exact_users_7d",
+            (
+                F.abs(F.col("_est") - F.col("exact_users_7d"))
+                <= F.lit(0.05) * F.col("exact_users_7d")
+            ).alias("hll_within_5pct"),
+        )
+        .orderBy("day")
+    )
+
+
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets: revenue over all 2^2 combinations of
     (returnflag, linestatus) with grouping_id distinguishing the subtotal

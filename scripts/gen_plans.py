@@ -214,6 +214,22 @@ PICKS = {
         "trailing presentation orderBy is the only global sort and exists\n"
         "for the oracle compare, not the operator."
     ),
+    "dense_doc_ids": (
+        "Dense global ids (r7): the corpus passes ONE hash Exchange into\n"
+        "range shards + a bounded per-shard sort; the only single-partition\n"
+        "window runs on the 64-row shard census whose prefix-sum offsets\n"
+        "broadcast back - no corpus rangepartitioning (pinned in\n"
+        "tests/test_ordering.py). The trailing orderBy exists for the\n"
+        "oracle compare."
+    ),
+    "sliding_distinct_users": (
+        "Windowed distinct via sketch partials (r7): events aggregate ONCE\n"
+        "into 30 daily HLL sketches; each trailing-7-day answer is a union\n"
+        "over <=7 sketch rows joined on the broadcast day-spine. The raw\n"
+        "range join feeding exact_users_7d is the self-attestation\n"
+        "VERIFIER, not the scale path - at 100 TB only the sketch side\n"
+        "runs, and the spine join stays broadcast (days, not events)."
+    ),
     "rag_retrieve": (
         "End-to-end RAG retrieval (r7): chunking and embedding are one\n"
         "map-only span (Generate + the Arrow embed UDF — the corpus never\n"

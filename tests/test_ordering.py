@@ -82,3 +82,50 @@ def test_no_global_sort_in_assignment(spark, docs):
     out = ordering.epoch_order(docs, "doc_id", epoch=1, n_shards=N_SHARDS)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_dense_ids_gap_free(spark, docs):
+    out = ordering.dense_ids(docs, "doc_id")
+    n = docs.count()
+    stats = out.agg(
+        F.min("dense_id").alias("lo"),
+        F.max("dense_id").alias("hi"),
+        F.countDistinct("dense_id").alias("nd"),
+        F.count("*").alias("nr"),
+    ).first()
+    assert (stats.lo, stats.hi, stats.nd, stats.nr) == (0, n - 1, n, n)
+
+
+def test_dense_ids_match_global_sort_reference(spark, docs):
+    out = {r.doc_id: r.dense_id for r in ordering.dense_ids(docs, "doc_id").collect()}
+    ref_rows = (
+        docs.select(
+            "doc_id",
+            F.md5(F.concat(F.lit("ids:0#"), F.col("doc_id").cast("string"))).alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .collect()
+    )
+    ref = {r.doc_id: i for i, r in enumerate(ref_rows)}
+    assert out == ref
+
+
+def test_dense_ids_repartition_invariant(spark, docs):
+    a = {r.doc_id: r.dense_id for r in ordering.dense_ids(docs, "doc_id").collect()}
+    b = {
+        r.doc_id: r.dense_id
+        for r in ordering.dense_ids(docs.repartition(11), "doc_id").collect()
+    }
+    assert a == b
+
+
+def test_dense_ids_no_corpus_global_sort(spark, docs):
+    # only the 64-row census may pass through a single partition; the corpus
+    # itself must never range-partition (= global sort)
+    plan = (
+        ordering.dense_ids(docs, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" not in plan.lower()

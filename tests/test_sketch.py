@@ -60,3 +60,41 @@ def test_exact_heavy_hitters_plan_is_partial_agg_topk(spark):
     )
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_hll_union_of_partials_equals_global_sketch(spark):
+    """The mergeable-sketch contract behind plans.relational.hll_partial_union:
+    unioning per-group HLL sketches (same lgK) estimates exactly what one
+    global sketch over all rows estimates — merging loses nothing, so
+    sketch partials can be persisted per partition/day and the raw table
+    never re-scanned."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    merged = (
+        ev.groupBy("event_type")
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias("est"))
+        .first()[0]
+    )
+    direct = ev.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")
+    ).first()[0]
+    assert merged == direct
+
+
+def test_hll_union_partitioning_invariant(spark):
+    """Same union estimate no matter how the rows are partitioned."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    def est(df):
+        return (
+            df.groupBy(F.col("user_id") % 7)
+            .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+            .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk, true))"))
+            .first()[0]
+        )
+
+    assert est(ev) == est(ev.repartition(17))
