@@ -1257,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_partial_union": relational.hll_partial_union,
         "dense_doc_ids": pipeline.dense_doc_ids,
         "sliding_distinct_users": relational.sliding_distinct_users,
+        "copurchase_triangles": relational.copurchase_triangles,
         # --- (3) code paths changed in r7 (batch ANN serving, topk_per_group, literal-array build, canonicalize signature)
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2077,6 +2078,33 @@ SELECT count(DISTINCT event_type)::BIGINT AS n_types,
 FROM events
 """
 
+# relational.copurchase_triangles / operators.graph.triangle_count: the
+# oracle replays the degree-ordered orientation verbatim — per-node triangle
+# counts are unique regardless of execution order, so the compare is exact.
+_TRIANGLES_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            WHERE l_shipdate >= DATE '1995-01-01'
+              AND l_shipdate <  DATE '1995-04-01'),
+e AS (SELECT DISTINCT x.p AS a, y.p AS b
+      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+deg AS (SELECT a AS n, count(*) AS deg FROM sym GROUP BY a),
+ori AS (SELECT s.a, s.b FROM sym s
+        JOIN deg x ON s.a = x.n JOIN deg y ON s.b = y.n
+        WHERE x.deg < y.deg OR (x.deg = y.deg AND s.a < s.b)),
+wed AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        FROM ori e1 JOIN ori e2 ON e1.a = e2.a AND e1.b < e2.b),
+clo AS (SELECT DISTINCT least(a, b) AS v, greatest(a, b) AS w FROM ori),
+tri AS (SELECT u, v, w FROM wed JOIN clo USING (v, w)),
+mem AS (SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri)
+SELECT d.n AS node, coalesce(m.c, 0)::BIGINT AS n_triangles
+FROM deg d LEFT JOIN (SELECT node, count(*) AS c FROM mem GROUP BY node) m
+  ON d.n = m.node
+ORDER BY node
+"""
+
 # relational.sliding_distinct_users: exact trailing-7-day distincts are
 # value-checked; the oracle states every window's sketch-union estimate
 # lands within 5% as a literal, so a partial/merge regression hash-fails.
@@ -2680,6 +2708,7 @@ def oracle_sql() -> dict[str, str]:
         "order_price_ranks": _PRICE_RANKS_ORACLE,
         "hll_partial_union": _HLL_UNION_ORACLE,
         "sliding_distinct_users": _SLIDING_DISTINCT_ORACLE,
+        "copurchase_triangles": _TRIANGLES_ORACLE,
         "segment_conditional_stats": _SEGMENT_COND_ORACLE,
         "events_dow_hour": _DOW_HOUR_ORACLE,
         "segment_nation_arrays": _SEGMENT_NATIONS_ORACLE,

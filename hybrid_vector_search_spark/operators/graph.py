@@ -244,3 +244,63 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation (the
+    node-iterator++ / MapReduce design of Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW 2011).
+
+    Every undirected edge is oriented from its lower-total-order endpoint
+    to the higher, where the total order is (degree, node id) — so wedges
+    are only enumerated AT their lowest-degree vertex. That caps the
+    per-node wedge work at O(d_min²) and is precisely what tames power-law
+    skew at 100 TB: a celebrity node of degree 10⁷ never enumerates its own
+    wedge set, because almost all of its edges orient TOWARD it. The plan
+    is two self-joins of the oriented edge list (wedge build + closing-edge
+    semi-join) plus one aggregate — all equi-joins on node keys, no
+    quadratic blowup beyond the wedge set itself.
+
+    Returns (node, n_triangles) for every node of the symmetrized simple
+    graph (self-loops dropped, multi-edges collapsed), counting each
+    triangle once per member node.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col(src) != F.col(dst)
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg")).withColumnRenamed("a", "n")
+    # orient by (degree, id): u -> v iff (deg(u), u) < (deg(v), v)
+    du = deg.select(F.col("n").alias("a"), F.col("deg").alias("da"))
+    dv = deg.select(F.col("n").alias("b"), F.col("deg").alias("db"))
+    oriented = (
+        sym.join(du, "a")
+        .join(dv, "b")
+        .where(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+    )
+    # wedges centered at the (low-order) vertex u: u->v, u->w with v < w
+    e1 = oriented.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    e2 = oriented.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    wedges = e1.join(e2, "u").where(F.col("v") < F.col("w"))
+    closing = oriented.select(
+        F.least("a", "b").alias("v"), F.greatest("a", "b").alias("w")
+    ).distinct()
+    tris = wedges.join(closing, ["v", "w"])
+    per_node = (
+        tris.select(F.col("u").alias("node"))
+        .union(tris.select(F.col("v").alias("node")))
+        .union(tris.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return deg.select(F.col("n").alias("node")).join(per_node, "node", "left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )

@@ -230,6 +230,14 @@ PICKS = {
         "VERIFIER, not the scale path - at 100 TB only the sketch side\n"
         "runs, and the spine join stays broadcast (days, not events)."
     ),
+    "copurchase_triangles": (
+        "Triangle counting (r7): the ship-date quarter filter must reach\n"
+        "the lineitem scan (PushedFilters); wedge build and closing-edge\n"
+        "check are equi-joins on part keys with the degree relation\n"
+        "broadcast by AQE - the degree-ordered orientation caps per-node\n"
+        "wedge work at O(d_min^2), which is the whole point at power-law\n"
+        "scale."
+    ),
     "rag_retrieve": (
         "End-to-end RAG retrieval (r7): chunking and embedding are one\n"
         "map-only span (Generate + the Arrow embed UDF — the corpus never\n"

@@ -114,3 +114,62 @@ def test_label_propagation_triangles_and_invariance(spark):
     # self-loops are ignored; a graph of only self-loops has no nodes
     loops = spark.createDataFrame([(5, 5)], "src long, dst long")
     assert label_propagation(loops, iterations=2).count() == 0
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 plus a pendant: every K4 vertex sits in C(3,2)=3 triangles, the
+    pendant in none."""
+    from hybrid_vector_search_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "src int, dst int",
+    )
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+
+def test_triangle_count_brute_force_parity(spark):
+    """Degree-ordered counting equals the O(n^3) reference on a seeded
+    random graph, per node."""
+    import itertools
+    import random
+
+    from hybrid_vector_search_spark.operators.graph import triangle_count
+
+    rnd = random.Random(7)
+    nodes = list(range(24))
+    edges = sorted(
+        {(a, b) for a, b in itertools.combinations(nodes, 2) if rnd.random() < 0.25}
+    )
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect = {}
+    for n in nodes:
+        cnt = sum(
+            1
+            for v, w in itertools.combinations(sorted(adj[n]), 2)
+            if w in adj[v]
+        )
+        if adj[n]:
+            expect[n] = cnt
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_count(
+            spark.createDataFrame(edges, "src int, dst int")
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_triangle_count_multi_edge_and_self_loop_safe(spark):
+    from hybrid_vector_search_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (1, 1), (2, 3), (3, 1)],
+        "src int, dst int",
+    )
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
