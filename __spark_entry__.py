@@ -730,6 +730,67 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-day HLL distinct maintenance (streaming/sketch.py
+    stream_daily_distinct) as a driver query: events (ts, user_id) staged
+    as 4 files, streamed availableNow 2 per micro-batch, each batch's daily
+    sketch partials hll_union-folded into the versioned state, daily
+    estimates read off the final state. Self-attesting: exact per-day
+    distincts are oracle value-checked and the in-plan claim pins every
+    day's estimate from the multi-batch incremental fold within 5% (exact
+    at this cardinality — union is associative, so batching is invisible;
+    the algebraic stream≡batch parity is pinned in
+    tests/test_streaming_sketch.py)."""
+    import shutil
+    import tempfile
+
+    from hybrid_vector_search_spark.streaming.sketch import (
+        daily_distinct_from_state,
+        stream_daily_distinct,
+    )
+
+    src = _STREAM_SRC_CACHE.get(("daily", sf_dir))
+    if src is None:
+        safe = sf_dir.strip("/").replace("/", "_")
+        src = f"{_session_tmpdir()}/stream_daily/{safe}"
+        ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[("daily", sf_dir)] = src
+    workdir = tempfile.mkdtemp(prefix="stream_daily_", dir=_session_tmpdir())
+    with _stream_shuffle(spark):
+        q = stream_daily_distinct(
+            spark, src, "ts", "user_id",
+            state_dir=f"{workdir}/state", checkpoint_path=f"{workdir}/ckpt",
+            max_files_per_trigger=2, commit_mode="manifest",
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
+    est = daily_distinct_from_state(
+        spark, f"{workdir}/state", commit_mode="manifest"
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        est.join(exact, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "exact_users",
+            (
+                F.abs(F.col("users_est") - F.col("exact_users"))
+                <= F.lit(0.05) * F.col("exact_users")
+            ).alias("hll_within_5pct"),
+        )
+        .orderBy("day")
+    )
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming sessionization (streaming/events.py
     applyInPandasWithState, event-time timeout) as a driver query: the
@@ -1258,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_doc_ids": pipeline.dense_doc_ids,
         "sliding_distinct_users": relational.sliding_distinct_users,
         "copurchase_triangles": relational.copurchase_triangles,
+        "stream_daily_distinct": q_stream_daily_distinct,
         # --- (3) code paths changed in r7 (batch ANN serving, topk_per_group, literal-array build, canonicalize signature)
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2105,6 +2167,18 @@ FROM deg d LEFT JOIN (SELECT node, count(*) AS c FROM mem GROUP BY node) m
 ORDER BY node
 """
 
+# q_stream_daily_distinct: exact per-day distincts value-checked; the
+# oracle states the maintained-state estimate lands within 5% per day as a
+# literal, so a fold/merge regression in the streaming path hash-fails.
+_STREAM_DAILY_DISTINCT_ORACLE = """
+SELECT strftime(ts::DATE, '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_5pct
+FROM events
+GROUP BY ts::DATE
+ORDER BY day
+"""
+
 # relational.sliding_distinct_users: exact trailing-7-day distincts are
 # value-checked; the oracle states every window's sketch-union estimate
 # lands within 5% as a literal, so a partial/merge regression hash-fails.
@@ -2709,6 +2783,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_partial_union": _HLL_UNION_ORACLE,
         "sliding_distinct_users": _SLIDING_DISTINCT_ORACLE,
         "copurchase_triangles": _TRIANGLES_ORACLE,
+        "stream_daily_distinct": _STREAM_DAILY_DISTINCT_ORACLE,
         "segment_conditional_stats": _SEGMENT_COND_ORACLE,
         "events_dow_hour": _DOW_HOUR_ORACLE,
         "segment_nation_arrays": _SEGMENT_NATIONS_ORACLE,

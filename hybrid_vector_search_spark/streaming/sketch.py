@@ -100,6 +100,178 @@ def _resolve_current(state_dir: str, commit_mode: str) -> str:
     return os.path.join(state_dir, ptr["version"])
 
 
+def _epoch_skip(current: str, ckpt_id: str, epoch_id: int, state_dir: str) -> bool:
+    """Shared at-least-once guard (see fold_batch comment in
+    :func:`stream_heavy_hitters`): True ⇒ this epoch already folded under
+    this checkpoint; a state dir built by a DIFFERENT checkpoint fails
+    loudly (epoch ids are not comparable across checkpoints)."""
+    epoch_file = os.path.join(current, "_epoch")
+    if not os.path.exists(epoch_file):
+        return False
+    with open(epoch_file) as fh:
+        stored = json.loads(fh.read() or "{}")
+    if stored.get("checkpoint") != ckpt_id:
+        raise RuntimeError(
+            f"state dir {state_dir!r} was built by checkpoint "
+            f"{stored.get('checkpoint')!r} but this stream runs under "
+            f"{ckpt_id!r}; epoch ids are not comparable across checkpoints, "
+            "so folding would silently drop or double-count batches. Use "
+            "the original checkpoint, or start from a fresh state_dir."
+        )
+    return int(stored.get("epoch", -1)) >= epoch_id
+
+
+def _commit_version(
+    state_dir: str,
+    commit_mode: str,
+    meta: dict,
+    write_fn,
+) -> None:
+    """Shared commit tail: ``write_fn(target_dir)`` materializes the next
+    state version's contents, then the version commits by the mode's
+    atomic primitive — ONE directory rename (POSIX/HDFS) or ONE pointer
+    rewrite (object-store-safe manifest; see module docstring)."""
+    if commit_mode == "rename":
+        current = os.path.join(state_dir, CURRENT)
+        staging = os.path.join(state_dir, f"{CURRENT}._staging")
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        write_fn(staging)
+        with open(os.path.join(staging, "_epoch"), "w") as fh:
+            json.dump(meta, fh)
+        old = os.path.join(state_dir, f"{CURRENT}._old")
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(current):
+            os.replace(current, old)
+        os.replace(staging, current)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    elif commit_mode == "manifest":
+        version = f"v{meta['epoch']:012d}"
+        vdir = os.path.join(state_dir, version)
+        write_fn(vdir)
+        with open(os.path.join(vdir, "_epoch"), "w") as fh:
+            json.dump(meta, fh)
+        prev = _read_pointer(state_dir)
+        tmp = os.path.join(state_dir, POINTER + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, **meta}, fh)
+        os.replace(tmp, os.path.join(state_dir, POINTER))
+        keep = {version, prev["version"] if prev else None}
+        for name in os.listdir(state_dir):
+            if name.startswith("v") and name not in keep:
+                shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+    else:
+        raise ValueError(f"unknown commit_mode {commit_mode!r}")
+
+
+SKETCHES = "sketches"
+
+
+def stream_daily_distinct(
+    spark: SparkSession,
+    source_dir: str,
+    ts_col: str,
+    key_col: str,
+    state_dir: str,
+    checkpoint_path: str,
+    *,
+    lg_k: int = 14,
+    max_files_per_trigger: int | None = None,
+    commit_mode: str = "rename",
+):
+    """Maintain per-day Datasketches-HLL distinct-key partials over a file
+    stream (availableNow); returns the query.
+
+    The batch twin is plans.relational.sliding_distinct_users's daily
+    partial relation: because HLL union is associative and commutative,
+    per-micro-batch day sketches fold into the persisted per-day state by
+    the same ``hll_union_agg`` that merges them at query time — stream ≡
+    batch algebraically, pinned in tests/test_streaming_sketch.py. State is
+    O(days · 2^lg_k) bytes no matter the stream rate or key cardinality;
+    the key column never leaves its micro-batch. Late events for an old day
+    fold into that day's sketch exactly like on-time ones (union is
+    order-free), so no watermark is needed for correctness — only for
+    bounding how many day rows stay hot.
+
+    Same at-least-once epoch guard and rename/manifest commit contract as
+    :func:`stream_heavy_hitters` (shared helpers)."""
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    ckpt_id = os.path.abspath(checkpoint_path)
+
+    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        current = _resolve_current(state_dir, commit_mode)
+        if _epoch_skip(current, ckpt_id, epoch_id, state_dir):
+            return
+        sess = batch_df.sparkSession
+        partial = batch_df.groupBy(F.to_date(ts_col).alias("day")).agg(
+            F.expr(f"hll_sketch_agg({key_col}, {lg_k})").alias("sk")
+        )
+        state_path = os.path.join(current, SKETCHES)
+        if os.path.exists(state_path):
+            partial = partial.unionByName(sess.read.parquet(state_path))
+        merged = (
+            partial.groupBy("day")
+            .agg(F.expr("hll_union_agg(sk, true)").alias("sk"))
+            .localCheckpoint(eager=True)
+        )
+        meta = {"epoch": epoch_id, "checkpoint": ckpt_id}
+
+        def write(target: str) -> None:
+            merged.write.mode("overwrite").parquet(os.path.join(target, SKETCHES))
+
+        _commit_version(state_dir, commit_mode, meta, write)
+
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def daily_distinct_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    window_days: int = 1,
+    commit_mode: str = "rename",
+) -> DataFrame:
+    """(day, users_est) from the maintained per-day sketches; with
+    ``window_days`` > 1, each day estimates the distinct count over its
+    trailing window by unioning ≤window_days sketch rows — the streaming
+    serve of sliding_distinct_users, touching only the tiny state."""
+    current = _resolve_current(state_dir, commit_mode)
+    daily = spark.read.parquet(os.path.join(current, SKETCHES))
+    if window_days == 1:
+        out = daily.select(
+            "day", F.expr("hll_sketch_estimate(sk)").alias("users_est")
+        )
+    else:
+        spine = daily.select(F.col("day").alias("d"))
+        out = (
+            daily.join(
+                F.broadcast(spine),
+                (F.col("day") <= F.col("d"))
+                & (F.col("day") >= F.date_sub(F.col("d"), window_days - 1)),
+            )
+            .groupBy("d")
+            .agg(
+                F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias(
+                    "users_est"
+                )
+            )
+            .select(F.col("d").alias("day"), "users_est")
+        )
+    return out.orderBy("day").localCheckpoint(eager=True)
+
+
 def stream_heavy_hitters(
     spark: SparkSession,
     source_dir: str,
@@ -134,32 +306,14 @@ def stream_heavy_hitters(
 
     def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
         current = _resolve_current(state_dir, commit_mode)
-        epoch_file = os.path.join(current, "_epoch")
         # at-least-once guard: a replayed epoch (crash between the state swap
         # below and Spark's checkpoint commit) must not fold twice. The epoch
         # lives INSIDE the versioned state dir and the whole version swaps as
         # ONE rename, so a crash at any point leaves either the pre-fold
         # state (epoch absent/old → replay refolds cleanly) or the post-fold
         # state (epoch current → replay is skipped) — never a half-fold.
-        # The guard is keyed on (checkpoint identity, epoch): epoch ids are
-        # only monotonic WITHIN one checkpoint, so a fresh checkpoint pointed
-        # at existing state would restart at epoch 0 and silently skip every
-        # batch until the counter caught up — that mismatch fails loudly
-        # instead.
-        if os.path.exists(epoch_file):
-            with open(epoch_file) as fh:
-                stored = json.loads(fh.read() or "{}")
-            if stored.get("checkpoint") != ckpt_id:
-                raise RuntimeError(
-                    f"state dir {state_dir!r} was built by checkpoint "
-                    f"{stored.get('checkpoint')!r} but this stream runs under "
-                    f"{ckpt_id!r}; epoch ids are not comparable across "
-                    "checkpoints, so folding would silently drop or double-"
-                    "count batches. Use the original checkpoint, or start "
-                    "from a fresh state_dir."
-                )
-            if int(stored.get("epoch", -1)) >= epoch_id:
-                return
+        if _epoch_skip(current, ckpt_id, epoch_id, state_dir):
+            return
         sess = batch_df.sparkSession
         mixed = sketch_partials(
             batch_df, value_col, depth=depth, width=width, k=k,
@@ -189,48 +343,12 @@ def stream_heavy_hitters(
                 .select(F.col("value").alias("v"))
             )
         meta = {"epoch": epoch_id, "checkpoint": ckpt_id}
-        if commit_mode == "rename":
-            # build the next version in staging, then ONE atomic rename
-            staging = os.path.join(state_dir, f"{CURRENT}._staging")
-            if os.path.exists(staging):
-                shutil.rmtree(staging)
-            cells.write.mode("overwrite").parquet(os.path.join(staging, CELLS))
-            cands.write.mode("overwrite").parquet(os.path.join(staging, CANDS))
-            with open(os.path.join(staging, "_epoch"), "w") as fh:
-                json.dump(meta, fh)
-            old = os.path.join(state_dir, f"{CURRENT}._old")
-            if os.path.exists(old):
-                shutil.rmtree(old)
-            if os.path.exists(current):
-                os.replace(current, old)
-            os.replace(staging, current)
-            if os.path.exists(old):
-                shutil.rmtree(old)
-        else:
-            # manifest-pointer commit (object-store safe): write a NEW
-            # immutable version dir under its final name — no directory
-            # rename anywhere — then commit by atomically rewriting the one
-            # small pointer file (os.replace locally ≙ a single PUT on an
-            # object store). A crash before the pointer write leaves the
-            # pointer on the old version and a partial v-dir that THIS
-            # epoch's replay overwrites.
-            version = f"v{epoch_id:012d}"
-            vdir = os.path.join(state_dir, version)
-            cells.write.mode("overwrite").parquet(os.path.join(vdir, CELLS))
-            cands.write.mode("overwrite").parquet(os.path.join(vdir, CANDS))
-            with open(os.path.join(vdir, "_epoch"), "w") as fh:
-                json.dump(meta, fh)
-            prev = _read_pointer(state_dir)
-            tmp = os.path.join(state_dir, POINTER + ".tmp")
-            with open(tmp, "w") as fh:
-                json.dump({"version": version, **meta}, fh)
-            os.replace(tmp, os.path.join(state_dir, POINTER))
-            # GC: keep the new version and its immediate predecessor (an
-            # in-flight reader may have resolved it); drop anything older
-            keep = {version, prev["version"] if prev else None}
-            for name in os.listdir(state_dir):
-                if name.startswith("v") and name not in keep:
-                    shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+
+        def write(target: str) -> None:
+            cells.write.mode("overwrite").parquet(os.path.join(target, CELLS))
+            cands.write.mode("overwrite").parquet(os.path.join(target, CANDS))
+
+        _commit_version(state_dir, commit_mode, meta, write)
         mixed.unpersist()
 
     return (

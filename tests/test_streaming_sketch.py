@@ -199,3 +199,121 @@ def test_manifest_crash_before_pointer_write_is_safe(spark, tmp_path):
     want = _topk(count_min_heavy_hitters(spark.read.parquet(src), "user_id", 20))
     assert got == want
     assert not os.path.exists(garbage)
+
+
+def _daily(df):
+    return [(str(r.day), r.users_est) for r in df.collect()]
+
+
+def test_stream_daily_distinct_matches_batch(spark, tmp_path):
+    """Two-batch incremental fold reproduces the one-shot batch daily
+    sketches exactly (HLL union is associative+commutative)."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.streaming.sketch import (
+        daily_distinct_from_state,
+        stream_daily_distinct,
+    )
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    src = str(tmp_path / "src")
+    events.where("event_id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(src)
+    events.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    q = stream_daily_distinct(
+        spark, src, "ts", "user_id", state, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    got = _daily(daily_distinct_from_state(spark, state))
+    want = [
+        (str(r.day), r.users_est)
+        for r in spark.read.parquet(src)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("users_est"))
+        .orderBy("day")
+        .collect()
+    ]
+    assert got == want
+    assert len(got) > 1
+
+
+def test_stream_daily_distinct_late_events_fold_into_old_days(spark, tmp_path):
+    """A second run delivering ONLY old-day (late) events updates those
+    days' sketches — union is order-free, no watermark drop."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.streaming.sketch import (
+        daily_distinct_from_state,
+        stream_daily_distinct,
+    )
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    first_day = events.select(F.min(F.to_date("ts"))).first()[0]
+    on_time = events.where(F.to_date("ts") > F.lit(first_day))
+    late = events.where(F.to_date("ts") == F.lit(first_day))
+
+    src = str(tmp_path / "src")
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    on_time.coalesce(1).write.mode("overwrite").parquet(src)
+    q = stream_daily_distinct(spark, src, "ts", "user_id", state, ckpt)
+    q.awaitTermination(120)
+    assert str(first_day) not in dict(_daily(daily_distinct_from_state(spark, state)))
+
+    late.coalesce(1).write.mode("append").parquet(src)
+    q = stream_daily_distinct(spark, src, "ts", "user_id", state, ckpt)
+    q.awaitTermination(120)
+
+    got = dict(_daily(daily_distinct_from_state(spark, state)))
+    want = {
+        str(r.day): r.users_est
+        for r in events.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("users_est"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_daily_distinct_windowed_serve_manifest_mode(spark, tmp_path):
+    """Manifest commit mode + trailing-window serve: estimates from the
+    maintained state equal the batch window answer."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.streaming.sketch import (
+        daily_distinct_from_state,
+        stream_daily_distinct,
+    )
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    src = str(tmp_path / "src")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    q = stream_daily_distinct(
+        spark, src, "ts", "user_id", state, ckpt, commit_mode="manifest"
+    )
+    q.awaitTermination(120)
+
+    got = dict(
+        _daily(
+            daily_distinct_from_state(
+                spark, state, window_days=7, commit_mode="manifest"
+            )
+        )
+    )
+    daily = events.groupBy(F.to_date("ts").alias("pday")).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    spine = daily.select(F.col("pday").alias("d")).distinct()
+    want = {
+        str(r.d): r.est
+        for r in daily.join(
+            F.broadcast(spine),
+            (F.col("pday") <= F.col("d"))
+            & (F.col("pday") >= F.date_sub(F.col("d"), 6)),
+        )
+        .groupBy("d")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias("est"))
+        .collect()
+    }
+    assert got == want
