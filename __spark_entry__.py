@@ -1320,6 +1320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_distinct_users": relational.sliding_distinct_users,
         "copurchase_triangles": relational.copurchase_triangles,
         "stream_daily_distinct": q_stream_daily_distinct,
+        "dedup_edit_distance": pipeline.dedup_edit_distance,
+        "nation_revenue_trend": relational.nation_revenue_trend,
         # --- (3) code paths changed in r7 (batch ANN serving, topk_per_group, literal-array build, canonicalize signature)
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2167,6 +2169,35 @@ FROM deg d LEFT JOIN (SELECT node, count(*) AS c FROM mem GROUP BY node) m
 ORDER BY node
 """
 
+# relational.nation_revenue_trend: slope/intercept from decimal-exact
+# sufficient statistics, evaluated in double only at the end with the same
+# expression both engines — bit-stable (regr_slope itself would not be).
+_NATION_TREND_ORACLE = """
+WITH daily AS (
+  SELECT n_name,
+         datediff('day', DATE '1992-01-01', o_orderdate) AS x,
+         sum(o_totalprice::DECIMAL(18,2)) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, o_orderdate
+),
+s AS (
+  SELECT n_name, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+         sum(y) AS sy, sum(x::DECIMAL(10,0) * y) AS sxy
+  FROM daily GROUP BY n_name
+)
+SELECT n_name, n,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
+       round((sy::DOUBLE
+              - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+                * sx::DOUBLE)
+             / n::DOUBLE, 6) AS intercept
+FROM s ORDER BY n_name
+"""
+
 # q_stream_daily_distinct: exact per-day distincts value-checked; the
 # oracle states the maintained-state estimate lands within 5% per day as a
 # literal, so a fold/merge regression in the streaming path hash-fails.
@@ -2784,6 +2815,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_distinct_users": _SLIDING_DISTINCT_ORACLE,
         "copurchase_triangles": _TRIANGLES_ORACLE,
         "stream_daily_distinct": _STREAM_DAILY_DISTINCT_ORACLE,
+        "nation_revenue_trend": _NATION_TREND_ORACLE,
         "segment_conditional_stats": _SEGMENT_COND_ORACLE,
         "events_dow_hour": _DOW_HOUR_ORACLE,
         "segment_nation_arrays": _SEGMENT_NATIONS_ORACLE,

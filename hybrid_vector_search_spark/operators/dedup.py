@@ -1201,3 +1201,52 @@ def simhash_pairs(
     return cand.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def edit_distance_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_edits: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Bounded-edit-distance near-dups: the LSH recall phase of
+    :func:`minhash_near_dups` with an exact Levenshtein precision phase —
+    the sixth similarity tier (exact / Jaccard / MinHash / SimHash /
+    embedding / EDIT DISTANCE), the right one when "duplicate" means
+    character-level revisions (typo fixes, boilerplate tweaks) rather than
+    token-set overlap.
+
+    The quadratic hole is the verify kernel, not the pair count: plain
+    Levenshtein is O(len_a·len_b) PER PAIR, ruinous on book-length
+    documents. Spark's thresholded ``levenshtein(a, b, t)`` runs the
+    banded DP that early-exits past ``t`` edits — O(max_edits·len), and
+    returns -1 above the bound, so the engine never pays for distances it
+    will discard. Candidates come pre-bounded by the LSH phase
+    (band-bucketed, ``max_bucket_size``-guarded), and only candidate rows
+    ever re-join the text column — the corpus text never self-joins.
+
+    Returns (id_a, id_b, edits) with edits ≤ max_edits, id_a < id_b.
+    """
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes=bands * rows_per_band, shingle_n=shingle_n
+    )
+    cands = lsh_candidates(
+        sigs, bands=bands, rows_per_band=rows_per_band, max_bucket_size=max_bucket_size
+    )
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb", max_edits).alias("edits"),
+        )
+        .where(F.col("edits") >= 0)
+    )

@@ -372,6 +372,22 @@ WHERE jaccard >= 0.7
   AND EXISTS (SELECT 1 FROM cands c WHERE c.id_a = jac.id_a AND c.id_b = jac.id_b)
 """
 
+# dedup.edit_distance_near_dups: same candidate CTEs as the minhash oracle,
+# precision phase replayed with DuckDB's exact levenshtein (Spark's
+# thresholded variant returns the identical distance when within bound).
+DEDUP_EDIT_DISTANCE = f"""
+WITH {TOKL},
+{SHINGLES3},
+{_minhash_ctes(bands=4, rows_per_band=2)}
+SELECT c.id_a AS doc_a, c.id_b AS doc_b,
+       levenshtein(ta.text, tb.text)::INT AS edits
+FROM cands c
+JOIN documents ta ON ta.doc_id = c.id_a
+JOIN documents tb ON tb.doc_id = c.id_b
+WHERE levenshtein(ta.text, tb.text) <= 16
+ORDER BY doc_a, doc_b
+"""
+
 NGRAM_JACCARD = f"""
 WITH {TOKL},
 {SHINGLES3},
@@ -1786,6 +1802,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_components_star": DEDUP_COMPONENTS,
     "dedup_exact": DEDUP_EXACT,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH,
+    "dedup_edit_distance": DEDUP_EDIT_DISTANCE,
     "ngram_jaccard_pairs": NGRAM_JACCARD,
     "dedup_components": DEDUP_COMPONENTS,
     "decontaminate": DECONTAMINATE,

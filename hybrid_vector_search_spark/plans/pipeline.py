@@ -796,6 +796,19 @@ def epoch_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordering.shard_manifest(ordered, len_col="n_chars")
 
 
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-revision near-dups (dedup.edit_distance_near_dups): LSH
+    recall + banded-Levenshtein precision, edits ≤ 16. The oracle replays
+    the minhash banding AND the edit distance — both engines agree
+    pair-for-pair, edit-count-for-edit-count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.edit_distance_near_dups(docs, "doc_id", "text", max_edits=16)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "edits")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def dense_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-free global ids 0..n-1 (operators.ordering.dense_ids) without a
     single-partition window over the corpus: per-shard bounded rank + a

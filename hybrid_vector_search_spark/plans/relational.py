@@ -871,6 +871,52 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges).orderBy("node")
 
 
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS trend (slope + intercept) of daily order revenue over
+    the order-date axis, from DECIMAL-EXACT sufficient statistics.
+
+    The one-liner is ``regr_slope(y, x)`` (Spark and DuckDB both ship it),
+    but its double-precision running sums accumulate in partition order —
+    run-to-run nondeterministic on a cluster, and never bit-comparable
+    across engines. The scale-correct form aggregates the five sufficient
+    statistics exactly — n, Σx, Σx² (integers: x is a day index), Σy, Σxy
+    (DECIMAL: y is money) — in ONE associative pass, then evaluates
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) in float AT THE END: identical
+    exact inputs + one identical expression ⇒ bit-stable at any
+    partitioning, any engine. Same discipline as every money aggregate in
+    this repo (SCALE.md, Determinism)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "o_orderdate")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("y"))
+        .select(
+            "n_name",
+            F.datediff("o_orderdate", F.lit("1992-01-01")).cast("long").alias("x"),
+            "y",
+        )
+    )
+    stats = daily.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(10,0)") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, sxy = F.col("sy").cast("double"), F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return stats.select(
+        "n_name",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    ).orderBy("n_name")
+
+
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets: revenue over all 2^2 combinations of
     (returnflag, linestatus) with grouping_id distinguishing the subtotal

@@ -238,6 +238,20 @@ PICKS = {
         "wedge work at O(d_min^2), which is the whole point at power-law\n"
         "scale."
     ),
+    "dedup_edit_distance": (
+        "Edit-distance near-dups (r7): the LSH candidate relation (tiny)\n"
+        "joins the text column twice by id - the corpus text never\n"
+        "self-joins; the Levenshtein kernel is the THRESHOLDED variant\n"
+        "(banded DP, early exit past max_edits), so per-pair cost is\n"
+        "O(max_edits*len) not O(len^2)."
+    ),
+    "nation_revenue_trend": (
+        "Per-group OLS (r7): ONE associative aggregate collects the five\n"
+        "decimal-exact sufficient statistics (n, Sx, Sxx, Sy, Sxy); the\n"
+        "slope/intercept doubles are computed per-group at the very end -\n"
+        "bit-stable at any partitioning, unlike built-in regr_slope's\n"
+        "double running sums. Dimension joins broadcast."
+    ),
     "rag_retrieve": (
         "End-to-end RAG retrieval (r7): chunking and embedding are one\n"
         "map-only span (Generate + the Arrow embed UDF — the corpus never\n"
