@@ -1322,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_daily_distinct": q_stream_daily_distinct,
         "dedup_edit_distance": pipeline.dedup_edit_distance,
         "nation_revenue_trend": relational.nation_revenue_trend,
+        "dedup_source_matrix": pipeline.dedup_source_matrix,
         # --- (3) code paths changed in r7 (batch ANN serving, topk_per_group, literal-array build, canonicalize signature)
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,

@@ -388,6 +388,27 @@ WHERE levenshtein(ta.text, tb.text) <= 16
 ORDER BY doc_a, doc_b
 """
 
+DEDUP_SOURCE_MATRIX = f"""
+WITH {TOKL},
+{SHINGLES3},
+{_minhash_ctes(bands=4, rows_per_band=2)},
+{JACCARD},
+verified AS (
+  SELECT jac.id_a, jac.id_b FROM jac
+  WHERE jaccard >= 0.7
+    AND EXISTS (SELECT 1 FROM cands c
+                WHERE c.id_a = jac.id_a AND c.id_b = jac.id_b)
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs
+FROM verified v
+JOIN documents da ON da.doc_id = v.id_a
+JOIN documents db ON db.doc_id = v.id_b
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
 NGRAM_JACCARD = f"""
 WITH {TOKL},
 {SHINGLES3},
@@ -1803,6 +1824,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH,
     "dedup_edit_distance": DEDUP_EDIT_DISTANCE,
+    "dedup_source_matrix": DEDUP_SOURCE_MATRIX,
     "ngram_jaccard_pairs": NGRAM_JACCARD,
     "dedup_components": DEDUP_COMPONENTS,
     "decontaminate": DECONTAMINATE,

@@ -809,6 +809,34 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup attribution: which sources duplicate which —
+    the curation question behind per-source dedup budgets (a crawl that
+    mostly re-serves another source's pages should be down-weighted at
+    mixing time, cf. source_mixture_weights). One broadcast-sized join of
+    the verified near-dup pair list back to the doc→source map, then a
+    (source, source) rollup with the pair normalized so the matrix is
+    upper-triangular — the corpus itself never reshuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(
+        docs, "doc_id", "text", min_jaccard=0.7, bands=4, rows_per_band=2, shingle_n=3
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 def dense_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-free global ids 0..n-1 (operators.ordering.dense_ids) without a
     single-partition window over the corpus: per-shard bounded rank + a
