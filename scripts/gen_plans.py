@@ -238,6 +238,19 @@ PICKS = {
         "wedge work at O(d_min^2), which is the whole point at power-law\n"
         "scale."
     ),
+    "hll_partial_union": (
+        "Mergeable-sketch lifecycle (r7): raw events aggregate ONCE into\n"
+        "per-type HLL partials; the union estimate and the per-type\n"
+        "attestations are expressions over that tiny sketch relation plus\n"
+        "one broadcast crossJoin of the 1-row exact total - the exact\n"
+        "sides are the verifiers, the sketch relation is the 100 TB path."
+    ),
+    "dedup_source_matrix": (
+        "Cross-source dup attribution (r7): the verified near-dup pair\n"
+        "list (bucket-capped LSH + exact jaccard) broadcast-joins the\n"
+        "doc->source map twice by id; the rollup output is at most\n"
+        "|sources|^2 - the corpus never reshuffles for attribution."
+    ),
     "dedup_edit_distance": (
         "Edit-distance near-dups (r7): the LSH candidate relation (tiny)\n"
         "joins the text column twice by id - the corpus text never\n"
