@@ -1323,6 +1323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_distance": pipeline.dedup_edit_distance,
         "nation_revenue_trend": relational.nation_revenue_trend,
         "dedup_source_matrix": pipeline.dedup_source_matrix,
+        "blob_dedup_manifest": pipeline.blob_dedup_manifest,
+        "hll_event_overlap": relational.hll_event_overlap,
         # --- (3) code paths changed in r7 (batch ANN serving, topk_per_group, literal-array build, canonicalize signature)
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2199,6 +2201,24 @@ SELECT n_name, n,
 FROM s ORDER BY n_name
 """
 
+# relational.hll_event_overlap: exact cohort sizes + exact overlap are
+# value-checked; the oracle states the inclusion-exclusion estimate's 5%
+# contract as a literal.
+_HLL_OVERLAP_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click'
+                   AND ts::DATE = DATE '2024-01-05' THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN event_type = 'purchase'
+                   AND ts::DATE = DATE '2024-01-20' THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY user_id
+)
+SELECT sum(a)::BIGINT AS exact_a, sum(b)::BIGINT AS exact_b,
+       sum(a * b)::BIGINT AS exact_overlap,
+       TRUE AS ie_within_5pct
+FROM f
+"""
+
 # q_stream_daily_distinct: exact per-day distincts value-checked; the
 # oracle states the maintained-state estimate lands within 5% per day as a
 # literal, so a fold/merge regression in the streaming path hash-fails.
@@ -2817,6 +2837,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_triangles": _TRIANGLES_ORACLE,
         "stream_daily_distinct": _STREAM_DAILY_DISTINCT_ORACLE,
         "nation_revenue_trend": _NATION_TREND_ORACLE,
+        "hll_event_overlap": _HLL_OVERLAP_ORACLE,
         "segment_conditional_stats": _SEGMENT_COND_ORACLE,
         "events_dow_hour": _DOW_HOUR_ORACLE,
         "segment_nation_arrays": _SEGMENT_NATIONS_ORACLE,

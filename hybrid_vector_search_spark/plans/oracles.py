@@ -361,6 +361,26 @@ SELECT doc_id, content_hash,
 FROM h
 """
 
+# pipeline.blob_dedup_manifest: md5 over the raw utf-8 bytes (DuckDB's
+# md5(VARCHAR) hashes the same bytes Spark's md5(encode(text,'utf-8')) does)
+BLOB_DEDUP_MANIFEST = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+),
+b AS (SELECT doc_id, md5(text) AS digest,
+             octet_length(encode(text)) AS n_bytes FROM u)
+SELECT digest, count(*) AS n_copies,
+       max(n_bytes)::BIGINT AS blob_bytes,
+       ((count(*) - 1) * max(n_bytes))::BIGINT AS saved_bytes,
+       min(doc_id) AS keeper_id
+FROM b
+GROUP BY digest
+HAVING count(*) > 1
+ORDER BY digest
+"""
+
 DEDUP_MINHASH_LSH = f"""
 WITH {TOKL},
 {SHINGLES3},
@@ -1825,6 +1845,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH,
     "dedup_edit_distance": DEDUP_EDIT_DISTANCE,
     "dedup_source_matrix": DEDUP_SOURCE_MATRIX,
+    "blob_dedup_manifest": BLOB_DEDUP_MANIFEST,
     "ngram_jaccard_pairs": NGRAM_JACCARD,
     "dedup_components": DEDUP_COMPONENTS,
     "decontaminate": DECONTAMINATE,

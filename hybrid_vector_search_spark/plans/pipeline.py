@@ -837,6 +837,41 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def blob_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable BLOB dedup (the multimodal twin of dedup_exact):
+    utf-8 document bytes play the media blob (the module's binary
+    convention), every blob keys by its md5 digest, and the manifest lists
+    each duplicated digest with copy count, blob size, the bytes dedup
+    saves ((n−1)·size — at 100 TB media bytes dominate storage, so this IS
+    the storage bill), and the kept copy (min id). One digest groupBy;
+    digests are 16 bytes however large the blobs are, so the shuffle never
+    carries content. Planted duplicates (the dedup_exact corpus) make the
+    manifest non-empty at every SF."""
+    docs = _with_planted_dupes(load_table(spark, sf_dir, "documents"))
+    blobs = docs.select(
+        "doc_id",
+        F.md5(F.encode("text", "utf-8")).alias("digest"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+    return (
+        blobs.groupBy("digest")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.max("n_bytes").alias("blob_bytes"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select(
+            "digest",
+            "n_copies",
+            F.col("blob_bytes").cast("long").alias("blob_bytes"),
+            ((F.col("n_copies") - 1) * F.col("blob_bytes")).cast("long").alias("saved_bytes"),
+            "keeper_id",
+        )
+        .orderBy("digest")
+    )
+
+
 def dense_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-free global ids 0..n-1 (operators.ordering.dense_ids) without a
     single-partition window over the corpus: per-shard bounded rank + a

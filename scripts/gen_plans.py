@@ -251,6 +251,18 @@ PICKS = {
         "doc->source map twice by id; the rollup output is at most\n"
         "|sources|^2 - the corpus never reshuffles for attribution."
     ),
+    "hll_event_overlap": (
+        "Sketch set algebra (r7): ONE events pass builds both cohort\n"
+        "sketches via FILTER-clause aggregates; the union is the scalar\n"
+        "hll_union of the two partials (no re-scan); the exact flag pass\n"
+        "is the verifier. At 100 TB only the sketch store is consulted\n"
+        "for any pairwise overlap."
+    ),
+    "blob_dedup_manifest": (
+        "Blob dedup (r7): the groupBy key is the 16-byte md5 digest -\n"
+        "content never shuffles; map-side partial aggregation collapses\n"
+        "per-partition copies before the exchange."
+    ),
     "dedup_edit_distance": (
         "Edit-distance near-dups (r7): the LSH candidate relation (tiny)\n"
         "joins the text column twice by id - the corpus text never\n"
