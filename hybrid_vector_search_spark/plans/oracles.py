@@ -667,6 +667,21 @@ SELECT doc_id,
 FROM m
 """
 
+# operators.skyline.pareto_frontier: strict dominance (smaller AND larger)
+# — the frontier is a pure function of the value set, stated as NOT EXISTS.
+DOC_QUALITY_SKYLINE = f"""
+WITH q AS ({QUALITY_SCORE}),
+d AS (
+  SELECT q.doc_id, length(doc.text)::BIGINT AS n_chars, q.quality
+  FROM q JOIN documents doc ON doc.doc_id = q.doc_id
+)
+SELECT doc_id, n_chars, quality
+FROM d a
+WHERE NOT EXISTS (SELECT 1 FROM d b
+                  WHERE b.n_chars < a.n_chars AND b.quality > a.quality)
+ORDER BY n_chars, doc_id
+"""
+
 DOC_FINGERPRINTS = f"""
 SELECT doc_id,
        md5({NORM_TEXT}) AS content_hash,
@@ -1846,6 +1861,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_edit_distance": DEDUP_EDIT_DISTANCE,
     "dedup_source_matrix": DEDUP_SOURCE_MATRIX,
     "blob_dedup_manifest": BLOB_DEDUP_MANIFEST,
+    "doc_quality_skyline": DOC_QUALITY_SKYLINE,
     "ngram_jaccard_pairs": NGRAM_JACCARD,
     "dedup_components": DEDUP_COMPONENTS,
     "decontaminate": DECONTAMINATE,

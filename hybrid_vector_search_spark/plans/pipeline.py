@@ -872,6 +872,27 @@ def blob_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_quality_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier over (minimize length, maximize quality): the docs no
+    other doc beats on both axes at once (operators.skyline) — the curation
+    query a single weighted top-k cannot express. Strict dominance makes the
+    answer a pure function of the value set; the oracle states it as NOT
+    EXISTS. Two-phase window: per-bucket frontier first, exact pass over the
+    tiny survivor union — the corpus never single-partition sorts."""
+    from ..operators.skyline import pareto_frontier
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = textstats.quality_score(docs, "doc_id", "text").select("doc_id", "quality")
+    d = docs.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    ).join(q, "doc_id")
+    return (
+        pareto_frontier(d, min_col="n_chars", max_col="quality")
+        .select("doc_id", "n_chars", "quality")
+        .orderBy("n_chars", "doc_id")
+    )
+
+
 def dense_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-free global ids 0..n-1 (operators.ordering.dense_ids) without a
     single-partition window over the corpus: per-shard bounded rank + a

@@ -263,6 +263,13 @@ PICKS = {
         "content never shuffles; map-side partial aggregation collapses\n"
         "per-partition copies before the exchange."
     ),
+    "doc_quality_skyline": (
+        "Pareto frontier (r7): phase 1 is a range-frame window PER HASH\n"
+        "BUCKET (parallel, bounded partitions); only the tiny per-bucket\n"
+        "frontier union reaches the exact single-partition phase-2 window\n"
+        "- skyline(A u B) = skyline(skyline(A) u skyline(B)), dominance\n"
+        "is transitive, so the corpus never globally sorts."
+    ),
     "dedup_edit_distance": (
         "Edit-distance near-dups (r7): the LSH candidate relation (tiny)\n"
         "joins the text column twice by id - the corpus text never\n"
