@@ -1326,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_dedup_manifest": pipeline.blob_dedup_manifest,
         "hll_event_overlap": relational.hll_event_overlap,
         "doc_quality_skyline": pipeline.doc_quality_skyline,
+        "ppr_top_docs": pipeline.ppr_top_docs,
         # --- (3) code paths changed in r7 (batch ANN serving, topk_per_group, literal-array build, canonicalize signature)
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,

@@ -46,11 +46,23 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     shuffle_partitions: int | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` damped power iterations.
 
     ``edges`` is the directed link relation; nodes = src ∪ dst. Returns
     ranks as DECIMAL(38,12)-backed doubles rounded to 12 dp.
+
+    ``seeds`` (a 1-column (node) relation) switches to PERSONALIZED
+    PageRank: the teleport mass (1−d) lands only on the seed set (1/|S|
+    each) instead of uniformly, and the walk starts there — ranks become
+    proximity-to-the-seeds, the "more like these" expansion query (seed
+    domains → related domains in a crawl frontier). Nodes unreachable
+    from the seeds rank exactly 0. The seed relation is dimension-sized
+    by nature and broadcasts into the per-node base term; everything else
+    (decimal accumulation, per-iteration checkpoint, co-partitionable
+    join) is unchanged, so the personalized fixpoint is just as
+    bit-replayable by the chained-CTE oracle.
 
     ``shuffle_partitions`` temporarily scopes
     ``spark.sql.shuffle.partitions`` around the ITERATION LOOP only (each
@@ -67,13 +79,18 @@ def pagerank(
     if shuffle_partitions is not None:
         spark.conf.set(conf_key, str(shuffle_partitions))
     try:
-        return _pagerank_loop(edges, src, dst, iterations, damping)
+        return _pagerank_loop(edges, src, dst, iterations, damping, seeds)
     finally:
         spark.conf.set(conf_key, old_sp)
 
 
 def _pagerank_loop(
-    edges: DataFrame, src: str, dst: str, iterations: int, damping: float
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int,
+    damping: float,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     # loop-invariant relations persist for the whole fixpoint: without this
     # every iteration re-derives edges/nodes/degrees from the source scan —
@@ -86,11 +103,38 @@ def _pagerank_loop(
         .persist()
     )
     n = nodes.count()  # one tiny job; N is a scalar of the algorithm
-    base = round((1.0 - damping) / n, DP)
     out_deg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
-    ranks = nodes.select(
-        "node", F.lit(round(1.0 / n, DP)).cast(_DEC).alias("rank")
-    ).localCheckpoint(eager=True)
+    if seeds is None:
+        base_col = F.lit(round((1.0 - damping) / n, DP)).cast(_DEC)
+        nodes_base = nodes.withColumn("base", base_col)
+        ranks = nodes.select(
+            "node", F.lit(round(1.0 / n, DP)).cast(_DEC).alias("rank")
+        ).localCheckpoint(eager=True)
+    else:
+        seed_flags = seeds.select(
+            F.col(seeds.columns[0]).alias("node"), F.lit(True).alias("_seed")
+        ).distinct()
+        ns = seed_flags.count()
+        flagged = nodes.join(F.broadcast(seed_flags), "node", "left")
+        nodes_base = flagged.select(
+            "node",
+            F.when(
+                F.col("_seed").isNotNull(),
+                F.lit(round((1.0 - damping) / ns, DP)).cast(_DEC),
+            )
+            .otherwise(F.lit(0).cast(_DEC))
+            .alias("base"),
+        )
+        ranks = flagged.select(
+            "node",
+            F.when(
+                F.col("_seed").isNotNull(),
+                F.lit(round(1.0 / ns, DP)).cast(_DEC),
+            )
+            .otherwise(F.lit(0).cast(_DEC))
+            .alias("rank"),
+        ).localCheckpoint(eager=True)
+    nodes_base = nodes_base.localCheckpoint(eager=True)
     e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     d = out_deg.select(F.col(src).alias("d_src"), "outdeg").persist()
     for _ in range(iterations):
@@ -112,11 +156,11 @@ def _pagerank_loop(
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("m"))
         ranks = (
-            nodes.join(summed, "node", "left")
+            nodes_base.join(summed, "node", "left")
             .select(
                 "node",
                 (
-                    F.lit(base).cast(_DEC)
+                    F.col("base")
                     + F.coalesce(F.col("m"), F.lit(0).cast(_DEC))
                 )
                 .cast(_DEC)

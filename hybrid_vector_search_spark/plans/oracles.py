@@ -1572,6 +1572,53 @@ LIMIT 20
 PAGERANK_TOP_DOCS = _pagerank_sql()
 
 
+# operators.pagerank with seeds (pipeline.ppr_top_docs): teleport mass lands
+# only on the doc_id % 10 = 0 seed set; same decimal-exact chain replay.
+def _ppr_sql(iterations: int = 10, damping: float = 0.85, dp: int = 12) -> str:
+    head = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ns AS (SELECT count(*)::BIGINT AS s FROM documents WHERE doc_id % 10 = 0),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 31 + 7) % nn.n AS dst FROM documents, nn
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 17 + 3) % nn.n AS dst FROM documents, nn
+),
+deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+nb AS (SELECT doc_id AS node,
+              CASE WHEN doc_id % 10 = 0
+                   THEN round({1.0 - damping} / ns.s, {dp})::DECIMAL(38,{dp})
+                   ELSE 0::DECIMAL(38,{dp}) END AS base,
+              CASE WHEN doc_id % 10 = 0
+                   THEN round(1.0 / ns.s, {dp})::DECIMAL(38,{dp})
+                   ELSE 0::DECIMAL(38,{dp}) END AS rank
+       FROM documents, ns),
+r0 AS (SELECT node, rank FROM nb)"""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f""",
+r{i} AS (
+  SELECT nb.node,
+         (nb.base + coalesce(s.m, 0::DECIMAL(38,{dp})))::DECIMAL(38,{dp}) AS rank
+  FROM nb
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           sum(round(r.rank::DOUBLE * {damping} / g.outdeg, {dp})::DECIMAL(38,{dp})) AS m
+    FROM edges e JOIN r{i - 1} r ON e.src = r.node JOIN deg g ON e.src = g.src
+    GROUP BY e.dst
+  ) s ON nb.node = s.node
+)""")
+    tail = f"""
+SELECT node, round(rank::DOUBLE, 10) AS rank
+FROM r{iterations}
+ORDER BY rank DESC, node ASC
+LIMIT 20
+"""
+    return head + "".join(its) + tail
+
+
+PPR_TOP_DOCS = _ppr_sql()
+
+
 # operators.graph.label_propagation over the pagerank synthetic link graph
 # (pipeline.lpa_communities): 5 synchronous rounds replayed as chained
 # CTEs — per round, the neighbor-label count, the (cnt DESC, label ASC)
@@ -1862,6 +1909,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_source_matrix": DEDUP_SOURCE_MATRIX,
     "blob_dedup_manifest": BLOB_DEDUP_MANIFEST,
     "doc_quality_skyline": DOC_QUALITY_SKYLINE,
+    "ppr_top_docs": PPR_TOP_DOCS,
     "ngram_jaccard_pairs": NGRAM_JACCARD,
     "dedup_components": DEDUP_COMPONENTS,
     "decontaminate": DECONTAMINATE,

@@ -893,6 +893,36 @@ def doc_quality_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ppr_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank over the same synthetic link graph as
+    pagerank_top_docs, teleporting only to the doc_id % 10 = 0 seed set —
+    ranks become proximity-to-the-seeds (the "expand from these trusted
+    domains" crawl-frontier query). Same decimal-exact accumulation, so the
+    10-iteration personalized fixpoint replays bit-for-bit as chained CTEs;
+    unreachable nodes rank exactly 0 by construction."""
+    from ..operators.pagerank import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    ids = docs.select("doc_id")
+    edges = ids.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % n).alias("dst"),
+    ).unionAll(
+        ids.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 17 + 3) % n).alias("dst"),
+        )
+    )
+    seeds = ids.where(F.col("doc_id") % 10 == 0)
+    pr = pagerank(edges, iterations=10, shuffle_partitions=8, seeds=seeds)
+    return (
+        pr.select("node", F.round("rank", 10).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
+
+
 def dense_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-free global ids 0..n-1 (operators.ordering.dense_ids) without a
     single-partition window over the corpus: per-shard bounded rank + a

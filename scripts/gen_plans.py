@@ -284,6 +284,13 @@ PICKS = {
         "bit-stable at any partitioning, unlike built-in regr_slope's\n"
         "double running sums. Dimension joins broadcast."
     ),
+    "ppr_top_docs": (
+        "Personalized PageRank (r7): identical per-iteration shape to\n"
+        "pagerank_top_docs (edges-by-src join + decimal groupBy, lineage\n"
+        "cut per round); the only addition is the broadcast seed-flag\n"
+        "join baked into the checkpointed per-node base relation - the\n"
+        "teleport vector costs nothing per iteration."
+    ),
     "rag_retrieve": (
         "End-to-end RAG retrieval (r7): chunking and embedding are one\n"
         "map-only span (Generate + the Arrow embed UDF — the corpus never\n"

@@ -197,3 +197,40 @@ def test_bloom_empty_key_set(spark):
     bm = bloom.bloom_build(empty, "k", m_bits=1 << 10, k=3)
     assert bm.count() == 0
     assert bloom.bloom_prefilter(probes, "k", bm, m_bits=1 << 10, k=3).count() == 0
+
+
+def test_r7_operators_handle_empty_and_singleton_inputs(spark):
+    """Epoch order, dense ids, triangles, and skyline on empty / 1-row
+    inputs: no crashes, exact expected shapes."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.operators.graph import triangle_count
+    from hybrid_vector_search_spark.operators.ordering import (
+        dense_ids,
+        epoch_order,
+        shard_manifest,
+    )
+    from hybrid_vector_search_spark.operators.skyline import pareto_frontier
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    one = spark.createDataFrame([(7, "solo")], "doc_id long, text string")
+
+    assert epoch_order(empty, "doc_id").count() == 0
+    eo = epoch_order(one, "doc_id").collect()
+    assert len(eo) == 1 and eo[0].pos == 1
+
+    assert dense_ids(empty, "doc_id").count() == 0
+    di = dense_ids(one, "doc_id").collect()
+    assert len(di) == 1 and di[0].dense_id == 0
+
+    assert shard_manifest(epoch_order(empty, "doc_id")).count() == 0
+
+    no_edges = spark.createDataFrame([], "src long, dst long")
+    assert triangle_count(no_edges).count() == 0
+    self_loop_only = spark.createDataFrame([(1, 1)], "src long, dst long")
+    assert triangle_count(self_loop_only).count() == 0
+
+    pts_empty = spark.createDataFrame([], "id long, x long, y double")
+    assert pareto_frontier(pts_empty, min_col="x", max_col="y").count() == 0
+    pts_one = spark.createDataFrame([(1, 5, 0.5)], "id long, x long, y double")
+    assert pareto_frontier(pts_one, min_col="x", max_col="y").count() == 1

@@ -49,3 +49,29 @@ def test_total_mass_conserved(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
     # a pure cycle is perfectly symmetric: every node has the same rank
     assert len(set(got.values())) == 1
+
+
+def test_personalized_teleports_only_to_seeds(spark):
+    """Seeded PPR: unreachable nodes rank exactly 0; seeds carry the
+    teleport mass; uniform and personalized agree when seeds = all nodes."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.operators.pagerank import pagerank
+
+    # two components: a 3-cycle {0,1,2} and an isolated pair {10 -> 11}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 11), (11, 10)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    pr = {r.node: r.rank for r in pagerank(edges, iterations=8, seeds=seeds).collect()}
+    assert pr[10] == 0.0 and pr[11] == 0.0
+    assert pr[0] > pr[1] > 0 and pr[2] > 0
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+
+    all_nodes = spark.createDataFrame([(i,) for i in (0, 1, 2, 10, 11)], "node long")
+    uni = {r.node: r.rank for r in pagerank(edges, iterations=8).collect()}
+    per = {
+        r.node: r.rank
+        for r in pagerank(edges, iterations=8, seeds=all_nodes).collect()
+    }
+    assert uni == per
