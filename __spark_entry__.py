@@ -1327,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_event_overlap": relational.hll_event_overlap,
         "doc_quality_skyline": pipeline.doc_quality_skyline,
         "ppr_top_docs": pipeline.ppr_top_docs,
+        "approx_topk_users": relational.approx_topk_users,
         # --- (3) code paths changed in r7 (batch ANN serving, topk_per_group, literal-array build, canonicalize signature)
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2203,6 +2204,18 @@ SELECT n_name, n,
 FROM s ORDER BY n_name
 """
 
+# relational.approx_topk_users: exact top-k (count DESC, user ASC)
+# value-checked; the sketch-count-exact contract stated as a literal (the
+# sketch is sized past the distinct count, so its counts are exact and the
+# +200 slack covers boundary ties deterministically).
+_APPROX_TOPK_ORACLE = """
+SELECT user_id, count(*) AS n_events, TRUE AS sketch_count_exact
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC
+LIMIT 10
+"""
+
 # relational.hll_event_overlap: exact cohort sizes + exact overlap are
 # value-checked; the oracle states the inclusion-exclusion estimate's 5%
 # contract as a literal.
@@ -2840,6 +2853,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_daily_distinct": _STREAM_DAILY_DISTINCT_ORACLE,
         "nation_revenue_trend": _NATION_TREND_ORACLE,
         "hll_event_overlap": _HLL_OVERLAP_ORACLE,
+        "approx_topk_users": _APPROX_TOPK_ORACLE,
         "segment_conditional_stats": _SEGMENT_COND_ORACLE,
         "events_dow_hour": _DOW_HOUR_ORACLE,
         "segment_nation_arrays": _SEGMENT_NATIONS_ORACLE,

@@ -969,6 +969,46 @@ def hll_event_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_topk_users(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Datasketches frequent-items (`approx_top_k`) attested against the
+    exact heavy hitters — the third sketch family (count-min: operators/
+    sketch.py; HLL: the distinct suite; frequent-items: here). Sized so the
+    attestation is deterministic: maxItemsTracked ≥ the distinct-user count
+    makes every sketch count EXACT, and the sketch list is requested with
+    +200 slack so boundary TIES (the sketch breaks them arbitrarily; the
+    exact side by (count DESC, user ASC)) cannot evict a tied item. Each
+    exact top-k row then claims: my user appears in the sketch list with
+    exactly my count. At 100 TB the sketch is the only side that runs —
+    fixed-size, mergeable, one pass — and the exact side is the verifier,
+    as everywhere in this suite."""
+    events = load_table(spark, sf_dir, "events")
+    exact = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(k)
+    )
+    sketch = events.agg(
+        F.expr(f"approx_top_k(user_id, {k} + 200, 100000)").alias("tk")
+    ).select(
+        F.map_from_arrays(
+            F.expr("transform(tk, x -> x.item)"),
+            F.expr("transform(tk, x -> x.count)"),
+        ).alias("_m")
+    )
+    return (
+        exact.crossJoin(F.broadcast(sketch))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("_m")[F.col("user_id")] == F.col("n_events")).alias(
+                "sketch_count_exact"
+            ),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+    )
+
+
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets: revenue over all 2^2 combinations of
     (returnflag, linestatus) with grouping_id distinguishing the subtotal

@@ -251,6 +251,12 @@ PICKS = {
         "doc->source map twice by id; the rollup output is at most\n"
         "|sources|^2 - the corpus never reshuffles for attribution."
     ),
+    "approx_topk_users": (
+        "Frequent-items sketch (r7): ONE pass builds the fixed-size\n"
+        "approx_top_k state (map-side partial merge); the exact groupBy\n"
+        "top-k is the verifier side and plans as TakeOrderedAndProject;\n"
+        "the sketch map broadcasts as a 1-row relation."
+    ),
     "hll_event_overlap": (
         "Sketch set algebra (r7): ONE events pass builds both cohort\n"
         "sketches via FILTER-clause aggregates; the union is the scalar\n"
