@@ -1250,3 +1250,88 @@ def edit_distance_near_dups(
         )
         .where(F.col("edits") >= 0)
     )
+
+
+def jaccard_pairs_prefix(
+    shingle_tbl: DataFrame,
+    *,
+    min_jaccard: float,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """:func:`jaccard_pairs` with PREFIX FILTERING (Chaudhuri et al.,
+    SSJoin; Bayardo et al., "Scaling Up All Pairs Similarity Search") —
+    identical output, provably, with a far smaller inverted-index join.
+
+    Under a global token order, two sets with Jaccard ≥ t MUST share a
+    token inside each other's first ``|r| − ⌈t·|r|⌉ + 1`` tokens (if all
+    common tokens hid in r's last ⌈t·|r|⌉ − 1 positions, the intersection
+    would be < t·|r| ≤ t·max ≤ I — contradiction). So only PREFIX tokens
+    are indexed, and ordering the tokens rare-first makes those prefixes
+    the set's LOWEST-frequency tokens — the inverted-index fan-out
+    collapses to the smallest buckets, which is exactly where the plain
+    self-join spends its shuffle. Candidates are then verified with the
+    same exact intersection arithmetic, anchored to the candidate pair
+    list instead of the full index — shuffles ∝ candidates, never all
+    shared-token pairs.
+
+    At t = 0.7 the prefix is ~30% of each set, drawn entirely from rare
+    tokens; the stopword-ish high-df shingles that ``max_shingle_df``
+    guards against are never indexed at all (they sort last). Equivalence
+    to :func:`jaccard_pairs` is pinned in tests and by the shared driver
+    oracle (`ngram_jaccard_prefix` hash-matches the plain plan's SQL).
+    """
+    sh = shingle_tbl
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("sh").agg(F.count("*").alias("c")).where(F.col("c") <= max_shingle_df)
+        )
+        sh = sh.join(rare.select("sh"), "sh")
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    ranked = sh.join(dfreq, "sh").withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("id").orderBy("df", "sh")),
+    )
+    sizes = ranked.groupBy("id").agg(F.count("*").alias("sz"))
+    prefix = (
+        ranked.join(sizes, "id")
+        .where(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.lit(min_jaccard) * F.col("sz")) + 1
+        )
+        .select("id", "sh")
+    )
+    pa = prefix.select(F.col("id").alias("id_a"), "sh")
+    pb = prefix.select(F.col("id").alias("id_b"), "sh")
+    cands = (
+        pa.join(pb, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verify anchored to the candidate list: intersection counts via
+    # two id-joins against the full shingle table
+    fa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sa"))
+    fb = sh.select(F.col("id").alias("_idb"), F.col("sh").alias("_sb"))
+    inter = (
+        cands.join(fa, "id_a")
+        .join(
+            fb,
+            (F.col("id_b") == F.col("_idb")) & (F.col("_sa") == F.col("_sb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sa = sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sz.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -56,6 +56,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as ngram_jaccard_pairs through the PPJoin prefix filter
+    (dedup.jaccard_pairs_prefix): only each set's rarest (1−t) tokens are
+    indexed, candidates verify exactly — the oracle is SHARED with the
+    plain plan, so the losslessness claim is itself driver-hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    out = dedup.jaccard_pairs_prefix(sh, min_jaccard=0.5)
+    return out.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repeated-3-gram ratio (textstats.repetition_stats)."""
     docs = load_table(spark, sf_dir, "documents")
