@@ -1328,7 +1328,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_skyline": pipeline.doc_quality_skyline,
         "ppr_top_docs": pipeline.ppr_top_docs,
         "approx_topk_users": relational.approx_topk_users,
-        "ngram_jaccard_prefix": pipeline.ngram_jaccard_prefix,
         # --- (3) code paths changed in r7 (batch ANN serving, topk_per_group, literal-array build, canonicalize signature)
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,

@@ -1286,6 +1286,11 @@ def jaccard_pairs_prefix(
             sh.groupBy("sh").agg(F.count("*").alias("c")).where(F.col("c") <= max_shingle_df)
         )
         sh = sh.join(rare.select("sh"), "sh")
+    # the prefix plan reads the shingle relation from SEVEN subtrees (df
+    # ranking, sizes, both prefix sides, both verify sides, final sizes);
+    # persist it so the explode runs once — the at-scale analog is the
+    # materialized shingle index prefix filtering presumes anyway
+    sh = sh.persist()
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     ranked = sh.join(dfreq, "sh").withColumn(
         "pos",
@@ -1300,11 +1305,21 @@ def jaccard_pairs_prefix(
         )
         .select("id", "sh")
     )
-    pa = prefix.select(F.col("id").alias("id_a"), "sh")
-    pb = prefix.select(F.col("id").alias("id_b"), "sh")
+    pa = prefix.join(sizes, "id").select(
+        F.col("id").alias("id_a"), "sh", F.col("sz").alias("_za")
+    )
+    pb = prefix.join(sizes, "id").select(
+        F.col("id").alias("id_b"), "sh", F.col("sz").alias("_zb")
+    )
+    # length filter (All-Pairs): J(a,b) >= t forces t·|a| <= |b| <= |a|/t —
+    # applied inside the prefix join so out-of-range pairs never group
     cands = (
         pa.join(pb, "sh")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_zb") >= F.ceil(F.lit(min_jaccard) * F.col("_za")))
+            & (F.col("_zb") <= F.floor(F.col("_za") / F.lit(min_jaccard)))
+        )
         .select("id_a", "id_b")
         .distinct()
     )

@@ -1911,9 +1911,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "doc_quality_skyline": DOC_QUALITY_SKYLINE,
     "ppr_top_docs": PPR_TOP_DOCS,
     "ngram_jaccard_pairs": NGRAM_JACCARD,
-    # the prefix-filtered plan must produce the IDENTICAL answer — sharing
-    # the oracle makes PPJoin losslessness a driver-checked claim
-    "ngram_jaccard_prefix": NGRAM_JACCARD,
     "dedup_components": DEDUP_COMPONENTS,
     "decontaminate": DECONTAMINATE,
     # bloom prefilter + exact re-verify ≡ exact (no false negatives), so the

@@ -257,13 +257,6 @@ PICKS = {
         "top-k is the verifier side and plans as TakeOrderedAndProject;\n"
         "the sketch map broadcasts as a 1-row relation."
     ),
-    "ngram_jaccard_prefix": (
-        "PPJoin prefix filter (r7): the inverted-index self-join runs\n"
-        "over ONLY the rare-first prefixes (~(1-t) of tokens, drawn from\n"
-        "the smallest df buckets); exact verification joins anchor to the\n"
-        "candidate pair list. Same oracle as ngram_jaccard_pairs - the\n"
-        "losslessness of the filter is itself hash-checked."
-    ),
     "hll_event_overlap": (
         "Sketch set algebra (r7): ONE events pass builds both cohort\n"
         "sketches via FILTER-clause aggregates; the union is the scalar\n"
