@@ -1328,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_skyline": pipeline.doc_quality_skyline,
         "ppr_top_docs": pipeline.ppr_top_docs,
         "approx_topk_users": relational.approx_topk_users,
+        "k_anonymity_audit": pipeline.k_anonymity_audit,
         # --- (3) code paths changed in r7 (batch ANN serving, topk_per_group, literal-array build, canonicalize signature)
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2204,6 +2205,18 @@ SELECT n_name, n,
 FROM s ORDER BY n_name
 """
 
+# pipeline.k_anonymity_audit: exact group sizes are the contract (an
+# estimate could under-count a singleton into invisibility).
+_K_ANON_ORACLE = """
+SELECT c_nationkey, c_mktsegment,
+       floor(c_acctbal / 2000)::BIGINT AS bal_band,
+       count(*) AS group_size
+FROM customer
+GROUP BY 1, 2, 3
+HAVING count(*) < 5
+ORDER BY group_size, c_nationkey, c_mktsegment, bal_band
+"""
+
 # relational.approx_topk_users: exact top-k (count DESC, user ASC)
 # value-checked; the sketch-count-exact contract stated as a literal (the
 # sketch is sized past the distinct count, so its counts are exact and the
@@ -2854,6 +2867,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue_trend": _NATION_TREND_ORACLE,
         "hll_event_overlap": _HLL_OVERLAP_ORACLE,
         "approx_topk_users": _APPROX_TOPK_ORACLE,
+        "k_anonymity_audit": _K_ANON_ORACLE,
         "segment_conditional_stats": _SEGMENT_COND_ORACLE,
         "events_dow_hour": _DOW_HOUR_ORACLE,
         "segment_nation_arrays": _SEGMENT_NATIONS_ORACLE,

@@ -62,3 +62,30 @@ def pii_doc_flags(
         hit = F.regexp_like(F.col(text_col), F.lit(pat))
         any_hit = hit if any_hit is None else (any_hit | hit)
     return df.select(F.col(id_col).alias("id"), any_hit.alias("has_pii"))
+
+
+def k_anonymity_violations(
+    df: DataFrame,
+    quasi_cols: list[str],
+    *,
+    k: int,
+) -> DataFrame:
+    """Quasi-identifier combinations re-identifiable under k-anonymity: the
+    groups whose size is < k (Sweeney's criterion — every release cell must
+    hide each individual among at least k−1 others). The complement of PII
+    REDACTION (operators above): redaction strips direct identifiers;
+    k-anonymity audits whether the remaining quasi-identifiers still
+    single people out in combination.
+
+    One exact groupBy over the quasi columns (map-side partials), report ∝
+    violating combos — at 100 TB the released table aggregates once and
+    the audit reads the group-size relation, never the rows. The exact
+    count is the point (an HLL estimate could under-count a group of 1
+    into invisibility), so this is deliberately NOT sketch-backed.
+    Returns the violating combos with their sizes, smallest first."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("group_size"))
+        .where(F.col("group_size") < k)
+        .orderBy("group_size", *quasi_cols)
+    )

@@ -938,6 +938,26 @@ def ppr_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators.pii.k_anonymity_violations) over
+    customer quasi-identifiers (nation, segment, balance band): combos
+    hiding fewer than k=5 individuals — the release-safety complement of
+    PII redaction. The small-SF results show the real dynamic: a 150-row
+    release is almost entirely re-identifiable (140 violating combos), a
+    15k-row one nearly safe (2) — k-anonymity is a property of the release
+    SIZE as much as of the schema."""
+    from ..operators.pii import k_anonymity_violations
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    )
+    return k_anonymity_violations(
+        cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
+    )
+
+
 def dense_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-free global ids 0..n-1 (operators.ordering.dense_ids) without a
     single-partition window over the corpus: per-shard bounded rank + a
