@@ -1329,6 +1329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_top_docs": pipeline.ppr_top_docs,
         "approx_topk_users": relational.approx_topk_users,
         "k_anonymity_audit": pipeline.k_anonymity_audit,
+        "link_hop_distances": pipeline.link_hop_distances,
+        "l_diversity_audit": pipeline.l_diversity_audit,
         # --- (3) code paths changed in r7 (batch ANN serving, topk_per_group, literal-array build, canonicalize signature)
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2217,6 +2219,17 @@ HAVING count(*) < 5
 ORDER BY group_size, c_nationkey, c_mktsegment, bal_band
 """
 
+# pipeline.l_diversity_audit: exact sensitive-value diversity per group.
+_L_DIV_ORACLE = """
+SELECT c_nationkey, c_mktsegment,
+       count(DISTINCT floor(c_acctbal / 2000))::BIGINT AS distinct_sensitive,
+       count(*) AS group_size
+FROM customer
+GROUP BY 1, 2
+HAVING count(DISTINCT floor(c_acctbal / 2000)) < 4
+ORDER BY distinct_sensitive, group_size, c_nationkey, c_mktsegment
+"""
+
 # relational.approx_topk_users: exact top-k (count DESC, user ASC)
 # value-checked; the sketch-count-exact contract stated as a literal (the
 # sketch is sized past the distinct count, so its counts are exact and the
@@ -2868,6 +2881,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_event_overlap": _HLL_OVERLAP_ORACLE,
         "approx_topk_users": _APPROX_TOPK_ORACLE,
         "k_anonymity_audit": _K_ANON_ORACLE,
+        "l_diversity_audit": _L_DIV_ORACLE,
         "segment_conditional_stats": _SEGMENT_COND_ORACLE,
         "events_dow_hour": _DOW_HOUR_ORACLE,
         "segment_nation_arrays": _SEGMENT_NATIONS_ORACLE,

@@ -304,3 +304,53 @@ def triangle_count(
     return deg.select(F.col("n").alias("node")).join(per_node, "node", "left").select(
         "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
+
+
+def hop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Minimum hop count from a seed set over the DIRECTED edge relation —
+    frontier BFS as iterative DataFrame joins (the traversal member of the
+    iterative family beside components, PageRank/PPR and LPA; the
+    crawl-depth / influence-radius question). Returns (node, hops) for
+    every node reachable within ``max_hops``; seeds are hops 0.
+
+    Frontier semantics give min-hop for free: a node joins the distance
+    relation the FIRST round it is reached and the anti-join bars every
+    later (longer) path, so the result is a pure function of the graph —
+    no tie-breaks needed, exactly replayable by a recursive-CTE oracle
+    (min(hops) over bounded walks). Per round: one join of the FRONTIER
+    (not the full distance relation) against the edge list + one anti-join
+    + localCheckpoint lineage cut; the convergence probe costs one tiny
+    driver action per round, same policy as connected_components. At
+    100 TB pre-bucket edges by src — the frontier join is then
+    shuffle-free, and the frontier relation is the only thing that moves.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    e = e.localCheckpoint(eager=True)
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.a)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

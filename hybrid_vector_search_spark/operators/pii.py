@@ -89,3 +89,28 @@ def k_anonymity_violations(
         .where(F.col("group_size") < k)
         .orderBy("group_size", *quasi_cols)
     )
+
+
+def l_diversity_violations(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    l: int,
+) -> DataFrame:
+    """Quasi-identifier groups whose SENSITIVE attribute shows fewer than
+    ``l`` distinct values (Machanavajjhala et al.'s l-diversity) — the
+    attack k-anonymity misses: a group can hide k individuals yet leak the
+    secret anyway if they all share one sensitive value (homogeneity
+    attack). Same one-aggregate shape as the k audit, with an exact
+    count-distinct per group; the report carries both the diversity count
+    and the group size so the auditor sees k- and l-failures together."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.countDistinct(sensitive_col).alias("distinct_sensitive"),
+            F.count("*").alias("group_size"),
+        )
+        .where(F.col("distinct_sensitive") < l)
+        .orderBy("distinct_sensitive", "group_size", *quasi_cols)
+    )

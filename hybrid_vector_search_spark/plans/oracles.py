@@ -1619,6 +1619,29 @@ LIMIT 20
 PPR_TOP_DOCS = _ppr_sql()
 
 
+# graph.hop_distances over the synthetic link graph: bounded recursive
+# walk, min(hops) per reached node — frontier BFS computes exactly this.
+LINK_HOP_DISTANCES = """
+WITH RECURSIVE nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 31 + 7) % nn.n AS dst FROM documents, nn
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 17 + 3) % nn.n AS dst FROM documents, nn
+),
+walk(node, hops) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.hops < 6
+)
+SELECT node, min(hops)::INT AS hops
+FROM walk
+GROUP BY node
+ORDER BY hops, node
+"""
+
+
 # operators.graph.label_propagation over the pagerank synthetic link graph
 # (pipeline.lpa_communities): 5 synchronous rounds replayed as chained
 # CTEs — per round, the neighbor-label count, the (cnt DESC, label ASC)
@@ -1910,6 +1933,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "blob_dedup_manifest": BLOB_DEDUP_MANIFEST,
     "doc_quality_skyline": DOC_QUALITY_SKYLINE,
     "ppr_top_docs": PPR_TOP_DOCS,
+    "link_hop_distances": LINK_HOP_DISTANCES,
     "ngram_jaccard_pairs": NGRAM_JACCARD,
     "dedup_components": DEDUP_COMPONENTS,
     "decontaminate": DECONTAMINATE,

@@ -958,6 +958,46 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators.pii.l_diversity_violations): (nation,
+    segment) groups whose balance-band diversity is < 4 — the homogeneity
+    attack k-anonymity misses. Exact count-distinct per group, report ∝
+    violating combos."""
+    from ..operators.pii import l_diversity_violations
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    )
+    return l_diversity_violations(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", l=4
+    )
+
+
+def link_hop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS crawl depth (graph.hop_distances) from the doc_id % 50 = 0 seed
+    frontier over the same directed synthetic link graph as the PageRank
+    queries — min hops within 6; frontier semantics make the answer a pure
+    function of the graph, replayed by a bounded recursive-CTE min(hops)."""
+    from ..operators.graph import hop_distances
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    ids = docs.select("doc_id")
+    edges = ids.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % n).alias("dst"),
+    ).unionAll(
+        ids.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 17 + 3) % n).alias("dst"),
+        )
+    )
+    seeds = ids.where(F.col("doc_id") % 50 == 0)
+    return hop_distances(edges, seeds, max_hops=6).orderBy("hops", "node")
+
+
 def dense_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-free global ids 0..n-1 (operators.ordering.dense_ids) without a
     single-partition window over the corpus: per-shard bounded rank + a
