@@ -1331,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_audit": pipeline.k_anonymity_audit,
         "link_hop_distances": pipeline.link_hop_distances,
         "l_diversity_audit": pipeline.l_diversity_audit,
+        "ivm_revenue_apply": relational.ivm_revenue_apply,
         # --- (3) code paths changed in r7 (batch ANN serving, topk_per_group, literal-array build, canonicalize signature)
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2219,6 +2220,25 @@ HAVING count(*) < 5
 ORDER BY group_size, c_nationkey, c_mktsegment, bal_band
 """
 
+# relational.ivm_revenue_apply: the oracle recomputes the maintained view
+# from scratch over (base − retracted) ∪ inserts — associative decimal
+# partials make the maintenance chain hash-equal the recompute.
+_IVM_ORACLE = """
+WITH live AS (
+  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month, o_totalprice
+  FROM orders
+  WHERE (o_orderkey % 5 = 0)
+     OR (o_orderkey % 5 <> 0 AND o_orderkey % 25 <> 1)
+)
+SELECT o_orderpriority, month,
+       sum(o_totalprice::DECIMAL(28,2))::DOUBLE AS total,
+       count(*) AS n_rows,
+       round(sum(o_totalprice::DECIMAL(28,2))::DOUBLE / count(*), 6) AS avg_value
+FROM live
+GROUP BY 1, 2
+ORDER BY o_orderpriority, month
+"""
+
 # pipeline.l_diversity_audit: exact sensitive-value diversity per group.
 _L_DIV_ORACLE = """
 SELECT c_nationkey, c_mktsegment,
@@ -2882,6 +2902,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_topk_users": _APPROX_TOPK_ORACLE,
         "k_anonymity_audit": _K_ANON_ORACLE,
         "l_diversity_audit": _L_DIV_ORACLE,
+        "ivm_revenue_apply": _IVM_ORACLE,
         "segment_conditional_stats": _SEGMENT_COND_ORACLE,
         "events_dow_hour": _DOW_HOUR_ORACLE,
         "segment_nation_arrays": _SEGMENT_NATIONS_ORACLE,

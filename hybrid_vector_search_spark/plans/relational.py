@@ -1009,6 +1009,33 @@ def approx_topk_users(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
     )
 
 
+def ivm_revenue_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators.ivm) driven through a full
+    add + retract chain: the (priority, month) revenue view is built from
+    the base 80% of orders, a 20% insert batch folds in, then a 4%-of-base
+    slice retracts as negated partials — three view-sized merges, zero
+    base-table rescans. The oracle recomputes (base − retracted) ∪ inserts
+    from scratch: decimal partials make maintenance associative, so the
+    maintained view hash-equals the recompute, including the derived
+    (non-additive) average read off the (sum, count) pair."""
+    from ..operators import ivm
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_totalprice",
+    )
+    keys = ["o_orderpriority", "month"]
+    base = orders.where(F.col("o_orderkey") % 5 != 0)
+    inserts = orders.where(F.col("o_orderkey") % 5 == 0)
+    retracted = base.where(F.col("o_orderkey") % 25 == 1)
+    view = ivm.partials(base, keys, "o_totalprice")
+    view = ivm.merge(view, ivm.partials(inserts, keys, "o_totalprice"))
+    view = ivm.merge(view, ivm.partials(retracted, keys, "o_totalprice", negate=True))
+    return ivm.finish(view).orderBy(*keys)
+
+
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets: revenue over all 2^2 combinations of
     (returnflag, linestatus) with grouping_id distinguishing the subtotal

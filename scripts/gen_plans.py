@@ -251,6 +251,13 @@ PICKS = {
         "doc->source map twice by id; the rollup output is at most\n"
         "|sources|^2 - the corpus never reshuffles for attribution."
     ),
+    "ivm_revenue_apply": (
+        "Incremental view maintenance (r7): three view-sized merges (base\n"
+        "partials + insert partials + negated retraction partials) - the\n"
+        "base table scans once per batch for ITS partials only, never\n"
+        "rescans for the view; decimal partials make the chain\n"
+        "associative, so the maintained view hash-equals a recompute."
+    ),
     "approx_topk_users": (
         "Frequent-items sketch (r7): ONE pass builds the fixed-size\n"
         "approx_top_k state (map-side partial merge); the exact groupBy\n"
