@@ -1332,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hop_distances": pipeline.link_hop_distances,
         "l_diversity_audit": pipeline.l_diversity_audit,
         "ivm_revenue_apply": relational.ivm_revenue_apply,
+        "approx_sum_sampled": relational.approx_sum_sampled,
         # --- (3) code paths changed in r7 (batch ANN serving, topk_per_group, literal-array build, canonicalize signature)
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2220,6 +2221,18 @@ HAVING count(*) < 5
 ORDER BY group_size, c_nationkey, c_mktsegment, bal_band
 """
 
+# relational.approx_sum_sampled: exact total/counts value-checked; the
+# oracle states the deterministic HT estimate's 10% contract as a literal.
+_HT_SUM_ORACLE = """
+SELECT round(sum(o_totalprice::DECIMAL(28,2))::DOUBLE, 2) AS exact_total,
+       count(*) AS n_orders,
+       count(*) FILTER (
+         WHERE (('0x' || substr(md5('ht#' || o_orderkey::VARCHAR), 1, 8))::BIGINT
+                % 10000) < 1000)::BIGINT AS n_sampled,
+       TRUE AS ht_within_10pct
+FROM orders
+"""
+
 # relational.ivm_revenue_apply: the oracle recomputes the maintained view
 # from scratch over (base − retracted) ∪ inserts — associative decimal
 # partials make the maintenance chain hash-equal the recompute.
@@ -2903,6 +2916,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_audit": _K_ANON_ORACLE,
         "l_diversity_audit": _L_DIV_ORACLE,
         "ivm_revenue_apply": _IVM_ORACLE,
+        "approx_sum_sampled": _HT_SUM_ORACLE,
         "segment_conditional_stats": _SEGMENT_COND_ORACLE,
         "events_dow_hour": _DOW_HOUR_ORACLE,
         "segment_nation_arrays": _SEGMENT_NATIONS_ORACLE,
