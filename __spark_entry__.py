@@ -791,6 +791,52 @@ def q_stream_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized view (streaming/sketch.py stream_ivm): orders
+    staged as three files — even inserts, odd inserts, then a retraction
+    batch deleting o_orderkey % 7 = 0 — folded one file per micro-batch
+    into the persisted (priority) revenue view under the manifest commit.
+    Decimal partials form a commutative monoid, so the maintained view
+    equals the from-scratch recompute over the live set however the stream
+    was batched; the oracle states exactly that recompute."""
+    import shutil
+    import tempfile
+
+    from hybrid_vector_search_spark.streaming.sketch import (
+        ivm_view_from_state,
+        stream_ivm,
+    )
+
+    src = _STREAM_SRC_CACHE.get(("ivm", sf_dir))
+    if src is None:
+        safe = sf_dir.strip("/").replace("/", "_")
+        src = f"{_session_tmpdir()}/stream_ivm/{safe}"
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        ins = orders.withColumn("_op", F.lit("I"))
+        dels = orders.where("o_orderkey % 7 = 0").withColumn("_op", F.lit("D"))
+        ins.where("o_orderkey % 2 = 0").coalesce(1).write.mode("overwrite").parquet(src)
+        ins.where("o_orderkey % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+        dels.coalesce(1).write.mode("append").parquet(src)
+        _STREAM_SRC_CACHE[("ivm", sf_dir)] = src
+    workdir = tempfile.mkdtemp(prefix="stream_ivm_", dir=_session_tmpdir())
+    with _stream_shuffle(spark):
+        q = stream_ivm(
+            spark, src, ["o_orderpriority"], "o_totalprice",
+            state_dir=f"{workdir}/state", checkpoint_path=f"{workdir}/ckpt",
+            op_col="_op", max_files_per_trigger=1, commit_mode="manifest",
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
+    out = ivm_view_from_state(spark, f"{workdir}/state", commit_mode="manifest")
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out.orderBy("o_orderpriority")
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming sessionization (streaming/events.py
     applyInPandasWithState, event-time timeout) as a driver query: the
@@ -1333,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity_audit": pipeline.l_diversity_audit,
         "ivm_revenue_apply": relational.ivm_revenue_apply,
         "approx_sum_sampled": relational.approx_sum_sampled,
+        "stream_ivm_revenue": q_stream_ivm_revenue,
         # --- (3) code paths changed in r7 (batch ANN serving, topk_per_group, literal-array build, canonicalize signature)
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2221,6 +2268,19 @@ HAVING count(*) < 5
 ORDER BY group_size, c_nationkey, c_mktsegment, bal_band
 """
 
+# q_stream_ivm_revenue: the maintained streaming view must equal the
+# from-scratch recompute over the live (post-retraction) set.
+_STREAM_IVM_ORACLE = """
+SELECT o_orderpriority,
+       sum(o_totalprice::DECIMAL(28,2))::DOUBLE AS total,
+       count(*) AS n_rows,
+       round(sum(o_totalprice::DECIMAL(28,2))::DOUBLE / count(*), 6) AS avg_value
+FROM orders
+WHERE o_orderkey % 7 <> 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
 # relational.approx_sum_sampled: exact total/counts value-checked; the
 # oracle states the deterministic HT estimate's 10% contract as a literal.
 _HT_SUM_ORACLE = """
@@ -2917,6 +2977,7 @@ def oracle_sql() -> dict[str, str]:
         "l_diversity_audit": _L_DIV_ORACLE,
         "ivm_revenue_apply": _IVM_ORACLE,
         "approx_sum_sampled": _HT_SUM_ORACLE,
+        "stream_ivm_revenue": _STREAM_IVM_ORACLE,
         "segment_conditional_stats": _SEGMENT_COND_ORACLE,
         "events_dow_hour": _DOW_HOUR_ORACLE,
         "segment_nation_arrays": _SEGMENT_NATIONS_ORACLE,

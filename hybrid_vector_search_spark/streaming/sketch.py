@@ -380,3 +380,89 @@ def heavy_hitters_from_state(
     cells = spark.read.parquet(os.path.join(current, CELLS))
     cands = spark.read.parquet(os.path.join(current, CANDS))
     return cm_topk(cells, cands, k, depth=depth, width=width).localCheckpoint(eager=True)
+
+
+VIEW = "view"
+
+
+def stream_ivm(
+    spark: SparkSession,
+    source_dir: str,
+    keys: list[str],
+    measure_col: str,
+    state_dir: str,
+    checkpoint_path: str,
+    *,
+    op_col: str | None = None,
+    max_files_per_trigger: int | None = None,
+    commit_mode: str = "rename",
+):
+    """Streaming materialized view: maintain an additive rollup
+    (operators.ivm partials) over a file stream — each micro-batch folds
+    into the persisted view as one view-sized merge, with rows marked 'D'
+    in ``op_col`` folding as RETRACTIONS (negated partials). The batch twin
+    is relational.ivm_revenue_apply; because decimal partials form a
+    commutative monoid, stream ≡ batch algebraically however the input is
+    batched — pinned in tests/test_streaming_sketch.py. Same epoch guard
+    and rename/manifest commit contract as the sketch streams (shared
+    helpers); state is view-sized, never input-sized."""
+    from ..operators import ivm
+
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    ckpt_id = os.path.abspath(checkpoint_path)
+
+    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        current = _resolve_current(state_dir, commit_mode)
+        if _epoch_skip(current, ckpt_id, epoch_id, state_dir):
+            return
+        sess = batch_df.sparkSession
+        if op_col is None:
+            parts = [ivm.partials(batch_df, keys, measure_col)]
+        else:
+            parts = [
+                ivm.partials(
+                    batch_df.where(F.col(op_col) != "D"), keys, measure_col
+                ),
+                ivm.partials(
+                    batch_df.where(F.col(op_col) == "D"),
+                    keys,
+                    measure_col,
+                    negate=True,
+                ),
+            ]
+        state_path = os.path.join(current, VIEW)
+        if os.path.exists(state_path):
+            parts.append(sess.read.parquet(state_path))
+        merged = ivm.merge(*parts).localCheckpoint(eager=True)
+        meta = {"epoch": epoch_id, "checkpoint": ckpt_id}
+
+        def write(target: str) -> None:
+            merged.write.mode("overwrite").parquet(os.path.join(target, VIEW))
+
+        _commit_version(state_dir, commit_mode, meta, write)
+
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ivm_view_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    commit_mode: str = "rename",
+) -> DataFrame:
+    """The maintained view with read-time finishers (operators.ivm.finish)."""
+    from ..operators import ivm
+
+    current = _resolve_current(state_dir, commit_mode)
+    view = spark.read.parquet(os.path.join(current, VIEW))
+    return ivm.finish(view).localCheckpoint(eager=True)

@@ -317,3 +317,55 @@ def test_stream_daily_distinct_windowed_serve_manifest_mode(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_ivm_matches_batch_with_retractions(spark, tmp_path):
+    """Multi-batch streaming view maintenance (inserts + 'D' retractions)
+    equals the batch IVM chain AND a from-scratch recompute."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.streaming.sketch import (
+        ivm_view_from_state,
+        stream_ivm,
+    )
+
+    orders = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    ins = orders.withColumn("_op", F.lit("I"))
+    dels = (
+        orders.where("o_orderkey % 7 = 0")
+        .withColumn("_op", F.lit("D"))
+    )
+    src = str(tmp_path / "src")
+    ins.where("o_orderkey % 2 = 0").coalesce(1).write.mode("overwrite").parquet(src)
+    ins.where("o_orderkey % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    dels.coalesce(1).write.mode("append").parquet(src)
+
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    q = stream_ivm(
+        spark, src, ["o_orderpriority"], "o_totalprice", state, ckpt,
+        op_col="_op", max_files_per_trigger=1, commit_mode="manifest",
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.o_orderpriority: (r.total, r.n_rows, r.avg_value)
+        for r in ivm_view_from_state(spark, state, commit_mode="manifest").collect()
+    }
+    live = orders.where("o_orderkey % 7 <> 0")
+    want = {
+        r.o_orderpriority: (
+            float(r.s),
+            r.n,
+            round(float(r.s) / r.n, 6),
+        )
+        for r in live.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
