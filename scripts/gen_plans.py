@@ -251,6 +251,26 @@ PICKS = {
         "doc->source map twice by id; the rollup output is at most\n"
         "|sources|^2 - the corpus never reshuffles for attribution."
     ),
+    "link_hop_distances": (
+        "BFS hop distances (r7): the collected result is an eager\n"
+        "localCheckpoint union of per-round frontiers; each round's plan\n"
+        "joins only the FRONTIER against the edge list (broadcast at this\n"
+        "scale; shuffle-free on src-bucketed edges at 100 TB) and\n"
+        "anti-joins the known set - min-hop needs no tie-break because\n"
+        "first-reach wins."
+    ),
+    "k_anonymity_audit": (
+        "Privacy audits (r7): one exact groupBy with map-side partials;\n"
+        "the report is violating-combo-sized. Exact by design - a sketch\n"
+        "could under-count a singleton group into invisibility, which is\n"
+        "the failure the audit exists to catch."
+    ),
+    "approx_sum_sampled": (
+        "Sampling estimator (r7): ONE aggregate computes the exact total\n"
+        "(verifier), the sample sum, and the membership count - the\n"
+        "md5-bucket predicate is a per-row expression on the scan. At\n"
+        "100 TB the sample predicate prunes 90% of the read instead."
+    ),
     "ivm_revenue_apply": (
         "Incremental view maintenance (r7): three view-sized merges (base\n"
         "partials + insert partials + negated retraction partials) - the\n"
