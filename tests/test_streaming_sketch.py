@@ -369,3 +369,48 @@ def test_stream_ivm_matches_batch_with_retractions(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_ivm_restart_folds_only_new_files(spark, tmp_path):
+    """Same checkpoint, new data: only the new file folds in (epoch guard +
+    checkpoint ledger), and the view tracks the running union."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.streaming.sketch import (
+        ivm_view_from_state,
+        stream_ivm,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    src = str(tmp_path / "src")
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    first = orders.where("o_orderkey % 3 = 0")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    q = stream_ivm(spark, src, ["o_orderpriority"], "o_totalprice", state, ckpt)
+    q.awaitTermination(120)
+
+    def snap(df):
+        return {r.o_orderpriority: (r.total, r.n_rows) for r in df.collect()}
+
+    def want(live):
+        return {
+            r.o_orderpriority: (float(r.s), r.n)
+            for r in live.groupBy("o_orderpriority")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        }
+
+    assert snap(ivm_view_from_state(spark, state)) == want(first)
+
+    orders.where("o_orderkey % 3 = 1").coalesce(1).write.mode("append").parquet(src)
+    q = stream_ivm(spark, src, ["o_orderpriority"], "o_totalprice", state, ckpt)
+    q.awaitTermination(120)
+    assert snap(ivm_view_from_state(spark, state)) == want(
+        orders.where("o_orderkey % 3 <> 2")
+    )
