@@ -1380,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_revenue_apply": relational.ivm_revenue_apply,
         "approx_sum_sampled": relational.approx_sum_sampled,
         "stream_ivm_revenue": q_stream_ivm_revenue,
+        "user_interval_coverage": relational.user_interval_coverage,
         # --- (3) code paths changed in r7 (batch ANN serving, topk_per_group, literal-array build, canonicalize signature)
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2268,6 +2269,37 @@ HAVING count(*) < 5
 ORDER BY group_size, c_nationkey, c_mktsegment, bal_band
 """
 
+# relational.user_interval_coverage: gaps-and-islands interval union;
+# integer-second arithmetic, and the island STRUCTURE (count + coverage) is
+# invariant to tie order even though per-row island ids need not be.
+_INTERVAL_COVERAGE_ORACLE = """
+WITH spans AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS s,
+         floor(epoch(ts))::BIGINT + ceil(value)::BIGINT * 10 AS e
+  FROM events
+),
+f AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+              THEN 1 ELSE 0 END AS nw
+  FROM spans
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+i AS (
+  SELECT user_id, s, e,
+         sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM f
+),
+isl AS (SELECT user_id, island, min(s) AS i_start, max(e) AS i_end
+        FROM i GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_islands,
+       sum(i_end - i_start)::BIGINT AS covered_seconds
+FROM isl GROUP BY user_id ORDER BY user_id
+"""
+
 # q_stream_ivm_revenue: the maintained streaming view must equal the
 # from-scratch recompute over the live (post-retraction) set.
 _STREAM_IVM_ORACLE = """
@@ -2978,6 +3010,7 @@ def oracle_sql() -> dict[str, str]:
         "ivm_revenue_apply": _IVM_ORACLE,
         "approx_sum_sampled": _HT_SUM_ORACLE,
         "stream_ivm_revenue": _STREAM_IVM_ORACLE,
+        "user_interval_coverage": _INTERVAL_COVERAGE_ORACLE,
         "segment_conditional_stats": _SEGMENT_COND_ORACLE,
         "events_dow_hour": _DOW_HOUR_ORACLE,
         "segment_nation_arrays": _SEGMENT_NATIONS_ORACLE,

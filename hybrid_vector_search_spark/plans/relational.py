@@ -1009,6 +1009,46 @@ def approx_topk_users(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
     )
 
 
+def user_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval union: each event opens a span of
+    ceil(value)·10 seconds; overlapping spans per user MERGE into islands
+    (coverage dedup — the watch-time / session-coverage question, where
+    summing raw durations double-counts overlap). One window pass per
+    step, all sharing a single hashpartitioning(user_id) exchange: a span
+    starts a new island iff it begins after the running max of prior ends
+    (island id = running sum of those flags), then islands aggregate to
+    per-user coverage. Integer-second arithmetic end to end, so both
+    engines agree exactly."""
+    events = load_table(spark, sf_dir, "events")
+    spans = events.select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + F.ceil(F.col("value")).cast("long") * 10).alias("e"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_end = F.max("e").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "_new",
+        F.when(prev_max_end.isNull() | (F.col("s") > prev_max_end), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("_new").over(w_order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.sum(F.col("i_end") - F.col("i_start")).alias("covered_seconds"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def approx_sum_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BlinkDB-style sampling estimator: total order revenue from a
     deterministic 10% hash sample, inverse-probability scaled
