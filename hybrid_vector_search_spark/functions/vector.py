@@ -32,7 +32,7 @@ def _as_double(v: Column | list[float]) -> Column:
     if isinstance(v, Column):
         return v.cast("array<double>")
     vals = [float(x) for x in v]
-    if all(map(math.isfinite, vals)):
+    if vals and all(map(math.isfinite, vals)):
         # ONE parsed expression instead of len(v)+1 py4j constructions: a
         # 64-dim query vector as element-wise F.lit costs ~40ms of driver
         # round-trips PER score expression (~0.2s/plan for cosine), which

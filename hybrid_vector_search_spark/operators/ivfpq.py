@@ -257,6 +257,16 @@ def ivfpq_search_batch(
     from ..functions.vector import dot
     from .knn import topk_per_group
 
+    if index.metric not in ("cosine", "dotProduct"):
+        # The ADC tables, coarse offset, and exact rerank below all score by
+        # raw dot product; serving a euclidean-built index through them would
+        # probe euclidean-nearest clusters but return dot-ranked results —
+        # silently wrong ordering. Refuse instead (euclidean ADC needs
+        # per-subspace squared-distance tables, not implemented).
+        raise ValueError(
+            f"ivfpq search scores by dot product; index metric {index.metric!r} "
+            "is not supported (build with metric='cosine' or 'dotProduct')"
+        )
     books = index.codebooks
     M, ksub, dsub = books.shape
     qids = [int(qid) for qid, _ in queries]

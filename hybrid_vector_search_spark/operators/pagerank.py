@@ -111,10 +111,24 @@ def _pagerank_loop(
             "node", F.lit(round(1.0 / n, DP)).cast(_DEC).alias("rank")
         ).localCheckpoint(eager=True)
     else:
-        seed_flags = seeds.select(
-            F.col(seeds.columns[0]).alias("node"), F.lit(True).alias("_seed")
-        ).distinct()
+        # Intersect seeds with the node set BEFORE counting: a seed id absent
+        # from the graph would otherwise inflate ns while the left join drops
+        # it, leaking teleport mass (ranks no longer sum to 1). An empty
+        # effective seed set has no defined teleport vector — raise, don't
+        # divide by zero.
+        seed_flags = (
+            seeds.select(
+                F.col(seeds.columns[0]).alias("node"), F.lit(True).alias("_seed")
+            )
+            .distinct()
+            .join(nodes, "node", "left_semi")
+        )
         ns = seed_flags.count()
+        if ns == 0:
+            raise ValueError(
+                "personalized pagerank: no seed id is present in the graph's "
+                "node set — teleport vector would be empty"
+            )
         flagged = nodes.join(F.broadcast(seed_flags), "node", "left")
         nodes_base = flagged.select(
             "node",

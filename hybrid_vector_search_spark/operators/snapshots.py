@@ -166,10 +166,15 @@ def scd2_apply(
     history rows pass through untouched — no shuffle ever carries content
     or the closed tail.
     """
-    ch = changes.dropDuplicates([key_col]).select(
-        F.col(key_col).alias("key"),
-        F.md5(F.col(content_col)).alias("_nfp"),
-        F.col(op_col).alias("_op"),
+    ch = (
+        changes.dropDuplicates([key_col])
+        .where(F.col(op_col).isin("upsert", "delete"))
+        .select(
+            F.col(key_col).alias("key"),
+            F.md5(F.col(content_col)).alias("_nfp"),
+            F.col(op_col).alias("_op"),
+            F.lit(True).alias("_has_ch"),
+        )
     )
     spark = changes.sparkSession
     if history is None:
@@ -179,17 +184,20 @@ def scd2_apply(
             f"key {key_type}, fingerprint string, valid_from int,"
             " valid_to int, is_current boolean",
         )
-    cur = history.where(F.col("is_current"))
+    # Explicit presence markers, NOT fingerprint/op nullability: md5(NULL)
+    # content gives a NULL fingerprint on a perfectly real current row, and
+    # inferring presence from it would make that row invisible (a later
+    # upsert would open a second is_current row the delete could never
+    # close). Fingerprint comparisons are null-safe (<=>) for the same
+    # reason.
+    cur = history.where(F.col("is_current")).withColumn("_has_cur", F.lit(True))
     closed_tail = history.where(~F.col("is_current"))
     j = cur.join(ch, "key", "full_outer")
-    has_cur = F.col("fingerprint").isNotNull()
-    has_ch = F.col("_op").isNotNull()
-    closes = has_cur & has_ch & (
-        (F.col("_op") == "delete") | (F.col("_nfp") != F.col("fingerprint"))
-    )
-    opens = has_ch & (F.col("_op") == "upsert") & (
-        ~has_cur | (F.col("_nfp") != F.col("fingerprint"))
-    )
+    has_cur = F.col("_has_cur").isNotNull()
+    has_ch = F.col("_has_ch").isNotNull()
+    fp_changed = ~(F.col("_nfp").eqNullSafe(F.col("fingerprint")))
+    closes = has_cur & has_ch & ((F.col("_op") == "delete") | fp_changed)
+    opens = has_ch & (F.col("_op") == "upsert") & (~has_cur | fp_changed)
     v = F.lit(int(version))
     null_i = F.lit(None).cast("int")
     closed = j.where(closes).select(

@@ -988,8 +988,17 @@ def approx_topk_users(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(k)
     )
+    # maxItemsTracked is DERIVED from the actual distinct-user count (one
+    # cheap column-pruned pre-pass), not hard-coded: the oracle's
+    # sketch_count_exact=TRUE is only valid while tracked ≥ distinct users,
+    # and a fixed 100k would turn a larger SF into a guaranteed hash-fail
+    # (flake by data volume, not regression). 2× headroom keeps the
+    # exactness precondition safe under growth within a run; the exact side
+    # already does a full groupBy, so this pre-pass never dominates.
+    n_users = events.select("user_id").distinct().count()
+    tracked = max(100_000, 2 * n_users)
     sketch = events.agg(
-        F.expr(f"approx_top_k(user_id, {k} + 200, 100000)").alias("tk")
+        F.expr(f"approx_top_k(user_id, {k} + 200, {tracked})").alias("tk")
     ).select(
         F.map_from_arrays(
             F.expr("transform(tk, x -> x.item)"),

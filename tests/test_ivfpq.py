@@ -248,3 +248,26 @@ def test_save_load_roundtrip(spark, corpus, ivfpq_index):
     a = ivfpq_search_batch(spark, index, [(qid, qv)], K, nprobe=2, layout=layout)
     b = ivfpq_search_batch(spark, loaded, [(qid, qv)], K, nprobe=2, layout=layout)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_euclidean_index_refused_at_search(spark, tmp_path):
+    """ADC + rerank score by dot product; serving a euclidean-built index
+    through them would silently return dot-ranked results — must raise."""
+    import numpy as np
+    import pytest
+
+    from hybrid_vector_search_spark.operators.ivfpq import (
+        IVFPQIndex,
+        ivfpq_search,
+    )
+
+    idx = IVFPQIndex(
+        path=str(tmp_path / "pq"),
+        centroids=np.eye(4),
+        codebooks=np.zeros((2, 4, 2)),
+        id_col="vec_id",
+        vector_col="embedding",
+        metric="euclidean",
+    )
+    with pytest.raises(ValueError, match="euclidean"):
+        ivfpq_search(spark, idx, [1.0, 0.0, 0.0, 0.0], 3)

@@ -125,3 +125,20 @@ def test_repetition_kernel_equals_sql_twin(spark):
         map(tuple, repetition_stats(docs, "doc_id", "text", kernel="sql").collect())
     )
     assert fast == slow
+
+
+def test_empty_vector_literal_is_typed_double_array(spark):
+    """The fast F.expr literal path must not emit array<void> for an empty
+    query vector — dot() against an array<double> column has to analyze."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.functions.vector import dot
+
+    df = spark.createDataFrame([([1.0, 2.0],)], "v array<double>")
+    # must ANALYZE (array<void> from a bare array() literal fails here);
+    # zip_with against a shorter array null-pads, so the dot is NULL —
+    # the pre-regression semantics.
+    out = df.select(dot(F.col("v"), []).alias("d")).collect()
+    assert out[0]["d"] is None
+    out2 = df.select(dot(F.col("v"), [3.0, 1.0]).alias("d")).collect()
+    assert out2[0]["d"] == 5.0

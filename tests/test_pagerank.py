@@ -75,3 +75,21 @@ def test_personalized_teleports_only_to_seeds(spark):
         for r in pagerank(edges, iterations=8, seeds=all_nodes).collect()
     }
     assert uni == per
+
+
+def test_personalized_foreign_seeds_dropped_before_counting(spark):
+    """Seed ids absent from the graph must not inflate the teleport
+    denominator (mass would leak); an all-foreign seed set raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    seeds_mixed = spark.createDataFrame([(1,), (99,)], "node long")
+    ranks = pagerank(edges, src="src", dst="dst", iterations=5, seeds=seeds_mixed)
+    total = ranks.agg(F.sum("rank").alias("s")).collect()[0]["s"]
+    assert abs(float(total) - 1.0) < 1e-6  # no leaked teleport mass
+    seeds_foreign = spark.createDataFrame([(98,), (99,)], "node long")
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(edges, src="src", dst="dst", iterations=2, seeds=seeds_foreign)

@@ -211,3 +211,39 @@ def test_stream_scd2_apply_matches_batch_build(spark, tmp_path):
                 for r in hist if r["key"] == 1)
     assert k1 == [(1, 3, False)]
     assert {r["key"] for r in hist if r["is_current"]} == {2, 4, 5}
+
+
+def test_scd2_apply_null_content_row_stays_visible(spark):
+    """A current row whose content was NULL at insert has a NULL md5
+    fingerprint; presence must come from an explicit marker, not
+    fingerprint nullability — a later upsert must CLOSE that row (one
+    is_current row per key, ever), and a delete must be able to close it."""
+    from hybrid_vector_search_spark.operators.snapshots import scd2_apply
+
+    b1 = spark.createDataFrame(
+        [(1, None, "upsert"), (2, None, "upsert")],
+        "doc_id long, text string, op string",
+    )
+    h1 = scd2_apply(None, b1, 1, "doc_id", "text")
+    b2 = spark.createDataFrame(
+        [(1, "now-real", "upsert"), (2, None, "delete")],
+        "doc_id long, text string, op string",
+    )
+    h2 = scd2_apply(h1, b2, 2, "doc_id", "text").collect()
+    cur = [r for r in h2 if r["is_current"]]
+    assert len(cur) == 1 and cur[0]["key"] == 1 and cur[0]["valid_from"] == 2
+    closed = sorted(
+        (r["key"], r["valid_from"], r["valid_to"]) for r in h2 if not r["is_current"]
+    )
+    assert closed == [(1, 1, 2), (2, 1, 2)]
+
+
+def test_scd2_apply_null_content_upsert_is_noop_when_unchanged(spark):
+    """NULL content re-upserted over NULL content: null-safe fingerprint
+    compare says unchanged → kept as-is, no close/reopen churn."""
+    from hybrid_vector_search_spark.operators.snapshots import scd2_apply
+
+    b = spark.createDataFrame([(1, None, "upsert")], "doc_id long, text string, op string")
+    h1 = scd2_apply(None, b, 1, "doc_id", "text")
+    h2 = scd2_apply(h1, b, 2, "doc_id", "text").collect()
+    assert len(h2) == 1 and h2[0]["is_current"] and h2[0]["valid_from"] == 1
