@@ -19,6 +19,14 @@ regressions round-over-round. A query whose min would still trip the
 regression gate (>1.5x prev AND >0.25s) is escalated to
 $SPARK_GRAFT_BENCH_ESCALATED runs (default 5) before recording, so flags
 are load-bearing (escalated queries are listed under "escalated").
+
+Since r8 every timing is split into (analysis_sec, exec_sec): analysis =
+DataFrame construction + Catalyst analysis (driver-side, data-volume-
+independent, amortizes over plan reuse), exec = physical planning +
+execution + fetch. The regression gate compares exec_sec only (vs the
+previous details file's exec_sec when present), because sub-second rows
+are dominated by the ~1 s analysis half, which is what made r7's
+contention flags ambiguous.
 """
 
 from __future__ import annotations
@@ -49,9 +57,12 @@ def _previous_round_timings(sf: float) -> tuple[str, dict[str, float]] | None:
             and abs(float(rec.get("sf", -1)) - sf) < 1e-9
         ):
             total = rec.get("value")
-            return f"bench_details.json (previous run, total={total})", {
-                k: float(v) for k, v in queries.items()
-            }
+            ex = rec.get("exec_sec")
+            return (
+                f"bench_details.json (previous run, total={total})",
+                {k: float(v) for k, v in queries.items()},
+                {k: float(v) for k, v in ex.items()} if isinstance(ex, dict) else None,
+            )
     except Exception:  # noqa: BLE001 — absent/malformed history is just skipped
         pass
     return None
@@ -88,6 +99,7 @@ def main() -> None:
     # regressed in all five attempts, not that the machine hiccuped thrice.
     n_escalated = max(n_runs, int(os.environ.get("SPARK_GRAFT_BENCH_ESCALATED", "5")))
     prev = _previous_round_timings(sf)
+    prev_exec = prev[2] if prev else None
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     escalated: list[str] = []
@@ -95,32 +107,64 @@ def main() -> None:
     # (BENCH_r03 was rc=1/no numbers because a single query threw). A failed
     # query is recorded in "errors", excluded from the timing total, and the
     # contract lines still print.
+    analysis_s: dict[str, float] = {}
+    exec_s: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
-        best, rows = None, []
+        best, best_ana, best_exec, rows = None, None, None, []
 
-        def _would_flag(t: float) -> bool:
-            p = prev[1].get(name) if prev else None
-            return p is not None and p > 0 and t > 1.5 * p and t - p > 0.25
+        def _timed_run():
+            """(end_to_end, analysis, exec) for one fresh build+collect.
+
+            Analysis = DataFrame construction (py4j plan assembly) + Catalyst
+            analysis (forced via .schema); exec = physical planning +
+            execution + fetch. Sub-second queries are dominated by the
+            analysis half (~1 s of driver-side work independent of data
+            volume — the _ANN_REPORT_CACHE lesson), which is per-PLAN cost
+            that amortizes over reuse on a real deployment; splitting the
+            two makes the regression gate compare the part that scales with
+            data (r7 verdict ask #5)."""
+            nonlocal rows
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            _ = df.schema  # forces Catalyst analysis, no jobs
+            t1 = time.perf_counter()
+            rows = df.collect()
+            t2 = time.perf_counter()
+            return t2 - t0, t1 - t0, t2 - t1
+
+        def _would_flag(t_exec: float) -> bool:
+            # gate on the EXEC half when the previous round recorded it;
+            # fall back to end-to-end for history written before the split
+            pe = (prev_exec or {}).get(name) if prev else None
+            p = pe if pe is not None else (prev[1].get(name) if prev else None)
+            return p is not None and p > 0 and t_exec > 1.5 * p and t_exec - p > 0.25
 
         try:
             for _ in range(n_runs):
-                t0 = time.perf_counter()
-                rows = fn(spark, sf_dir).collect()
-                dt = time.perf_counter() - t0
-                best = dt if best is None or dt < best else best
-            if _would_flag(best):
+                dt, ana, ex = _timed_run()
+                if best is None or dt < best:
+                    best = dt
+                best_ana = ana if best_ana is None or ana < best_ana else best_ana
+                best_exec = ex if best_exec is None or ex < best_exec else best_exec
+            if _would_flag(best_exec if prev_exec else best):
                 escalated.append(name)
                 for _ in range(n_escalated - n_runs):
-                    t0 = time.perf_counter()
-                    rows = fn(spark, sf_dir).collect()
-                    dt = time.perf_counter() - t0
+                    dt, ana, ex = _timed_run()
                     best = dt if dt < best else best
+                    best_ana = ana if ana < best_ana else best_ana
+                    best_exec = ex if ex < best_exec else best_exec
         except Exception as exc:  # noqa: BLE001 — isolate, record, continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
+        analysis_s[name] = round(best_ana, 3)
+        exec_s[name] = round(best_exec, 3)
+        print(
+            f"# {name}: {timings[name]:.3f}s (ana {analysis_s[name]:.3f}"
+            f" + exec {exec_s[name]:.3f}, {len(rows)} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     summary = {
@@ -128,6 +172,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "analysis_sec": analysis_s,
+        "exec_sec": exec_s,
         "sf": sf,
         "runs_per_query": n_runs,
     }
@@ -144,18 +190,31 @@ def main() -> None:
             "source": prev[0],
             "queries": {k: prev[1][k] for k in timings if k in prev[1]},
         }
-        # Regression gate (r5 verdict ask #8): flag any query slower than
-        # 1.5x its previous recorded time AND >0.25s absolute delta (sub-
-        # second queries jitter more than 1.5x on shared machines; a flagged
-        # row should mean a plan regressed, not that the scheduler hiccuped).
-        regressed = {
-            k: {"now": timings[k], "prev": prev[1][k]}
-            for k in timings
-            if k in prev[1]
-            and prev[1][k] > 0
-            and timings[k] > 1.5 * prev[1][k]
-            and timings[k] - prev[1][k] > 0.25
-        }
+        # Regression gate (r5 verdict ask #8, exec-only since r8 per r7 ask
+        # #5): flag any query slower than 1.5x its previous recorded time
+        # AND >0.25s absolute delta. Compared on the EXEC half when the
+        # previous details file recorded one (analysis time is per-plan
+        # driver work that amortizes on reuse and jitters with py4j load —
+        # it made r7's flags ambiguous); end-to-end only for pre-split
+        # history.
+        if prev_exec:
+            regressed = {
+                k: {"now": exec_s[k], "prev": prev_exec[k], "basis": "exec"}
+                for k in exec_s
+                if k in prev_exec
+                and prev_exec[k] > 0
+                and exec_s[k] > 1.5 * prev_exec[k]
+                and exec_s[k] - prev_exec[k] > 0.25
+            }
+        else:
+            regressed = {
+                k: {"now": timings[k], "prev": prev[1][k], "basis": "end_to_end"}
+                for k in timings
+                if k in prev[1]
+                and prev[1][k] > 0
+                and timings[k] > 1.5 * prev[1][k]
+                and timings[k] - prev[1][k] > 0.25
+            }
         summary["n_regressed"] = len(regressed)
         if regressed:
             summary["regressed"] = regressed

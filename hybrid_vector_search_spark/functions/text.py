@@ -1,11 +1,24 @@
 """Text tokenization and n-gram column expressions.
 
 The reference's analyzer is Lucene's standard analyzer inside the Atlas
-full-text index (reference indexes.py:73-86). Our engine pins an explicit,
-oracle-reproducible definition: lowercase, split on runs of
-non-alphanumerics, drop empties. Both the Spark side (``F.split``) and the
-DuckDB oracle (``string_split_regex``) evaluate the identical regex, so BM25
-corpus statistics hash-match across engines (SURVEY.md §7.5.1).
+full-text index (reference indexes.py:73-86), which keeps UNICODE letters —
+the reference corpus is Spanish (reference seed.py:189-193, Faker es_ES), so
+"menú"/"café" must survive as single tokens. Our engine pins an explicit,
+oracle-reproducible definition: lowercase, split on runs of characters that
+are neither Unicode letters nor Unicode digits, drop empties. The same class
+is spelled three ways for three regex engines that all agree on it:
+
+- ``TOKEN_SPLIT_RE`` — ``[^\p{L}\p{N}]+`` for Java regex (Spark ``F.split``
+  / ``regexp_replace``) and RE2 (DuckDB ``string_split_regex``), which share
+  the ``\p{L}``/``\p{N}`` property syntax;
+- ``PY_TOKEN_SPLIT_RE`` — ``[\W_]+`` for Python ``re`` (no ``\p`` support):
+  ``\w`` minus underscore is Unicode letters+digits (combining marks are
+  excluded by all three engines, checked in tests).
+
+Both sides of every text-family oracle evaluate the same class, so BM25 /
+shingle / token-stat corpus statistics hash-match across engines
+(SURVEY.md §7.5.1). On pure-ASCII corpora (the driver testdata) this is
+byte-identical to the former ``[^a-z0-9]+`` analyzer.
 """
 
 from __future__ import annotations
@@ -13,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT_RE = "[^a-z0-9]+"
+TOKEN_SPLIT_RE = r"[^\p{L}\p{N}]+"
+PY_TOKEN_SPLIT_RE = r"[\W_]+"
 
 
 def tokens(text: Column) -> Column:

@@ -169,6 +169,14 @@ def decode_media(content: bytes, meta: dict) -> np.ndarray:
         return np.frombuffer(content, dtype=np.uint8).reshape(src_h, src_w, 3)
     if fmt in ("", "fake"):
         return fake_decode(content, src_w, src_h)
+    if fmt == "png":
+        # real, dependency-free codec (stdlib zlib) — see png_codec module
+        from .png_codec import decode_png
+
+        img = decode_png(content)
+        if img.shape[2] == 1:  # grey → RGB so downstream kernels see HxWx3
+            img = np.repeat(img, 3, axis=2)
+        return img[:, :, :3]  # drop alpha for the RGB pipeline contract
     return decode_image(content)
 
 

@@ -160,4 +160,4 @@ def _py_tokens(s: str) -> list[str]:
     """Driver-side tokenizer — the same definition as functions.text.tokens."""
     import re
 
-    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+    return [t for t in re.split(r"[\W_]+", s.lower()) if t]

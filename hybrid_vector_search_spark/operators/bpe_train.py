@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-WORD_SPLIT_RE = r"[^a-z]+"  # lower + split: the simplest cross-engine word unit
+WORD_SPLIT_RE = r"[^\p{L}]+"  # lower + split: the simplest cross-engine word unit
 
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -66,7 +66,7 @@ def _initial_segments(words: DataFrame) -> DataFrame:
     with outer sentinels so every symbol occurrence (first/last included)
     matches the ' l r ' replace pattern. The word key rides along untouched
     so training OUTPUT doubles as the word → segmentation lookup table."""
-    chars = F.regexp_extract_all(F.col("word"), F.lit("[a-z]"), 0)
+    chars = F.regexp_extract_all(F.col("word"), F.lit("\\p{L}"), 0)
     return words.select(
         "word",
         F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias("seq"),

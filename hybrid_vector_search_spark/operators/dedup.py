@@ -39,7 +39,7 @@ from ..functions.vector import cosine
 
 def normalized_text(c: Column) -> Column:
     """Whitespace/punctuation-insensitive canonical form for exact dedup."""
-    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), "[^\p{L}\p{N}]+", " "))
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -90,7 +90,7 @@ def shingle_table(
 
     import pandas as pd
 
-    split = re.compile(r"[^a-z0-9]+")
+    split = re.compile(r"[\W_]+")
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -137,7 +137,7 @@ def minhash_signatures(
 
         import pandas as pd
 
-        split = re.compile(r"[^a-z0-9]+")
+        split = re.compile(r"[\W_]+")
         seeds = [f"{i}#".encode() for i in range(num_hashes)]
 
         def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -374,7 +374,7 @@ def sorted_neighborhood_pairs(
     still missed (more passes = more recall, same as more bands).
     Returned pairs are exact-verified, so precision is 1 by construction.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^\p{L}\p{N}]+", " "))
     pass_keys = [norm.substr(1, key_len), F.reverse(norm).substr(1, key_len)]
     if not 1 <= passes <= len(pass_keys):
         raise ValueError(f"passes must be in [1, {len(pass_keys)}], got {passes}")
@@ -470,7 +470,7 @@ def grouped_minhash_signatures(
         import numpy as np
         import pandas as pd
 
-        split = re.compile(r"[^a-z0-9]+")
+        split = re.compile(r"[\W_]+")
         seeds = [f"{k}#".encode() for k in range(n_seeds)]
 
         def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -627,7 +627,7 @@ def _simhash_pandas(df: DataFrame, id_col: str, text_col: str, bits: int) -> Dat
     import numpy as np
     import pandas as pd
 
-    split = re.compile(r"[^a-z0-9]+")
+    split = re.compile(r"[\W_]+")
     # nibble value (0-15) → its 4 bits in md5_bit order (bit j of nibble
     # j//4 is (nib >> (j % 4)) & 1)
     nib_bits = np.array([[(v >> b) & 1 for b in range(4)] for v in range(16)], dtype=np.int64)
@@ -982,7 +982,7 @@ def _span_table(
 
     import pandas as pd
 
-    split = re.compile(r"[^a-z0-9]+")
+    split = re.compile(r"[\W_]+")
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -83,7 +83,7 @@ class HashingEmbedder:
 def _split_tokens(text: str) -> list[str]:
     import re
 
-    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    return [t for t in re.split(r"[\W_]+", text.lower()) if t]
 
 
 class HttpEmbedder:

@@ -99,20 +99,71 @@ def build_ivf(
     metric: str = "cosine",
     seed: int = 42,
     max_iter: int = 20,
+    max_cluster_frac: float | None = None,
 ) -> IVFIndex:
-    """Fit centroids, assign rows, write the partitioned layout."""
+    """Fit centroids, assign rows, write the partitioned layout.
+
+    ``max_cluster_frac`` is the skew guard (real embedding corpora cluster
+    unevenly — one hot centroid can swallow most of the corpus, making every
+    probe that touches it scan ~everything): a cluster assigned more than
+    ``max_cluster_frac`` of the rows is SPLIT into ``ceil(size/cap)``
+    sub-centroids chosen as a deterministic SAMPLE of its own member vectors
+    (xxhash64-ordered — seeded Voronoi sharding), then ALL rows re-assign to
+    the final centroid set (one map-only Arrow pass, assign_clusters) before
+    the partitioned write. Sampled-seed Voronoi cells over a dense region
+    are near-balanced, which is the point; a sub-KMeans would instead chase
+    the cluster's outliers (they dominate SSE) and leave the dense mass
+    whole — measured in tests/test_ivf.py. Probe cost is thereby bounded:
+    scanning ``nprobe`` partitions reads ~``nprobe * cap`` rows instead of
+    the hot cluster's whole blob, and because each sub-centroid is a real
+    position, probing stays geometric (nprobe nearest sub-cells ARE the
+    query's neighborhood — no recall cliff from hash sharding). Query
+    semantics are unchanged — the layout is a pruning structure; exact
+    scoring happens inside the probed subset. The one irreducible case is a
+    content-identical point mass (every seed coincides): that is a dedup
+    problem, not an index-layout problem. Extra build cost: one sizes
+    aggregate + one sample per oversized cluster (at most floor(1/frac) of
+    them) + the re-assignment pass."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feat = df.withColumn("_features", array_to_vector(F.col(vector_col).cast("array<double>")))
     km = KMeans(k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="_features",
                 predictionCol="cluster_id")
     model = km.fit(feat)
-    assigned = model.transform(feat).drop("_features")
-    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
     centroids = np.array([np.asarray(c) for c in model.clusterCenters()], dtype=np.float64)
-    return IVFIndex(path=path, centroids=centroids, id_col=id_col, vector_col=vector_col,
-                    metric=metric)
+    if max_cluster_frac is not None:
+        assigned = model.transform(feat)
+        sizes = {
+            r["cluster_id"]: r["n"]
+            for r in assigned.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+        }
+        total = sum(sizes.values())
+        cap = max(1, int(total * max_cluster_frac))
+        keep = [centroids[c] for c, n in sizes.items() if n <= cap]
+        for c, n in sorted(sizes.items()):
+            if n <= cap:
+                continue
+            k_sub = int(-(-n // cap))  # ceil
+            seeds = (
+                assigned.where(F.col("cluster_id") == c)
+                .select(vector_col)
+                .orderBy(F.xxhash64(F.col(id_col), F.lit(seed + c)))
+                .limit(k_sub)
+                .collect()
+            )
+            keep.extend(
+                np.asarray(r[vector_col], dtype=np.float64) for r in seeds
+            )
+        centroids = np.array(keep, dtype=np.float64)
+    index = IVFIndex(path=path, centroids=centroids, id_col=id_col,
+                     vector_col=vector_col, metric=metric)
+    if max_cluster_frac is not None:
+        assigned = assign_clusters(df, index)  # re-assign to the final set
+    else:
+        assigned = model.transform(feat).drop("_features")
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    return index
 
 
 def assign_clusters(df: DataFrame, index: IVFIndex) -> DataFrame:

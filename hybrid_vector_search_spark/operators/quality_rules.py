@@ -69,7 +69,7 @@ def gopher_rules(
     n_words = F.size(toks)
     sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     mean_word_len = _frac(sum_len, n_words)
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("\\p{L}")))
     frac_alpha = _frac(n_alpha, n_words)
 
     lines = F.filter(

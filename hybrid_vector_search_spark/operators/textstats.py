@@ -223,7 +223,7 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # leading space glued to a letter run, digit run, or punctuation run.
 # Both Java regex and RE2 use leftmost-first alternation, so the piece
 # boundaries agree across engines.
-BPE_PRETOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+BPE_PRETOKEN_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
 
 
 def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -284,7 +284,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     nd = F.size(F.array_distinct(toks))
     len_sat = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
     ttr = nd.cast("double") / F.greatest(n, F.lit(1)).cast("double")
-    alnum = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", "")).cast("double")
+    alnum = F.length(F.regexp_replace(F.lower(text), "[^\p{L}\p{N}]", "")).cast("double")
     alnum_ratio = alnum / F.greatest(F.length(text), F.lit(1)).cast("double")
     stop_en = _stop_ratio(F.array_distinct(toks), "en")
     score = len_sat * (F.lit(0.5) + F.lit(0.5) * ttr) * alnum_ratio * (
@@ -328,7 +328,7 @@ def fingerprints(
 
     import pandas as pd
 
-    norm_re = re.compile(r"[^a-z0-9]+")
+    norm_re = re.compile(r"[\W_]+")
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -485,7 +485,7 @@ def repetition_stats(
 
     import pandas as pd
 
-    split = re.compile(r"[^a-z0-9]+")
+    split = re.compile(r"[\W_]+")
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -18,7 +18,7 @@ from ..operators.textstats import MIN_LANG_RATIO, STOPWORDS
 # functions.text.tokens: lower, split on non-alphanumeric runs, drop empties
 TOKL = (
     "tokl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
-    "'[^a-z0-9]+'), t -> t <> '') AS ts FROM documents)"
+    "'[^\p{L}\p{N}]+'), t -> t <> '') AS ts FROM documents)"
 )
 
 # operators.dedup.shingle_table: distinct word 3-gram md5 per doc
@@ -37,7 +37,7 @@ JACCARD = (
     "FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)"
 )
 
-NORM_TEXT = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+NORM_TEXT = "trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'))"
 
 
 def _minhash_ctes(bands: int, rows_per_band: int) -> str:
@@ -332,7 +332,7 @@ cand AS (
   )
 ),
 tokl AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
-         '[^a-z0-9]+'), t -> t <> '') AS ts FROM u),
+         '[^\p{{L}}\p{{N}}]+'), t -> t <> '') AS ts FROM u),
 sh AS (SELECT DISTINCT doc_id AS id, md5(g) AS sh FROM (
   SELECT doc_id, unnest([array_to_string(ts[i:i+2], ' ')
   FOR i IN range(1, len(ts) - 1)]) AS g FROM tokl WHERE len(ts) >= 3)),
@@ -588,7 +588,7 @@ JOIN ws USING (doc_id)
 BPE_TOKEN_STATS = r"""
 WITH p AS (
   SELECT doc_id,
-         regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+') AS ps
+         regexp_extract_all(lower(text), ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+') AS ps
   FROM documents
 )
 SELECT doc_id,
@@ -606,7 +606,7 @@ FROM p ORDER BY doc_id
 TOKEN_FERTILITY = r"""
 WITH c AS (
   SELECT lang,
-         len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+'))::BIGINT AS n_pieces,
+         len(regexp_extract_all(lower(text), ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))::BIGINT AS n_pieces,
          len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_words
   FROM documents
 )
@@ -650,7 +650,7 @@ m AS (
   SELECT d.doc_id,
          len(ts) AS n,
          len(list_distinct(ts)) AS nd,
-         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE AS alnum,
+         length(regexp_replace(lower(text), '[^\p{{L}}\p{{N}}]', '', 'g'))::DOUBLE AS alnum,
          length(text) AS tlen,
          len(list_intersect(list_distinct(ts), {_stop_list("en")}))::DOUBLE
            / greatest(len(list_distinct(ts)), 1) AS stop_en
@@ -831,7 +831,7 @@ q AS (
   SELECT d.doc_id,
          round(least(len(ts)::DOUBLE / 50.0, 1.0)
                * (0.5 + 0.5 * (len(list_distinct(ts))::DOUBLE / greatest(len(ts), 1)))
-               * (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE
+               * (length(regexp_replace(lower(text), '[^\p{{L}}\p{{N}}]', '', 'g'))::DOUBLE
                   / greatest(length(text), 1))
                * (0.8 + 0.2 * least((len(list_intersect(list_distinct(ts), {_stop_list("en")}))::DOUBLE
                                      / greatest(len(list_distinct(ts)), 1)) * 10.0, 1.0)), 6) AS quality
@@ -957,7 +957,7 @@ m AS (
            list_sum(list_transform(ts, t -> length(t)))::DOUBLE / len(ts)::DOUBLE, 6)
            ELSE 0.0 END AS mean_word_len,
          CASE WHEN len(ts) > 0 THEN round(
-           len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+           len(list_filter(ts, t -> regexp_matches(t, '\p{{L}}')))::DOUBLE
            / len(ts)::DOUBLE, 6) ELSE 0.0 END AS frac_alpha,
          CASE WHEN len(ls) > 0 THEN round(
            len(list_filter(ls, l -> regexp_matches(l, '^[-*\u2022]')))::DOUBLE
@@ -1099,7 +1099,7 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 SOURCE_MIXTURE = """
 WITH per AS (
   SELECT source,
-         sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         sum(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
                              t -> t <> '')))::BIGINT AS n_tokens
   FROM documents GROUP BY source
 ),
@@ -1209,7 +1209,7 @@ cvec AS (
   WHERE b.s <> 0
 ),
 qtok AS (
-  SELECT list_filter(string_split_regex(lower('fast spark table value'), '[^a-z0-9]+'),
+  SELECT list_filter(string_split_regex(lower('fast spark table value'), '[^\p{{L}}\p{{N}}]+'),
                      t -> t <> '') AS ts
 ),
 qfeat AS (
@@ -1357,7 +1357,7 @@ SELECT doc_id, source FROM ranked WHERE rk <= 20 ORDER BY doc_id
 SPAN_DEDUP = """
 WITH tok AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
                      t -> t <> '') AS ts
   FROM documents
 ),
@@ -1393,9 +1393,9 @@ WITH inc AS (
   FROM documents WHERE doc_id % 40 = 0
 ),
 tb AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
-        '[^a-z0-9]+'), t -> t <> '') AS ts FROM documents),
+        '[^\p{L}\p{N}]+'), t -> t <> '') AS ts FROM documents),
 tn AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
-        '[^a-z0-9]+'), t -> t <> '') AS ts FROM inc),
+        '[^\p{L}\p{N}]+'), t -> t <> '') AS ts FROM inc),
 shb AS (SELECT DISTINCT doc_id AS id, md5(g) AS sh FROM (
   SELECT doc_id, unnest([array_to_string(ts[i:i+2], ' ')
                          FOR i IN range(1, len(ts) - 1)]) AS g
@@ -1423,7 +1423,7 @@ FROM jac WHERE jaccard >= 0.5
 NB_CLASSIFIER = """
 WITH tokl AS (
   SELECT doc_id, lang = 'en' AS is_pos,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
                      t -> t <> '') AS ts
   FROM documents
 ),
@@ -1765,12 +1765,12 @@ def _bpe_sql(merges: int = 10, passes: int = 6, tail: str | None = None) -> str:
     head = """
 WITH w AS MATERIALIZED (
   SELECT t AS word, count(*)::BIGINT AS freq FROM (
-    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS t FROM documents
+    SELECT unnest(string_split_regex(lower(text), '[^\p{L}]+')) AS t FROM documents
   ) WHERE t <> '' GROUP BY t
 ),
 s0 AS MATERIALIZED (
   SELECT word,
-         ' ' || array_to_string(regexp_extract_all(word, '[a-z]'), ' ') || ' ' AS seq,
+         ' ' || array_to_string(regexp_extract_all(word, '\p{L}'), ' ') || ' ' AS seq,
          freq
   FROM w
 )"""
@@ -1825,7 +1825,7 @@ BPE_LEARNED_FERTILITY = _bpe_sql(
 SELECT lang, sum(n_tokens)::BIGINT AS bpe_tokens, count(*)::BIGINT AS words,
        round(sum(n_tokens)::DOUBLE / count(*), 6) AS fertility
 FROM (
-  SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+  SELECT lang, unnest(string_split_regex(lower(text), '[^\p{L}]+')) AS word
   FROM documents
 ) d
 JOIN (

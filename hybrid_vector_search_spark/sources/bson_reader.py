@@ -1,0 +1,236 @@
+"""BSON dump ingest (S7's remaining slot: the reference ships its catalog as
+``dump/catalog/products.bson.gz`` — a mongodump archive member — and a user
+switching engines needs to load it directly).
+
+Design: a pure-Python BSON walker (the wire format is public and tiny — a
+length-prefixed element list per document) running INSIDE ``mapInPandas``
+over ``binaryFile`` rows, so document bytes never transit the driver. Each
+document is decoded to a JSON line with Extended-JSON-ish scalar mappings
+(ObjectId → 24-hex string, UTC datetime → epoch millis, Decimal128 → string,
+binary → base64), then ``from_json`` projects it onto the caller's explicit
+schema — Spark's own JSON coercion rules do the typing, identical to the
+JSONL ingest path in formats.py.
+
+Scale notes: one ``.bson.gz`` file = one task (gzip is not splittable and
+BSON has no sync markers — the same parallelism contract as gzipped JSONL;
+mongodump shards large collections into many files, which is where the
+parallelism comes from). The decode kernel is per-file streaming: it slices
+documents off the buffer one length prefix at a time, so peak memory is one
+file, and emits Arrow batches of ``batch_rows`` JSON lines. Like every edge
+format here, this is for INGEST — convert to parquet before processing.
+
+Reference parity: reference/dump/catalog/products.bson.gz +
+products.metadata.json.gz (mongodump layout); the reference engine restores
+it with mongorestore (reference README.md quickstart) — this module is the
+engine-native equivalent.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+import gzip
+import json
+import struct
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_UNPACK_I32 = struct.Struct("<i").unpack_from
+_UNPACK_I64 = struct.Struct("<q").unpack_from
+_UNPACK_U64 = struct.Struct("<Q").unpack_from
+_UNPACK_F64 = struct.Struct("<d").unpack_from
+
+
+def _cstring(buf: bytes, pos: int) -> tuple[str, int]:
+    end = buf.index(0, pos)
+    return buf[pos:end].decode("utf-8"), end + 1
+
+
+def _decimal128_to_str(lo: int, hi: int) -> str:
+    """Decimal128 (IEEE 754-2008 BID) → decimal string; covers the finite
+    non-extreme range mongodump actually emits (coefficient in the low 113
+    bits, exponent biased by 6176). NaN/Inf map to their names."""
+    sign = "-" if (hi >> 63) & 1 else ""
+    combination = (hi >> 58) & 0x1F
+    if combination == 0x1F:
+        return sign + ("NaN" if (hi >> 57) & 1 else "Infinity")
+    if (hi >> 61) & 0x3 == 0x3:  # high combination: coefficient has implicit 100 prefix
+        exponent = ((hi >> 47) & 0x3FFF) - 6176
+        coeff = ((hi & 0x7FFFFFFFFFFF) | (1 << 49)) * (1 << 64) + lo  # rare path
+    else:
+        exponent = ((hi >> 49) & 0x3FFF) - 6176
+        coeff = (hi & 0x1FFFFFFFFFFFF) * (1 << 64) + lo
+    s = str(coeff)
+    if exponent == 0:
+        return sign + s
+    if exponent > 0:
+        return sign + s + "0" * exponent
+    if len(s) > -exponent:
+        k = len(s) + exponent
+        return sign + s[:k] + "." + s[k:]
+    return sign + "0." + "0" * (-exponent - len(s)) + s
+
+
+def _read_value(buf: bytes, pos: int, etype: int) -> tuple[Any, int]:
+    if etype == 0x01:  # double
+        return _UNPACK_F64(buf, pos)[0], pos + 8
+    if etype == 0x02:  # string
+        n = _UNPACK_I32(buf, pos)[0]
+        return buf[pos + 4 : pos + 3 + n].decode("utf-8"), pos + 4 + n
+    if etype in (0x03, 0x04):  # document / array
+        n = _UNPACK_I32(buf, pos)[0]
+        doc = _parse_document(buf, pos)
+        if etype == 0x04:
+            # BSON arrays are documents keyed "0","1",...; order by int key
+            doc = [doc[k] for k in sorted(doc, key=int)]
+        return doc, pos + n
+    if etype == 0x05:  # binary: int32 len, subtype byte, bytes
+        n = _UNPACK_I32(buf, pos)[0]
+        return base64.b64encode(buf[pos + 5 : pos + 5 + n]).decode("ascii"), pos + 5 + n
+    if etype == 0x07:  # ObjectId
+        return buf[pos : pos + 12].hex(), pos + 12
+    if etype == 0x08:  # bool
+        return buf[pos] == 1, pos + 1
+    if etype == 0x09:  # UTC datetime, int64 epoch millis
+        return _UNPACK_I64(buf, pos)[0], pos + 8
+    if etype in (0x0A, 0x06):  # null / deprecated undefined
+        return None, pos
+    if etype == 0x10:  # int32
+        return _UNPACK_I32(buf, pos)[0], pos + 4
+    if etype == 0x12:  # int64
+        return _UNPACK_I64(buf, pos)[0], pos + 8
+    if etype == 0x11:  # Mongo timestamp (internal); surface as uint64
+        return _UNPACK_U64(buf, pos)[0], pos + 8
+    if etype == 0x13:  # Decimal128
+        lo = _UNPACK_U64(buf, pos)[0]
+        hi = _UNPACK_U64(buf, pos + 8)[0]
+        return _decimal128_to_str(lo, hi), pos + 16
+    if etype == 0x0B:  # regex: two cstrings
+        pat, pos = _cstring(buf, pos)
+        opts, pos = _cstring(buf, pos)
+        return {"$regex": pat, "$options": opts}, pos
+    raise ValueError(f"unsupported BSON element type 0x{etype:02x}")
+
+
+def _parse_document(buf: bytes, pos: int) -> dict[str, Any]:
+    size = _UNPACK_I32(buf, pos)[0]
+    end = pos + size - 1  # terminal 0x00
+    pos += 4
+    out: dict[str, Any] = {}
+    while pos < end:
+        etype = buf[pos]
+        name, pos = _cstring(buf, pos + 1)
+        out[name], pos = _read_value(buf, pos, etype)
+    return out
+
+
+def iter_bson_documents(raw: bytes) -> Iterator[dict[str, Any]]:
+    """Yield each top-level document of a concatenated-BSON buffer
+    (the mongodump ``.bson`` payload layout), decompressing gzip first
+    when the magic matches."""
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
+    pos, n = 0, len(raw)
+    while pos + 4 <= n:
+        size = _UNPACK_I32(raw, pos)[0]
+        if size < 5 or pos + size > n:
+            raise ValueError(f"corrupt BSON document header at offset {pos}")
+        yield _parse_document(raw, pos)
+        pos += size
+
+
+def read_bson_dump(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    *,
+    batch_rows: int = 2048,
+) -> DataFrame:
+    """``.bson`` / ``.bson.gz`` dump files → DataFrame with the caller's
+    explicit schema (no inference pass — same contract as read_jsonl).
+
+    The file relation comes from the ``binaryFile`` source (one row per
+    file, content executor-side); the decode kernel JSON-serializes each
+    document and ``from_json`` does the schema projection, so nested
+    structs/arrays, casts, and missing-field → NULL semantics are exactly
+    Spark's JSON rules. Unknown top-level fields are dropped by the
+    projection; unparseable files raise (ingest should fail loudly, the
+    permissive path is the caller's quarantine wrapper)."""
+    import pandas as pd
+
+    def kern(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                buf: list[str] = []
+                for doc in iter_bson_documents(bytes(content)):
+                    buf.append(json.dumps(doc, separators=(",", ":")))
+                    if len(buf) >= batch_rows:
+                        yield pd.DataFrame({"json": buf})
+                        buf = []
+                if buf:
+                    yield pd.DataFrame({"json": buf})
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    lines = files.mapInPandas(kern, "json string")
+    return lines.select(
+        F.from_json(F.col("json"), schema).alias("doc")
+    ).select("doc.*")
+
+
+def write_bson_dump(df: DataFrame, path: str, *, gzipped: bool = True) -> None:
+    """Round-trip sink: one ``.bson``(.gz) shard per partition, written
+    executor-side via foreachPartition (no driver materialization) — the
+    mongodump layout our own reader ingests. Row → BSON uses the inverse
+    scalar mappings of the reader for the types the engine's tables use
+    (long/int/double/string/bool/null, arrays, nested structs)."""
+    import os
+    import uuid
+
+    def _enc_value(v: Any) -> tuple[int, bytes]:
+        if v is None:
+            return 0x0A, b""
+        if isinstance(v, bool):
+            return 0x08, b"\x01" if v else b"\x00"
+        if isinstance(v, int):
+            return 0x12, struct.pack("<q", v)
+        if isinstance(v, float):
+            return 0x01, struct.pack("<d", v)
+        if isinstance(v, str):
+            b = v.encode("utf-8")
+            return 0x02, struct.pack("<i", len(b) + 1) + b + b"\x00"
+        if isinstance(v, (_dt.datetime,)):
+            ms = int(v.timestamp() * 1000)
+            return 0x09, struct.pack("<q", ms)
+        if isinstance(v, (list, tuple)):
+            return 0x04, _enc_doc({str(i): x for i, x in enumerate(v)})
+        if isinstance(v, dict):
+            return 0x03, _enc_doc(v)
+        if hasattr(v, "asDict"):  # Row
+            return 0x03, _enc_doc(v.asDict(recursive=True))
+        raise TypeError(f"unsupported type for BSON write: {type(v)}")
+
+    def _enc_doc(d: dict[str, Any]) -> bytes:
+        body = b""
+        for k, v in d.items():
+            et, payload = _enc_value(v)
+            body += bytes([et]) + k.encode("utf-8") + b"\x00" + payload
+        return struct.pack("<i", len(body) + 5) + body + b"\x00"
+
+    os.makedirs(path, exist_ok=True)
+
+    def sink(rows) -> None:
+        chunks = [_enc_doc(r.asDict(recursive=True)) for r in rows]
+        if not chunks:
+            return
+        blob = b"".join(chunks)
+        name = f"part-{uuid.uuid4().hex}.bson"
+        if gzipped:
+            blob = gzip.compress(blob, compresslevel=1)
+            name += ".gz"
+        with open(os.path.join(path, name), "wb") as f:
+            f.write(blob)
+
+    df.foreachPartition(sink)

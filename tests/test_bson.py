@@ -1,0 +1,133 @@
+"""sources.bson_reader: the S7 BSON-dump ingest lane.
+
+Covers the pure-Python walker against the REAL reference dump
+(reference dump/catalog/products.bson.gz — mongodump layout; the reference
+restores it with mongorestore, we ingest it natively), the Spark-level
+read with explicit schema, the write → read round-trip, and wire-format
+edge cases (Decimal128, ObjectId, corrupt headers)."""
+
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+
+import pytest
+
+from hybrid_vector_search_spark.sources.bson_reader import (
+    _decimal128_to_str,
+    iter_bson_documents,
+    read_bson_dump,
+    write_bson_dump,
+)
+
+REF_DUMP = "/root/reference/dump/catalog/products.bson.gz"
+
+
+def _enc_str(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack("<i", len(b) + 1) + b + b"\x00"
+
+
+def _mini_doc() -> bytes:
+    """Hand-assembled BSON: {"a": 1 (int32), "b": "x", "c": true, "d": null,
+    "e": 2.5, "f": int64 7}."""
+    body = b"\x10a\x00" + struct.pack("<i", 1)
+    body += b"\x02b\x00" + _enc_str("x")
+    body += b"\x08c\x00\x01"
+    body += b"\x0ad\x00"
+    body += b"\x01e\x00" + struct.pack("<d", 2.5)
+    body += b"\x12f\x00" + struct.pack("<q", 7)
+    return struct.pack("<i", len(body) + 5) + body + b"\x00"
+
+
+def test_walker_scalars():
+    docs = list(iter_bson_documents(_mini_doc() * 3))
+    assert len(docs) == 3
+    assert docs[0] == {"a": 1, "b": "x", "c": True, "d": None, "e": 2.5, "f": 7}
+
+
+def test_walker_rejects_corrupt_header():
+    buf = struct.pack("<i", 3) + b"\x00" * 10  # size < 5
+    with pytest.raises(ValueError, match="corrupt"):
+        list(iter_bson_documents(buf))
+
+
+def test_walker_gzip_transparent():
+    docs = list(iter_bson_documents(gzip.compress(_mini_doc())))
+    assert docs[0]["a"] == 1
+
+
+def test_decimal128():
+    # 123.45 → coefficient 12345, exponent -2 (bias 6176 → 6174)
+    lo, hi = 12345, 6174 << 49
+    assert _decimal128_to_str(lo, hi) == "123.45"
+    assert _decimal128_to_str(0, (1 << 63) | (6174 << 49)) == "-0.00"
+    assert _decimal128_to_str(42, 6176 << 49) == "42"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DUMP), reason="reference dump absent")
+def test_reference_dump_parses():
+    docs = list(iter_bson_documents(open(REF_DUMP, "rb").read()))
+    assert len(docs) == 1000
+    d = docs[0]
+    # ObjectId surfaces as 24-hex; nested arrays parse as real lists
+    assert len(d["_id"]) == 24 and int(d["_id"], 16) >= 0
+    assert isinstance(d["availability"], list)
+    assert isinstance(d["availability"][0]["timePeriods"], list)
+    assert isinstance(d["products"], list) and "name" in d["products"][0]
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DUMP), reason="reference dump absent")
+def test_reference_dump_ingests_through_spark(spark):
+    """The reference's shipped catalog loads directly: explicit CATALOG_SCHEMA
+    projection (same schema catalog_gen generates), full count, and the
+    nested availability/products arrays survive as typed columns."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.sources.catalog_gen import CATALOG_SCHEMA
+
+    df = read_bson_dump(spark, REF_DUMP, CATALOG_SCHEMA)
+    assert df.count() == 1000
+    row = df.select(
+        F.count_distinct("_id").alias("ids"),
+        F.sum(F.size("products")).alias("n_products"),
+        F.sum(F.size("availability")).alias("n_avail"),
+    ).collect()[0]
+    assert row["ids"] == 1000
+    assert row["n_products"] > 0 and row["n_avail"] > 0
+    # unwind parity with the reference scenario's flatten path
+    n_products = df.select(F.explode("products")).count()
+    assert n_products == row["n_products"]
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "héllo wörld", 2.5, True, ["a", "b"], {"k": "v1"}),
+            (2, None, -0.0, False, [], {"k": None}),
+            (3, "third", 1e300, None, ["z"], None),
+        ],
+        "id long, s string, x double, b boolean, arr array<string>, st struct<k string>",
+    )
+    path = str(tmp_path / "dump")
+    write_bson_dump(df.repartition(2), path)
+    back = read_bson_dump(
+        spark, path, "id long, s string, x double, b boolean, arr array<string>, st struct<k string>"
+    )
+    got = sorted(back.collect(), key=lambda r: r["id"])
+    want = sorted(df.collect(), key=lambda r: r["id"])
+    assert [r.asDict(recursive=True) for r in got] == [
+        r.asDict(recursive=True) for r in want
+    ]
+
+
+def test_roundtrip_uncompressed(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    path = str(tmp_path / "raw")
+    write_bson_dump(df.coalesce(1), path, gzipped=False)
+    assert any(f.endswith(".bson") for f in os.listdir(path))
+    back = read_bson_dump(spark, path, "id long, s string")
+    assert sorted((r["id"], r["s"]) for r in back.collect()) == [(1, "a"), (2, "b")]

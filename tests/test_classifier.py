@@ -27,7 +27,7 @@ CORPUS = [
 
 
 def _tok(t: str) -> list[str]:
-    return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+    return [w for w in re.split(r"[\W_]+", t.lower()) if w]
 
 
 def _python_model(rows):

@@ -147,7 +147,7 @@ def test_bpe_pretokenizer_cross_engine_on_punctuation(spark, duck):
     duck.executemany("INSERT INTO _bpe_fix VALUES (?, ?)", rows)
     want = duck.execute(r"""
         WITH p AS (SELECT doc_id, regexp_extract_all(lower(text),
-                   ' ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+') AS ps FROM _bpe_fix)
+                   ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+') AS ps FROM _bpe_fix)
         SELECT doc_id, len(ps)::BIGINT, len(list_distinct(ps))::BIGINT,
                coalesce(list_sum(list_transform(ps, x -> length(x))), 0)::BIGINT,
                round(coalesce(list_sum(list_transform(ps, x -> length(x))), 0)::DOUBLE

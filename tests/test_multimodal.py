@@ -187,9 +187,20 @@ def test_decode_media_dispatches_on_declared_format():
     assert (fake == fake_decode(blob, 8, 4)).all()
     assert (decode_media(blob, {"width": 8, "height": 4}) == fake).all()
 
-    if not _HAS_PIL:  # real codec name reaches the gated decode_image
+    # format='png' routes to the dependency-free stdlib codec (real decode,
+    # no Pillow needed — png_codec); grey expands to the HxWx3 contract
+    from hybrid_vector_search_spark.png_codec import encode_png
+
+    grey = np.arange(32, dtype=np.uint8).reshape(4, 8)
+    via_png = decode_media(
+        encode_png(grey), {"format": "png", "width": 8, "height": 4}
+    )
+    assert via_png.shape == (4, 8, 3)
+    assert (via_png[:, :, 0] == grey).all() and (via_png[:, :, 2] == grey).all()
+
+    if not _HAS_PIL:  # other real codec names reach the gated decode_image
         with pytest.raises(NotImplementedError):
-            decode_media(b"\x89PNG...", {"format": "png", "width": 8, "height": 4})
+            decode_media(b"\xff\xd8\xff jpeg", {"format": "jpeg", "width": 8, "height": 4})
 
 
 def test_resize_output_consumable_as_raw_rgb(spark):

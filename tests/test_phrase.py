@@ -12,10 +12,10 @@ from .conftest import SF_MID
 
 def _py_phrase_counts(texts: dict, phrase: str) -> dict:
     """Reference: tokenize, count consecutive-run matches (overlaps count)."""
-    pterms = [t for t in re.split(r"[^a-z0-9]+", phrase.lower()) if t]
+    pterms = [t for t in re.split(r"[\W_]+", phrase.lower()) if t]
     out = {}
     for i, text in texts.items():
-        toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+        toks = [t for t in re.split(r"[\W_]+", (text or "").lower()) if t]
         starts = [
             s
             for s in range(len(toks) - len(pterms) + 1)

@@ -17,9 +17,9 @@ from hypothesis import strategies as st
 def test_py_tokens_matches_regex_definition(s):
     from hybrid_vector_search_spark.operators.bm25 import _py_tokens
 
-    expected = [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+    expected = [t for t in re.split(r"[\W_]+", s.lower()) if t]
     assert _py_tokens(s) == expected
-    assert all(re.fullmatch(r"[a-z0-9]+", t) for t in _py_tokens(s))
+    assert all(re.fullmatch(r"[^\W_]+", t) for t in _py_tokens(s))
 
 
 @given(st.text(max_size=300))

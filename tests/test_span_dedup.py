@@ -25,7 +25,7 @@ SPAN = 8
 def _py_reference(docs, span):
     spans = []  # (doc_id, span_idx, text)
     for doc_id, text in docs:
-        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        toks = [t for t in re.split(r"[\W_]+", text.lower()) if t]
         for i in range(0, len(toks), span):
             spans.append((doc_id, i // span, " ".join(toks[i : i + span])))
     first: dict[str, tuple] = {}
