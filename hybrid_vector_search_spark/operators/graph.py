@@ -42,7 +42,11 @@ def connected_components(
     are singleton components by definition; callers union them in if the
     full partition of the corpus is wanted).
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # checkpoint the input once — the symmetrization below references it
+    # twice, which would re-evaluate the upstream pair pipeline twice
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint(eager=True)
     # size the iteration to the PAIR graph, not the corpus: near-dup edge
@@ -137,14 +141,19 @@ def connected_components_star(
     edge list reaches a fixpoint (a forest of stars rooted at component
     minima).
     """
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # checkpoint the INPUT once: nodes and the working edge list both derive
+    # from it, and without this each derivation re-evaluates the upstream
+    # pipeline (for the near-dup use the shingle+jaccard pair build is ~2 s
+    # at sf0.1 — it dominated this operator's bench row, not the rounds)
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
     # remember every node BEFORE dropping self-loops (a pure self-loop node is
     # its own singleton component; roots also drop out of `a` at convergence)
     nodes = (
         raw.select(F.col("a").alias("node"))
         .union(raw.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     e = (
         raw.where(F.col("a") != F.col("b"))

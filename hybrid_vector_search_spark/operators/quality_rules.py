@@ -61,29 +61,38 @@ def gopher_rules(
 ) -> DataFrame:
     """Per-document rule metrics + the pass/fail conjunction.
 
-    One projection, no aggregation: every metric is a higher-order-function
-    expression over the token / line arrays of the single input row.
+    Still map-only and zero-Python, but STAGED as three stacked projections
+    so the expensive array builds evaluate once per row: higher-order-
+    function expressions are excluded from whole-stage-codegen subexpression
+    elimination, so the original single-projection form re-tokenized the
+    full text once per metric — and then once more per term of ``passes``
+    (~15 regex splits per document; 2.8 s for a 5 000-doc map at sf0.1,
+    the r7 bench's flagged row). The lower projection materializes the
+    token and line arrays; the middle one derives each metric from those
+    array COLUMNS; the top one folds ``passes`` from the metric columns.
+    CollapseProject keeps the stages apart precisely because the aliased
+    arrays are non-cheap and multiply referenced. Output is byte-identical
+    (``passes`` always compared the same rounded expressions).
     """
     text = F.col(text_col)
-    toks = tokens(text)
+    base = df.select(
+        F.col(id_col),
+        text.alias("_text"),
+        tokens(text).alias("_toks"),
+        F.filter(
+            F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+            lambda l: l != "",
+        ).alias("_lines"),
+    )
+
+    toks, lines, raw = F.col("_toks"), F.col("_lines"), F.col("_text")
     n_words = F.size(toks)
     sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    mean_word_len = _frac(sum_len, n_words)
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("\\p{L}")))
-    frac_alpha = _frac(n_alpha, n_words)
-
-    lines = F.filter(
-        F.transform(F.split(text, "\n"), lambda l: F.trim(l)), lambda l: l != ""
-    )
     n_lines = F.size(lines)
     n_bullet = F.size(F.filter(lines, lambda l: l.rlike("^[-*•]")))
     n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike("\\.\\.\\.$")))
-    frac_bullet = _frac(n_bullet, n_lines)
-    frac_ellipsis = _frac(n_ellipsis, n_lines)
-
-    n_symbols = _occurrences(text, "#") + _occurrences(text, "...")
-    symbol_ratio = _frac(n_symbols, n_words)
-
+    n_symbols = _occurrences(raw, "#") + _occurrences(raw, "...")
     tok_set = F.array_distinct(toks)
     stop_hits = F.size(
         F.filter(
@@ -91,27 +100,26 @@ def gopher_rules(
             lambda s: F.array_contains(tok_set, s),
         )
     )
-
-    passes = (
-        (n_words >= min_words)
-        & (n_words <= max_words)
-        & (mean_word_len >= min_mean_word_len)
-        & (mean_word_len <= max_mean_word_len)
-        & (symbol_ratio <= max_symbol_ratio)
-        & (frac_bullet <= max_bullet_frac)
-        & (frac_ellipsis <= max_ellipsis_frac)
-        & (frac_alpha >= min_alpha_frac)
-        & (stop_hits >= min_stop_hits)
-    )
-
-    return df.select(
+    metrics = base.select(
         F.col(id_col),
         n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        frac_alpha.alias("frac_alpha"),
-        frac_bullet.alias("frac_bullet_lines"),
-        frac_ellipsis.alias("frac_ellipsis_lines"),
-        symbol_ratio.alias("symbol_word_ratio"),
+        _frac(sum_len, n_words).alias("mean_word_len"),
+        _frac(n_alpha, n_words).alias("frac_alpha"),
+        _frac(n_bullet, n_lines).alias("frac_bullet_lines"),
+        _frac(n_ellipsis, n_lines).alias("frac_ellipsis_lines"),
+        _frac(n_symbols, n_words).alias("symbol_word_ratio"),
         stop_hits.alias("stop_hits"),
-        passes.alias("passes"),
     )
+
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_ratio)
+        & (F.col("frac_bullet_lines") <= max_bullet_frac)
+        & (F.col("frac_ellipsis_lines") <= max_ellipsis_frac)
+        & (F.col("frac_alpha") >= min_alpha_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return metrics.select("*", passes.alias("passes"))

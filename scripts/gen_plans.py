@@ -421,6 +421,44 @@ downstream consumer reads.
 key before CUBE over the ~6-row partial (no Expand growth); the r6 number
 was machine-load drift on a sub-second query — exactly the class the r7
 escalate-before-flag bench change absorbs.
+
+## Bench root-cause notes (r8) — the four BENCH_r07-flagged rows
+
+Each profiled SOLO at sf0.1 (3 runs, fresh session, nothing co-resident),
+with the new (analysis, exec) split:
+
+**`source_token_kl` (flagged 4.5×): contention, not a regression.** Solo:
+0.99 s total (exec 0.71 s) — at its r6 level. **`training_manifest`**: solo
+1.20 s, at level. **`duplicate_spans`**: solo 0.98 s, at level. All three
+were co-resident flags from the r7 bench run sharing the machine with 33
+new queries' first-touch work. Mitigation shipped in r8: bench.py records
+(analysis_sec, exec_sec) per query and the regression gate compares
+exec_sec only — analysis is driver-side py4j/Catalyst work that jitters
+with process load and was ~50% of every sub-second row's wall.
+
+**`gopher_quality_rules` (4.26 s for a map-only pass): REAL, fixed.**
+Root cause: higher-order-function expressions are excluded from
+whole-stage-codegen subexpression elimination, and the single-projection
+form referenced `tokens(text)` from every metric — and re-derived every
+metric again inside the `passes` conjunction — so each row tokenized the
+full text ~15×. Fix (operators/quality_rules.py): three stacked
+projections — materialize the token/line arrays once, derive metrics from
+the array columns, fold `passes` from the metric columns; CollapseProject
+keeps the stages apart because the aliased arrays are non-cheap and
+multiply referenced. Solo exec 2.8 s → 1.04 s; byte-identical output
+(oracle re-verified).
+
+**`dedup_components_star` 5.95 s (slowest bench row, r7 ask #4).**
+Counted rounds at sf0.1: TWO star rounds (the near-dup pair graph is
+star-shaped already) — the wall was never the iteration. It was the
+un-checkpointed INPUT: `nodes` and the working edge list each re-evaluated
+the upstream shingle→jaccard pair build (~2 s/evaluation). Fix
+(operators/graph.py): localCheckpoint the input edge relation once before
+deriving nodes/edges from it (same fix applied to min-label
+`connected_components`, whose symmetrization referenced the input twice in
+one plan). Solo 6.15 s → 3.61 s, remaining wall = the one irreducible
+pair-build + 2 rounds × fixed per-round job overhead that amortizes on a
+real cluster.
 """
 
 
