@@ -1066,6 +1066,73 @@ def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("score"), F.asc("id")).limit(10)
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank over the cosine top-25 head (k=10, λ=0.7):
+    the post-retrieval diversifier composed onto the reference's
+    $vectorSearch semantics. Candidate generation is the distributed part
+    (exact knn_join top-25); the greedy fold is bounded O(k²) driver-side
+    arithmetic over engine-rounded values (operators/mmr.py), replayed
+    bit-for-bit by the oracle's chained argmax CTEs."""
+    from hybrid_vector_search_spark.operators.mmr import mmr_rerank
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector_df(spark, sf_dir)
+    cands = knn_op.knn_join(
+        q, corpus.where(F.col("vec_id") != 0), k=25, metric="cosine"
+    ).join(corpus.select("vec_id", "embedding"), "vec_id")
+    out = mmr_rerank(
+        cands, k=10, lam=0.7,
+        id_col="vec_id", score_col="score", vector_col="embedding",
+    )
+    return out.orderBy("rank")
+
+
+def _mmr_oracle(k: int = 10) -> str:
+    """Chained-CTE replay of the greedy MMR argmax (same discipline as the
+    pagerank fixpoint oracle): sel_i = sel_{i-1} + the remaining candidate
+    maximizing λ·rel − (1−λ)·max-sim-to-selected, ties by ascending id.
+    (1.0 - 0.7) is spelled as the same subtraction the operator computes,
+    so both engines use the identical double."""
+    cos = _COS
+    parts = [f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT e.vec_id AS id, round({cos}, 6) AS rel, e.embedding::DOUBLE[] AS v
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+  ORDER BY rel DESC, e.vec_id ASC
+  LIMIT 25),
+sims AS MATERIALIZED (
+  SELECT a.id AS ia, b.id AS ib,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM cand a JOIN cand b ON a.id <> b.id),
+sel1 AS MATERIALIZED (
+  SELECT id, 1 AS rank, round(0.7 * rel, 6) AS mmr_score
+  FROM cand ORDER BY 0.7 * rel DESC, id ASC LIMIT 1)"""]
+    for i in range(2, k + 1):
+        parts.append(f""",
+sel{i} AS MATERIALIZED (
+  SELECT * FROM sel{i - 1}
+  UNION ALL
+  (SELECT c.id, {i} AS rank,
+          round(0.7 * c.rel - (1.0 - 0.7) * coalesce(
+            (SELECT max(s.sim) FROM sims s
+             WHERE s.ia = c.id AND s.ib IN (SELECT id FROM sel{i - 1})),
+            0.0), 6) AS mmr_score
+   FROM cand c
+   WHERE c.id NOT IN (SELECT id FROM sel{i - 1})
+   ORDER BY 0.7 * c.rel - (1.0 - 0.7) * coalesce(
+            (SELECT max(s.sim) FROM sims s
+             WHERE s.ia = c.id AND s.ib IN (SELECT id FROM sel{i - 1})),
+            0.0) DESC, c.id ASC
+   LIMIT 1))""")
+    parts.append(f"""
+SELECT id AS vec_id, rank, mmr_score FROM sel{k} ORDER BY rank""")
+    return "".join(parts)
+
+
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram statistics: the 20 bigrams present in the most
     documents (document frequency, distinct per doc)."""
@@ -1323,6 +1390,81 @@ GROUP BY lang, source
 ORDER BY lang, source
 """
 
+_COPURCHASE_LIFT_ORACLE = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM baskets),
+po AS (SELECT l_partkey, count(*)::BIGINT AS n_ord FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*)::BIGINT AS n_both
+  FROM baskets a
+  JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3)
+SELECT part_a, part_b, n_both,
+       round(n_both::DOUBLE / t.n_orders, 6) AS support,
+       round(n_both::DOUBLE / pa.n_ord, 6) AS confidence,
+       round((n_both * t.n_orders)::DOUBLE / (pa.n_ord * pb.n_ord), 6) AS lift
+FROM pairs
+JOIN po pa ON pairs.part_a = pa.l_partkey
+JOIN po pb ON pairs.part_b = pb.l_partkey
+CROSS JOIN tot t
+ORDER BY lift DESC, part_a, part_b
+LIMIT 25
+"""
+
+_ATTRIBUTION_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+marked AS (
+  SELECT user_id, event_type, rn,
+    min(CASE WHEN event_type <> 'purchase' THEN rn END)
+      OVER (PARTITION BY user_id ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_rn,
+    max(CASE WHEN event_type <> 'purchase' THEN rn END)
+      OVER (PARTITION BY user_id ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_rn
+  FROM ranked),
+p AS (SELECT user_id, first_rn, last_rn FROM marked WHERE event_type = 'purchase')
+SELECT coalesce(f.event_type, 'none') AS first_touch,
+       coalesce(l.event_type, 'none') AS last_touch,
+       count(*)::BIGINT AS n_purchases
+FROM p
+LEFT JOIN ranked f ON p.user_id = f.user_id AND p.first_rn = f.rn
+LEFT JOIN ranked l ON p.user_id = l.user_id AND p.last_rn = l.rn
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+_UNICODE_TOKENS_ORACLE = r"""
+WITH planted AS (
+  SELECT doc_id, lang,
+         text || ' ' ||
+         (['Menú', 'CAFÉ', 'Ñandú', 'ÁGUILA'])[(doc_id % 4 + 1)::INT] ||
+         ' descripción única 42' AS text
+  FROM documents),
+acc AS (
+  SELECT doc_id, lang, ts, len(ts)::BIGINT AS n_tokens,
+         list_filter(ts, t -> regexp_matches(t, '[^\x00-\x7F]')) AS accented
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                           t -> t <> '') AS ts
+        FROM planted))
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS sum_tokens,
+       sum(len(accented))::BIGINT AS sum_accented,
+       array_to_string(
+         list_sort(list_distinct(flatten(list(list_distinct(accented))))),
+         ',') AS accented_vocab
+FROM acc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 
 def q_hybrid_fusion_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7/U3 driver-checked: the hybrid query with scoreDetails serialized
@@ -1436,6 +1578,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": pipeline.phrase_match,
         # --- (3) NEW in r8, staged right after the window
         "bson_roundtrip": q_bson_roundtrip,
+        "unicode_token_stats": pipeline.unicode_token_stats,
+        "quality_curriculum": pipeline.quality_curriculum,
+        "copurchase_lift": relational.copurchase_lift,
+        "attribution_first_last": relational.attribution_first_last,
+        "mmr_rerank": q_mmr_rerank,
         # --- (4) remaining r5-verified
         "dedup_canonical": pipeline.dedup_canonical,
         "hybrid_fusion_details": q_hybrid_fusion_details,
@@ -2984,6 +3131,10 @@ def oracle_sql() -> dict[str, str]:
         "embed_roundtrip": _EMBED_ROUNDTRIP_ORACLE,
         "sink_roundtrip": _SINK_ROUNDTRIP_ORACLE,
         "bson_roundtrip": _BSON_ROUNDTRIP_ORACLE,
+        "unicode_token_stats": _UNICODE_TOKENS_ORACLE,
+        "copurchase_lift": _COPURCHASE_LIFT_ORACLE,
+        "attribution_first_last": _ATTRIBUTION_ORACLE,
+        "mmr_rerank": _mmr_oracle(10),
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),
         "knn_dot": _KNN_ORACLE.format(score_expr=_DOT, where="e.vec_id <> 0"),

@@ -1,0 +1,90 @@
+"""Maximal Marginal Relevance (MMR) diversity rerank (Carbonell & Goldstein
+1998) — the standard post-retrieval diversifier the reference's hybrid
+search stops short of: greedily pick the candidate maximizing
+``λ·relevance − (1−λ)·max_similarity_to_already_selected``.
+
+Placement in the plan: MMR is inherently sequential (each pick depends on
+the previous), so it runs AFTER top-k — over the BOUNDED candidate head
+(≤25 rows here, clamped like every reference limit), never the corpus. The
+distributed work is producing the candidates (ANN/BM25/fusion); the rerank
+is a k-step greedy fold over at most k² precomputed numbers. The relevance
+vector and the pairwise cosine matrix are computed IN the plan (one tiny
+cross-join job, engine arithmetic, rounded to 6 dp); only the bounded fold
+itself runs driver-side over those rounded values — the same "driver
+touches O(k), never O(corpus)" budget as the reference's own result
+handling. Total-order tie-breaks make the selection a pure function of the
+rounded inputs, which is what lets a DuckDB oracle replay the greedy
+selection bit-for-bit as chained CTEs (the same discipline as the pagerank
+fixpoint oracle).
+
+At 100 TB: candidates per query are O(k); for batched query serving the
+same fold runs per query_id partition — state is k rows per query either
+way. The candidate pairwise-similarity matrix is O(k²) scores, computed
+once up front in one plan (cross-join of the k-row relation with itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    *,
+    k: int,
+    lam: float = 0.7,
+    id_col: str = "id",
+    score_col: str = "score",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """(id, rank, mmr_score) — the greedy MMR selection of ``k`` rows.
+
+    ``candidates`` must be a bounded relation (a top-k head). Relevance and
+    pairwise cosine are rounded to 6 dp before the greedy fold; ties break
+    by ascending id. The fold materializes the candidate list and its k²
+    similarity matrix once (two tiny jobs), then the selection itself is
+    pure deterministic arithmetic over those rounded values — the oracle
+    replays it as chained CTEs.
+    """
+    spark = candidates.sparkSession
+    a = candidates.select(
+        F.col(id_col).alias("ia"),
+        F.round(F.col(score_col), 6).alias("rel"),
+        F.col(vector_col).alias("va"),
+    )
+    b = candidates.select(
+        F.col(id_col).alias("ib"), F.col(vector_col).alias("vb")
+    )
+    sims = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+    )
+    cand_rows = a.select("ia", "rel").collect()
+    sim_rows = sims.collect()
+    rel = {r["ia"]: float(r["rel"]) for r in cand_rows}
+    sim = {(r["ia"], r["ib"]): float(r["sim"]) for r in sim_rows}
+    selected: list[tuple[int, int, float]] = []  # (id, rank, mmr_score)
+    chosen: list = []
+    remaining = sorted(rel)
+    for rank in range(1, min(k, len(remaining)) + 1):
+        best_id, best_val = None, None
+        for c in remaining:
+            if c in chosen:
+                continue
+            max_sim = max((sim[(c, s)] for s in chosen), default=0.0)
+            # argmax over the UNROUNDED value (the oracle orders by the same
+            # double expression); ascending-id tie-break via strict >
+            val = lam * rel[c] - (1.0 - lam) * max_sim
+            if best_val is None or val > best_val:
+                best_id, best_val = c, val
+        chosen.append(best_id)
+        selected.append((best_id, rank, round(best_val, 6)))
+    out_schema = f"{id_col} long, rank int, mmr_score double"
+    return spark.createDataFrame(selected, out_schema)

@@ -667,6 +667,35 @@ SELECT doc_id,
 FROM m
 """
 
+# plans.pipeline.quality_curriculum: exact interpolated quartile thresholds
+# (quantile_cont == Spark percentile, parity pinned by value_percentiles)
+# over the composite quality score, then a CASE bucket per doc. The score
+# CTE is referenced twice (thresholds + bucketing) -> AS MATERIALIZED, or
+# DuckDB re-expands it exponentially. Mean through DECIMAL(18,6): scores
+# are pre-rounded to 6 dp so the decimal sum is exact on both engines.
+QUALITY_CURRICULUM = f"""
+WITH q AS MATERIALIZED ({QUALITY_SCORE}),
+th AS (
+  SELECT round(quantile_cont(quality, 0.25), 6) AS q1,
+         round(quantile_cont(quality, 0.50), 6) AS q2,
+         round(quantile_cont(quality, 0.75), 6) AS q3
+  FROM q),
+b AS (
+  SELECT n_tokens, quality,
+         CASE WHEN quality <= th.q1 THEN 1
+              WHEN quality <= th.q2 THEN 2
+              WHEN quality <= th.q3 THEN 3
+              ELSE 4 END AS bucket
+  FROM q CROSS JOIN th)
+SELECT bucket,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS token_budget,
+       round(sum(quality::DECIMAL(18,6))::DOUBLE / count(*), 6) AS mean_quality
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
 # operators.skyline.pareto_frontier: strict dominance (smaller AND larger)
 # — the frontier is a pure function of the value set, stated as NOT EXISTS.
 DOC_QUALITY_SKYLINE = f"""
@@ -1958,6 +1987,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "bpe_token_stats": BPE_TOKEN_STATS,
     "language_id": LANGUAGE_ID,
     "quality_score": QUALITY_SCORE,
+    "quality_curriculum": QUALITY_CURRICULUM,
     "doc_fingerprints": DOC_FINGERPRINTS,
     "sample_deterministic": SAMPLE_DETERMINISTIC,
     "weighted_sample_docs": WEIGHTED_SAMPLE_DOCS,

@@ -1827,3 +1827,106 @@ def snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_merge(old, new, "doc_id", "text").orderBy(
         "key", "valid_from", "fingerprint"
     )
+
+
+def unicode_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-pins the r8 UNICODE analyzer cross-engine (the reference's
+    Lucene standard analyzer keeps Unicode letters; its corpus is Spanish —
+    reference indexes.py:73-86, seed.py:189-193): every doc gets a planted
+    accented suffix chosen by doc_id arithmetic, with UPPERCASE accented
+    forms so lower() is exercised on non-ASCII too; both engines then
+    tokenize with the same [^\\p{L}\\p{N}]+ class and must agree on token
+    counts AND on which tokens contain non-ASCII letters. Map-only +
+    one small aggregate."""
+    from ..functions.text import tokens as tok_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.array(
+        F.lit("Menú"), F.lit("CAFÉ"), F.lit("Ñandú"), F.lit("ÁGUILA")
+    )
+    planted = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.element_at(words, (F.col("doc_id") % 4 + 1).cast("int")),
+            F.lit(" descripción única 42"),
+        ).alias("text"),
+    )
+    toks = tok_expr(F.col("text"))
+    accented = F.filter(toks, lambda t: t.rlike("[^\\x00-\\x7F]"))
+    per_doc = planted.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(accented).alias("n_accented"),
+        F.array_distinct(accented).alias("acc_set"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("n_accented").alias("sum_accented"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("acc_set")))
+            ).alias("accented_vocab"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "sum_tokens",
+            "sum_accented",
+            F.array_join("accented_vocab", ",").alias("accented_vocab"),
+        )
+        .orderBy("lang")
+    )
+
+
+def quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum buckets for training order: documents quartiled by the
+    composite quality score, per bucket doc and token budgets. The bucket
+    boundaries are EXACT interpolated quartiles of the rounded score
+    (percentile ≡ DuckDB quantile_cont, parity already pinned by
+    value_percentiles) computed as a 1-row relation and broadcast — a
+    map-only CASE per doc, never a global-ORDER-BY ntile window (which
+    would single-task a 100 TB sort). Boundary ties are deterministic:
+    scores are pre-rounded to 6 dp on both engines and buckets use <=
+    against identical threshold values."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textstats.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "n_tokens", "quality"
+    )
+    qs = scored.agg(
+        F.percentile("quality", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("q")
+    ).select(
+        F.round(F.col("q")[0], 6).alias("q1"),
+        F.round(F.col("q")[1], 6).alias("q2"),
+        F.round(F.col("q")[2], 6).alias("q3"),
+    )
+    bucketed = scored.crossJoin(F.broadcast(qs)).select(
+        "n_tokens",
+        "quality",
+        F.when(F.col("quality") <= F.col("q1"), F.lit(1))
+        .when(F.col("quality") <= F.col("q2"), F.lit(2))
+        .when(F.col("quality") <= F.col("q3"), F.lit(3))
+        .otherwise(F.lit(4))
+        .alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("token_budget"),
+            # mean through DECIMAL: quality is already 6 dp, so the decimal
+            # sum is exact and associative (partition-order stable); one
+            # double division at the end is bit-identical across engines
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_quality"),
+        )
+        .orderBy("bucket")
+    )

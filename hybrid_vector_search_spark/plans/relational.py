@@ -1897,3 +1897,134 @@ def excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for part pairs
+    co-occurring in >= 3 orders, support / confidence / lift. The classic
+    co-purchase recommender primitive (and the lift-weighted cousin of
+    copurchase_triangles' structural view).
+
+    Scale: the only self-join is WITHIN an order key — shuffle partitions
+    by l_orderkey and the pair fan-out per order is C(basket, 2) with
+    basket ~ a few lineitems, so work is linear in orders, never all-pairs
+    across parts. Part marginals broadcast onto the pair relation (a few
+    thousand rows). Counts are exact integers; the three ratios are the
+    only floats, rounded to 6 dp with N carried as an exact BIGINT literal
+    via crossJoin of the 1-row total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    part_orders = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
+    a = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= 3)
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(part_orders.select(F.col("l_partkey").alias("part_a"),
+                                           F.col("n_ord").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(part_orders.select(F.col("l_partkey").alias("part_b"),
+                                           F.col("n_ord").alias("n_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return (
+        enriched.select(
+            "part_a",
+            "part_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(F.col("n_both") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_both") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_both") * F.col("n_orders"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(25)
+    )
+
+
+def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution: for every purchase event, the
+    user's FIRST and MOST RECENT preceding non-purchase event types, then
+    purchase counts per (first_touch, last_touch) pair — the standard
+    marketing-attribution rollup.
+
+    Formulated with integer window maxima so both engines agree without
+    IGNORE NULLS support: events get a per-user row_number rn ordered by
+    (ts, event_id); running min/max over rn of non-purchase rows strictly
+    before the current row identify the touch rows; two (user_id, rn)
+    self-equi-joins fetch their types. One shuffle by user_id for the
+    window, then two co-partitioned joins on the same key — no extra
+    exchange shape at scale; purchases with no prior touch roll up as
+    'none'."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = Window.partitionBy("user_id").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    npr = F.when(F.col("event_type") != "purchase", F.col("rn"))
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    marked = ranked.select(
+        "user_id",
+        "event_type",
+        "rn",
+        F.min(npr).over(prior).alias("first_rn"),
+        F.max(npr).over(prior).alias("last_rn"),
+    )
+    purchases = marked.where(F.col("event_type") == "purchase").select(
+        "user_id", "first_rn", "last_rn"
+    )
+    first_types = ranked.select(
+        F.col("user_id").alias("f_uid"),
+        F.col("rn").alias("f_rn"),
+        F.col("event_type").alias("first_type"),
+    )
+    last_types = ranked.select(
+        F.col("user_id").alias("l_uid"),
+        F.col("rn").alias("l_rn"),
+        F.col("event_type").alias("last_type"),
+    )
+    attributed = (
+        purchases.join(
+            first_types,
+            (purchases.user_id == first_types.f_uid)
+            & (purchases.first_rn == first_types.f_rn),
+            "left",
+        )
+        .join(
+            last_types,
+            (purchases.user_id == last_types.l_uid)
+            & (purchases.last_rn == last_types.l_rn),
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("first_type"), F.lit("none")).alias("first_touch"),
+            F.coalesce(F.col("last_type"), F.lit("none")).alias("last_touch"),
+        )
+    )
+    return (
+        attributed.groupBy("first_touch", "last_touch")
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy("first_touch", "last_touch")
+    )
