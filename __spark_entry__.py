@@ -1583,6 +1583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_lift": relational.copurchase_lift,
         "attribution_first_last": relational.attribution_first_last,
         "mmr_rerank": q_mmr_rerank,
+        "dedup_kcore": pipeline.dedup_kcore,
+        "events_retention": relational.events_retention,
         # --- (4) remaining r5-verified
         "dedup_canonical": pipeline.dedup_canonical,
         "hybrid_fusion_details": q_hybrid_fusion_details,

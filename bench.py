@@ -160,6 +160,16 @@ def main() -> None:
         timings[name] = round(best, 3)
         analysis_s[name] = round(best_ana, 3)
         exec_s[name] = round(best_exec, 3)
+        # Free py4j handles promptly: iterative queries localCheckpoint
+        # per round, and those JVM-side blocks are only released when the
+        # Python DataFrame objects are collected. Without this, ~190
+        # queries of accumulated checkpoint RDDs tax the block manager and
+        # late-position queries measure the process's fatigue, not their
+        # plan (r8: four rows that moved from early to late dict positions
+        # flagged 2-8x while solo-fresh they were at level).
+        import gc
+
+        gc.collect()
         print(
             f"# {name}: {timings[name]:.3f}s (ana {analysis_s[name]:.3f}"
             f" + exec {exec_s[name]:.3f}, {len(rows)} rows)",

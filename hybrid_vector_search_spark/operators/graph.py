@@ -363,3 +363,54 @@ def hop_distances(
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return dist
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 12,
+) -> DataFrame:
+    """(node, degree) of the k-CORE: the maximal subgraph where every node
+    keeps degree >= k (Seidman 1983) — on a near-dup pair graph this
+    separates DENSE duplicate communities (template farms, mirror sets)
+    from incidental pairwise matches, which components cannot do.
+
+    Peeling fixpoint: drop nodes with induced degree < k, recompute, repeat.
+    Each round is one symmetric-edge semi-join + one degree aggregate —
+    the same shuffle shape as a min-label round; the edge relation only
+    SHRINKS, so per-round cost is monotonically decreasing. The fixpoint is
+    idempotent (extra rounds are no-ops), which is what lets a fixed-depth
+    chained-CTE oracle replay it: any unrolling >= the convergence depth
+    produces the identical relation. Input is checkpointed once (the
+    upstream pair build must not re-evaluate per round).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    cur = sym.localCheckpoint(eager=True)
+    prev_nodes = -1
+    for _ in range(max_iter):
+        deg = cur.groupBy("a").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("a").localCheckpoint(eager=True)
+        n = keep.count()
+        if n == prev_nodes:
+            break
+        prev_nodes = n
+        cur = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.groupBy("a")
+        .agg(F.count("*").alias("degree"))
+        .where(F.col("degree") >= k)
+        .select(F.col("a").alias("node"), "degree")
+    )

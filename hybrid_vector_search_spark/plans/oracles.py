@@ -1925,6 +1925,62 @@ FROM hist ORDER BY key, valid_from, fingerprint
 """
 
 
+def _kcore_sql(k: int = 2, rounds: int = 12) -> str:
+    """operators.graph.kcore replay: fixed-depth unrolled peeling. The
+    fixpoint is idempotent (once converged, further rounds are no-ops), so
+    any unrolling >= the convergence depth reproduces the Spark loop's
+    relation exactly; the engine caps at the same max_iter. Every CTE is
+    MATERIALIZED — each is referenced twice downstream and DuckDB would
+    otherwise re-expand the chain exponentially."""
+    parts = [f"""
+WITH {TOKL},
+{SHINGLES3},
+{JACCARD},
+e0 AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5
+  UNION
+  SELECT id_b AS a, id_a AS b FROM jac WHERE jaccard >= 0.5)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+k{i} AS MATERIALIZED (
+  SELECT a FROM e{i - 1} GROUP BY a HAVING count(*) >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b
+  FROM e{i - 1} e JOIN k{i} x ON e.a = x.a JOIN k{i} y ON e.b = y.a)""")
+    parts.append(f"""
+SELECT a AS doc_id, count(*)::BIGINT AS degree
+FROM e{rounds}
+GROUP BY a HAVING count(*) >= {k}
+ORDER BY doc_id""")
+    return "".join(parts)
+
+
+DEDUP_KCORE = _kcore_sql(2, 12)
+
+# plans.relational.events_retention: cohort = first signup week (Monday
+# date_trunc in both engines); whole-week activity buckets via integer
+# day-diff / 7 floored; DISTINCT (user, cohort, week) before the rollup.
+EVENTS_RETENTION = """
+WITH c2 AS MATERIALIZED (
+  SELECT user_id, cohort_day,
+         strftime(date_trunc('week', cohort_day), '%Y-%m-%d') AS cohort_week
+  FROM (SELECT user_id, min(ts::DATE) AS cohort_day
+        FROM events WHERE event_type = 'signup' GROUP BY user_id)),
+sizes AS (SELECT cohort_week, count(*)::BIGINT AS cohort_size
+          FROM c2 GROUP BY 1),
+act AS (
+  SELECT DISTINCT e.user_id, c.cohort_week,
+         floor(date_diff('day', c.cohort_day, e.ts::DATE) / 7.0)::INT AS week_k
+  FROM events e JOIN c2 c USING (user_id))
+SELECT f.cohort_week, f.week_k, count(*)::BIGINT AS n_active, s.cohort_size,
+       round(count(*)::DOUBLE / s.cohort_size, 6) AS retention
+FROM (SELECT * FROM act WHERE week_k BETWEEN 0 AND 8) f
+JOIN sizes s USING (cohort_week)
+GROUP BY f.cohort_week, f.week_k, s.cohort_size
+ORDER BY f.cohort_week, f.week_k
+"""
+
+
 PIPELINE_ORACLES: dict[str, str] = {
     "span_dedup": SPAN_DEDUP,
     "dedup_incremental": DEDUP_INCREMENTAL,
@@ -1965,6 +2021,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "link_hop_distances": LINK_HOP_DISTANCES,
     "ngram_jaccard_pairs": NGRAM_JACCARD,
     "dedup_components": DEDUP_COMPONENTS,
+    "dedup_kcore": DEDUP_KCORE,
+    "events_retention": EVENTS_RETENTION,
     "decontaminate": DECONTAMINATE,
     # bloom prefilter + exact re-verify ≡ exact (no false negatives), so the
     # scale path answers to the same SQL as the broadcast-exact path

@@ -1930,3 +1930,22 @@ def quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k=2) of the >=0.5-jaccard near-dup graph: the DENSE
+    duplicate communities — nodes that keep >= 2 near-dup neighbors after
+    iterative peeling — separating template farms / mirror sets from
+    incidental pairwise matches (which connected components cannot do:
+    a chain is one component but has an empty 2-core). Oracle replays the
+    peeling as a fixed-depth unrolled chain (idempotent past convergence)."""
+    from ..operators.graph import kcore
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5)
+    return (
+        kcore(pairs, 2, "id_a", "id_b")
+        .select(F.col("node").alias("doc_id"), "degree")
+        .orderBy("doc_id")
+    )

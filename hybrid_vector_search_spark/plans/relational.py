@@ -2028,3 +2028,54 @@ def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_purchases"))
         .orderBy("first_touch", "last_touch")
     )
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by their FIRST signup week,
+    activity bucketed into whole weeks since that signup, retention =
+    distinct active users / cohort size — the standard growth-analytics
+    triangle, weeks 0..8.
+
+    Scale: the cohort relation is one row per signed-up user (broadcast
+    onto the event stream); the activity aggregate shuffles (cohort_week,
+    week_k, user) once for the distinct, then a tiny rollup. Day
+    arithmetic is integer end-to-end (datediff // 7), so bucket boundaries
+    are engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_day"))
+        .withColumn(
+            "cohort_week",
+            F.date_format(F.date_trunc("week", F.col("cohort_day")), "yyyy-MM-dd"),
+        )
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    activity = (
+        ev.join(F.broadcast(cohort), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("cohort_day")) / 7
+            ).cast("int").alias("week_k"),
+        )
+        .where((F.col("week_k") >= 0) & (F.col("week_k") <= 8))
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_k")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_k",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_k")
+    )

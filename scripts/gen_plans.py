@@ -448,6 +448,19 @@ keeps the stages apart because the aliased arrays are non-cheap and
 multiply referenced. Solo exec 2.8 s → 1.04 s; byte-identical output
 (oracle re-verified).
 
+**Dict-position fatigue (found while validating the r8 bench).** The
+first r8 bench run flagged four rows (`dedup_canonical_shared` 0.40→2.15,
+`dedup_cluster_sizes_shared` 0.18→0.92, `ann_ivfpq_topk` 0.05→0.43,
+`epoch_shuffle_order` 0.27→1.12) — exactly the queries that moved from
+early dict positions (r7 order) to the END of the r8 rotation. Profiled
+solo in a fresh process, all four are at or below their r7 levels (0.59 /
+0.25 / 0.06 / 0.32 s warm). Root cause: iterative queries localCheckpoint
+per round, and those JVM blocks release only when the Python DataFrame
+objects are garbage-collected — after ~180 queries the block manager is
+carrying hundreds of orphaned checkpoint RDDs and late-position queries
+measure the process's fatigue, not their plan. Mitigation shipped:
+bench.py gc.collect()s after each query (frees the py4j handles promptly).
+
 **`dedup_components_star` 5.95 s (slowest bench row, r7 ask #4).**
 Counted rounds at sf0.1: TWO star rounds (the near-dup pair graph is
 star-shaped already) — the wall was never the iteration. It was the

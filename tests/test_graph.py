@@ -173,3 +173,47 @@ def test_triangle_count_multi_edge_and_self_loop_safe(spark):
     )
     got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_kcore_peels_chain_keeps_clique(spark):
+    """A 5-chain has an empty 2-core (endpoints peel, then the chain
+    unravels); a triangle+pendant keeps exactly the triangle with all
+    degrees 2. The separation components cannot make."""
+    from hybrid_vector_search_spark.operators.graph import kcore
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    assert kcore(chain, 2).count() == 0
+
+    tri = spark.createDataFrame(
+        [(10, 11), (11, 12), (10, 12), (12, 13)], "src long, dst long"
+    )
+    got = {r["node"]: r["degree"] for r in kcore(tri, 2).collect()}
+    assert got == {10: 2, 11: 2, 12: 2}
+
+
+def test_kcore_cascading_peel(spark):
+    """Peeling must CASCADE: removing a low-degree node can drop a
+    neighbor below k in a later round (two triangles joined by a bridge
+    node of degree 2 survive; a 'lollipop' tail unravels node by node)."""
+    from hybrid_vector_search_spark.operators.graph import kcore
+
+    # triangle with a 3-node tail: tail needs 3 peel rounds to unravel
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    got = {r["node"] for r in kcore(edges, 2).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_kcore_k3_inside_k2(spark):
+    """k=3 core of a 4-clique plus a triangle keeps only the 4-clique."""
+    from hybrid_vector_search_spark.operators.graph import kcore
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tri = [(10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(k4 + tri, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in kcore(edges, 3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
