@@ -1438,6 +1438,25 @@ GROUP BY 1, 2
 ORDER BY 1, 2
 """
 
+_MARKOV_ORACLE = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events),
+cnt AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY 1, 2),
+tot AS (SELECT from_type, sum(n_transitions)::BIGINT AS n_from
+        FROM cnt GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       round(c.n_transitions::DOUBLE / t.n_from, 6) AS prob
+FROM cnt c JOIN tot t USING (from_type)
+ORDER BY c.from_type, c.to_type
+"""
+
+
 _UNICODE_TOKENS_ORACLE = r"""
 WITH planted AS (
   SELECT doc_id, lang,
@@ -1585,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "dedup_kcore": pipeline.dedup_kcore,
         "events_retention": relational.events_retention,
+        "events_markov_transitions": relational.events_markov_transitions,
         # --- (4) remaining r5-verified
         "dedup_canonical": pipeline.dedup_canonical,
         "hybrid_fusion_details": q_hybrid_fusion_details,
@@ -3137,6 +3157,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_lift": _COPURCHASE_LIFT_ORACLE,
         "attribution_first_last": _ATTRIBUTION_ORACLE,
         "mmr_rerank": _mmr_oracle(10),
+        "events_markov_transitions": _MARKOV_ORACLE,
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),
         "knn_dot": _KNN_ORACLE.format(score_expr=_DOT, where="e.vec_id <> 0"),

@@ -2079,3 +2079,40 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_k")
     )
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for each
+    consecutive event pair within a user's (ts, event_id)-ordered stream,
+    count from_type → to_type transitions and row-normalize into
+    probabilities — the sequence-analytics primitive behind journey
+    modeling and next-event prediction.
+
+    One exchange by user_id for the lag window; the 5×5 transition counts
+    and row totals are a tiny aggregate joined broadcast-side. Counts are
+    exact integers; each probability is one double division rounded 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("n_from"), 6).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -131,3 +131,59 @@ def test_roundtrip_uncompressed(spark, tmp_path):
     assert any(f.endswith(".bson") for f in os.listdir(path))
     back = read_bson_dump(spark, path, "id long, s string")
     assert sorted((r["id"], r["s"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_walker_scalar_property_roundtrip():
+    """Property (hypothesis): arbitrary int64/float/string/bool/null scalar
+    documents encode → decode identically through the pure-Python codec
+    (no Spark needed — pins the wire format itself)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hybrid_vector_search_spark.sources.bson_reader import (
+        iter_bson_documents,
+    )
+    from hybrid_vector_search_spark.sources.bson_reader import (
+        write_bson_dump as _,  # noqa: F401 — module import sanity
+    )
+    import struct as _struct
+
+    def enc_doc(d):
+        body = b""
+        for k, v in d.items():
+            kb = k.encode() + b"\x00"
+            if v is None:
+                body += b"\x0a" + kb
+            elif isinstance(v, bool):
+                body += b"\x08" + kb + (b"\x01" if v else b"\x00")
+            elif isinstance(v, int):
+                body += b"\x12" + kb + _struct.pack("<q", v)
+            elif isinstance(v, float):
+                body += b"\x01" + kb + _struct.pack("<d", v)
+            else:
+                sb = v.encode()
+                body += b"\x02" + kb + _struct.pack("<i", len(sb) + 1) + sb + b"\x00"
+        return _struct.pack("<i", len(body) + 5) + body + b"\x00"
+
+    keys = st.text(
+        alphabet=st.characters(blacklist_characters="\x00", codec="utf-8"),
+        min_size=1, max_size=8,
+    )
+    vals = (
+        st.none()
+        | st.booleans()
+        | st.integers(min_value=-(2**63), max_value=2**63 - 1)
+        | st.floats(allow_nan=False)
+        | st.text(
+            alphabet=st.characters(blacklist_characters="\x00", codec="utf-8"),
+            max_size=40,
+        )
+    )
+
+    @given(st.dictionaries(keys, vals, max_size=6))
+    @settings(max_examples=150, deadline=None)
+    def check(d):
+        got = list(iter_bson_documents(enc_doc(d)))
+        assert got == [d]
+
+    check()

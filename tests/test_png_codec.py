@@ -143,3 +143,25 @@ def test_pillow_parity_when_available():
     buf = io.BytesIO()
     PIL_Image.fromarray(img).save(buf, format="PNG")
     assert np.array_equal(decode_png(buf.getvalue()), img)
+
+
+def test_roundtrip_property():
+    """Property (hypothesis): arbitrary small uint8 images round-trip
+    bit-exactly through encode_png → decode_png for every channel count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.sampled_from([1, 3, 4]),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(h, w, ch, seed):
+        img = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, ch), dtype=np.uint8
+        )
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+    check()
