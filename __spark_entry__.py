@@ -1456,6 +1456,47 @@ FROM cnt c JOIN tot t USING (from_type)
 ORDER BY c.from_type, c.to_type
 """
 
+_PATHS_ORACLE = """
+WITH p AS (
+  SELECT lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         event_type AS e3
+  FROM events)
+SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*)::BIGINT AS n
+FROM p WHERE e1 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path ASC
+LIMIT 20
+"""
+
+_PARETO_ORACLE = """
+WITH rev AS (
+  SELECT c.c_nationkey, c.c_custkey,
+         sum(o.o_totalprice::DECIMAL(18,2)) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT c_nationkey, rev,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY rev DESC, c_custkey ASC) AS rk,
+         sum(rev) OVER (PARTITION BY c_nationkey
+                        ORDER BY rev DESC, c_custkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(rev) OVER (PARTITION BY c_nationkey) AS total,
+         count(*) OVER (PARTITION BY c_nationkey) AS n_cust
+  FROM rev),
+b AS (
+  SELECT c_nationkey, min(rk)::BIGINT AS k_customers,
+         min(n_cust)::BIGINT AS n_cust
+  FROM ranked WHERE cum * 5 >= total * 4
+  GROUP BY 1)
+SELECT n.n_name AS nation, b.k_customers, b.n_cust,
+       round(b.k_customers::DOUBLE / b.n_cust, 6) AS pareto_frac
+FROM b JOIN nation n ON b.c_nationkey = n.n_nationkey
+ORDER BY nation
+"""
+
+
 
 _UNICODE_TOKENS_ORACLE = r"""
 WITH planted AS (
@@ -1605,6 +1646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_kcore": pipeline.dedup_kcore,
         "events_retention": relational.events_retention,
         "events_markov_transitions": relational.events_markov_transitions,
+        "session_path_topk": relational.session_path_topk,
+        "nation_revenue_pareto": relational.nation_revenue_pareto,
         # --- (4) remaining r5-verified
         "dedup_canonical": pipeline.dedup_canonical,
         "hybrid_fusion_details": q_hybrid_fusion_details,
@@ -3158,6 +3201,8 @@ def oracle_sql() -> dict[str, str]:
         "attribution_first_last": _ATTRIBUTION_ORACLE,
         "mmr_rerank": _mmr_oracle(10),
         "events_markov_transitions": _MARKOV_ORACLE,
+        "session_path_topk": _PATHS_ORACLE,
+        "nation_revenue_pareto": _PARETO_ORACLE,
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),
         "knn_dot": _KNN_ORACLE.format(score_expr=_DOT, where="e.vec_id <> 0"),

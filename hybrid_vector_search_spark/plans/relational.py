@@ -2116,3 +2116,83 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most frequent 3-event journey paths (event-type trigrams over
+    each user's (ts, event_id)-ordered stream) — the n-gram view of the
+    Markov matrix, the 'what do users actually do' report.
+
+    Same single exchange by user_id as the transition matrix (two lags in
+    one window pass), then a tiny count + top-k. Ties break on the path
+    string for a deterministic LIMIT boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            F.lag("event_type", 2).over(w).alias("e1"),
+            F.lag("event_type", 1).over(w).alias("e2"),
+            F.col("event_type").alias("e3"),
+        )
+        .where(F.col("e1").isNotNull())
+        .select(
+            F.concat_ws(">", F.col("e1"), F.col("e2"), F.col("e3")).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )
+    return paths.orderBy(F.desc("n"), F.asc("path")).limit(20)
+
+
+def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration per nation: how many customers cover 80% of the
+    nation's revenue, and what fraction of its customers that is — the
+    80/20 report, partitioned so the running-share window never needs a
+    global sort (each nation's customers sort within their partition;
+    at 100 TB the exchange key is the nation, the classic
+    bounded-cardinality window).
+
+    Revenue sums through DECIMAL (exact, associative); the threshold
+    compare uses exact decimal arithmetic (cum * 5 >= total * 4 avoids
+    float share entirely), so the customer count at the 80% boundary is
+    engine-exact. Ties on equal revenue break by customer key."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("rev"), F.asc("c_custkey")
+    )
+    ranked = rev.select(
+        "c_nationkey",
+        "rev",
+        F.row_number().over(w).alias("rk"),
+        F.sum("rev").over(
+            Window.partitionBy("c_nationkey")
+            .orderBy(F.desc("rev"), F.asc("c_custkey"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("rev").over(Window.partitionBy("c_nationkey")).alias("total"),
+        F.count("*").over(Window.partitionBy("c_nationkey")).alias("n_cust"),
+    )
+    hit = ranked.where(F.col("cum") * 5 >= F.col("total") * 4)
+    boundary = hit.groupBy("c_nationkey").agg(
+        F.min("rk").cast("long").alias("k_customers"),
+        F.min("n_cust").alias("n_cust"),  # constant per nation; min = the value
+    )
+    return (
+        boundary.join(F.broadcast(nation), boundary.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "k_customers",
+            "n_cust",
+            F.round(F.col("k_customers") / F.col("n_cust"), 6).alias("pareto_frac"),
+        )
+        .orderBy("nation")
+    )

@@ -356,3 +356,58 @@ def test_excess_q20_window_reuses_aggregate_exchange(spark):
 
     plan = _plan(relational.excess_quantity_suppliers(spark, SF_SMALL))
     assert plan.count("Scan parquet") <= 3, plan  # lineitem + part + supplier
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quality_curriculum_has_no_window_and_no_presort(spark):
+    """The curriculum buckets come from broadcast quantile thresholds +
+    a map-only CASE — NEVER a global-ORDER-BY ntile window (which would
+    single-task a 100 TB sort). The only range partitioning allowed is
+    the final 4-row orderBy."""
+    from hybrid_vector_search_spark.plans.pipeline import quality_curriculum
+
+    plan = _plan(quality_curriculum(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan
+    assert plan.count("rangepartitioning") <= 1  # the final tiny orderBy
+
+
+def test_copurchase_lift_broadcasts_marginals(spark):
+    """Pair generation self-joins within the order key; the part marginals
+    and the 1-row total must reach the pair relation as broadcasts, never
+    shuffled joins."""
+    from hybrid_vector_search_spark.plans.relational import copurchase_lift
+
+    plan = _plan(copurchase_lift(spark, "/root/testdata/sf0.001"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pareto_window_is_nation_partitioned(spark):
+    """The running-share window must be PARTITIONED (by nation) — a global
+    unpartitioned window would single-task the corpus at scale."""
+    from hybrid_vector_search_spark.plans.relational import nation_revenue_pareto
+
+    plan = _plan(nation_revenue_pareto(spark, "/root/testdata/sf0.001"))
+    assert "Window" in plan
+    import re
+
+    # every Window operator's partition spec names the nation key
+    for frag in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "c_nationkey" in frag
+
+
+def test_markov_and_paths_share_one_user_exchange_shape(spark):
+    """The lag windows must partition by user_id (one corpus exchange);
+    the count rollups operate on the tiny transition/path relations."""
+    from hybrid_vector_search_spark.plans.relational import (
+        events_markov_transitions,
+        session_path_topk,
+    )
+
+    for fn in (events_markov_transitions, session_path_topk):
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        assert "hashpartitioning(user_id" in plan
+        assert "SortMergeJoin" not in plan
