@@ -791,6 +791,53 @@ def q_stream_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming twin of events_markov_transitions: events staged
+    as three TIME-ORDERED files (the append-log contract) and folded one
+    file per micro-batch through streaming.sketch.stream_markov — the
+    per-user frontier state supplies the batch-BOUNDARY transitions a
+    naive per-batch recount loses. The maintained matrix must equal the
+    batch recount over the whole stream, so the oracle is the identical
+    SQL the batch query answers to."""
+    import shutil
+    import tempfile
+
+    from hybrid_vector_search_spark.streaming.sketch import (
+        markov_from_state,
+        stream_markov,
+    )
+
+    src = _STREAM_SRC_CACHE.get(("markov", sf_dir))
+    if src is None:
+        safe = sf_dir.strip("/").replace("/", "_")
+        src = f"{_session_tmpdir()}/stream_markov/{safe}"
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+        cuts = ev.agg(
+            F.percentile_approx("ts", F.array(F.lit(0.33), F.lit(0.66)), 10_000).alias("c")
+        ).collect()[0]["c"]
+        ev.where(F.col("ts") <= cuts[0]).coalesce(1).write.mode("overwrite").parquet(src)
+        ev.where((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])).coalesce(1).write.mode("append").parquet(src)
+        ev.where(F.col("ts") > cuts[1]).coalesce(1).write.mode("append").parquet(src)
+        _STREAM_SRC_CACHE[("markov", sf_dir)] = src
+    workdir = tempfile.mkdtemp(prefix="stream_markov_", dir=_session_tmpdir())
+    with _stream_shuffle(spark):
+        q = stream_markov(
+            spark, src,
+            state_dir=f"{workdir}/state", checkpoint_path=f"{workdir}/ckpt",
+            max_files_per_trigger=1,
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
+    out = markov_from_state(spark, f"{workdir}/state")
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def q_stream_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming materialized view (streaming/sketch.py stream_ivm): orders
     staged as three files — even inserts, odd inserts, then a retraction
@@ -1647,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": relational.events_retention,
         "events_markov_transitions": relational.events_markov_transitions,
         "session_path_topk": relational.session_path_topk,
+        "stream_markov_transitions": q_stream_markov,
         "nation_revenue_pareto": relational.nation_revenue_pareto,
         # --- (4) remaining r5-verified
         "dedup_canonical": pipeline.dedup_canonical,
@@ -3202,6 +3250,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank": _mmr_oracle(10),
         "events_markov_transitions": _MARKOV_ORACLE,
         "session_path_topk": _PATHS_ORACLE,
+        "stream_markov_transitions": _MARKOV_ORACLE,
         "nation_revenue_pareto": _PARETO_ORACLE,
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),

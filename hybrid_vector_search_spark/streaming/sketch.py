@@ -466,3 +466,162 @@ def ivm_view_from_state(
     current = _resolve_current(state_dir, commit_mode)
     view = spark.read.parquet(os.path.join(current, VIEW))
     return ivm.finish(view).localCheckpoint(eager=True)
+
+
+def stream_markov(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_path: str,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    max_files_per_trigger: int | None = None,
+    commit_mode: str = "rename",
+):
+    """Incrementally-maintained Markov transition counts over an event
+    stream — the stateful streaming twin of
+    relational.events_markov_transitions.
+
+    Per micro-batch the fold computes (a) WITHIN-batch transitions via the
+    same (ts, id)-ordered lag window the batch query uses, and (b) the
+    BOUNDARY transition from each user's persisted last event into their
+    first event of this batch — which is exactly what a naive per-batch
+    recount loses. State is two relations, both bounded: the additive
+    (from, to, n) counts (|event types|² rows) and the per-user
+    (last ts, id, type) frontier (one row per user ever seen — the same
+    O(users) state a sessionizer carries). Same epoch guard and
+    rename/manifest commit contract as every sketch stream here.
+
+    Correctness contract: per-user batch arrival is time-monotone (each
+    batch's events for a user are not earlier than already-folded ones) —
+    the standard append-log assumption; under it, stream ≡ batch recount
+    however the input is batched (pinned in tests/test_streaming_sketch.py
+    against the DuckDB-oracled batch query)."""
+    from pyspark.sql import Window
+
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    ckpt_id = os.path.abspath(checkpoint_path)
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        current = _resolve_current(state_dir, commit_mode)
+        if _epoch_skip(current, ckpt_id, epoch_id, state_dir):
+            return
+        sess = batch_df.sparkSession
+        b = batch_df.select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(type_col).alias("ty"),
+        ).localCheckpoint(eager=True)
+        w = Window.partitionBy("u").orderBy("t", "i")
+        within = (
+            b.select(F.lag("ty").over(w).alias("from_type"),
+                     F.col("ty").alias("to_type"))
+            .where(F.col("from_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        rn = F.row_number().over(w)
+        firsts = b.withColumn("_rn", rn).where(F.col("_rn") == 1).drop("_rn")
+        lasts = (
+            b.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("u").orderBy(F.desc("t"), F.desc("i"))
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        count_parts = [within]
+        last_path = os.path.join(current, "last")
+        if os.path.exists(last_path):
+            prev_last = sess.read.parquet(last_path)
+            boundary = (
+                firsts.join(prev_last, "u")
+                .groupBy(
+                    F.col("last_type").alias("from_type"),
+                    F.col("ty").alias("to_type"),
+                )
+                .agg(F.count("*").cast("long").alias("n"))
+            )
+            count_parts.append(boundary)
+            frontier_in = prev_last.select(
+                "u",
+                F.col("last_ts").alias("t"),
+                F.col("last_id").alias("i"),
+                F.col("last_type").alias("ty"),
+            ).unionAll(lasts)
+        else:
+            frontier_in = lasts
+        new_last = (
+            frontier_in.groupBy("u")
+            .agg(F.max(F.struct("t", "i", "ty")).alias("m"))
+            .select(
+                "u",
+                F.col("m.t").alias("last_ts"),
+                F.col("m.i").alias("last_id"),
+                F.col("m.ty").alias("last_type"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        counts_path = os.path.join(current, "counts")
+        if os.path.exists(counts_path):
+            count_parts.append(sess.read.parquet(counts_path))
+        new_counts = (
+            count_parts[0]
+            if len(count_parts) == 1
+            else count_parts[0].unionAll(count_parts[1])
+            if len(count_parts) == 2
+            else count_parts[0].unionAll(count_parts[1]).unionAll(count_parts[2])
+        )
+        new_counts = (
+            new_counts.groupBy("from_type", "to_type")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        meta = {"epoch": epoch_id, "checkpoint": ckpt_id}
+
+        def write(target: str) -> None:
+            new_counts.write.mode("overwrite").parquet(
+                os.path.join(target, "counts")
+            )
+            new_last.write.mode("overwrite").parquet(os.path.join(target, "last"))
+
+        _commit_version(state_dir, commit_mode, meta, write)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def markov_from_state(
+    spark: SparkSession, state_dir: str, *, commit_mode: str = "rename"
+) -> DataFrame:
+    """The maintained transition matrix with read-time row normalization —
+    the same output contract as the batch query (and its oracle)."""
+    current = _resolve_current(state_dir, commit_mode)
+    counts = spark.read.parquet(os.path.join(current, "counts"))
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").alias("n_transitions"),
+            F.round(F.col("n") / F.col("n_from"), 6).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+        .localCheckpoint(eager=True)
+    )

@@ -414,3 +414,60 @@ def test_stream_ivm_restart_folds_only_new_files(spark, tmp_path):
     assert snap(ivm_view_from_state(spark, state)) == want(
         orders.where("o_orderkey % 3 <> 2")
     )
+
+
+def test_stream_markov_equals_batch_recount(spark, tmp_path):
+    """Multi-batch maintained transition counts ≡ one-shot batch recount:
+    the per-user frontier state must supply the batch-boundary transitions
+    a naive per-batch recount loses (planted so every boundary crosses)."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.streaming.sketch import (
+        markov_from_state,
+        stream_markov,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(6):
+        for k, ty in enumerate(["view", "click", "view", "purchase", "click", "view"]):
+            rows.append((u, f"2024-01-01 00:{k:02d}:00", eid, ty))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_id long, event_type string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_id", "event_type")
+    src = str(tmp_path / "src")
+    # three time-ordered files: every user's journey SPANS all three files,
+    # so 2 of each user's 5 transitions exist only as batch boundaries
+    df.where("event_id % 6 < 2").coalesce(1).write.mode("overwrite").parquet(src)
+    df.where("event_id % 6 >= 2 and event_id % 6 < 4").coalesce(1).write.mode("append").parquet(src)
+    df.where("event_id % 6 >= 4").coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_markov(
+        spark, src, state_dir=str(tmp_path / "state"),
+        checkpoint_path=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in markov_from_state(spark, str(tmp_path / "state")).collect()
+    }
+    # batch recount over the full relation
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in df.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert sum(got.values()) == 6 * 5  # every transition counted exactly once
