@@ -251,6 +251,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_errors": len(errors),
                 "n_regressed": summary.get("n_regressed", 0),
+                "analysis_total_sec": round(sum(analysis_s.values()), 3),
+                "exec_total_sec": round(sum(exec_s.values()), 3),
                 "details": "bench_details.json",
             }
         )
