@@ -22,7 +22,11 @@ ADC at query time factors cleanly:  dot(v, q) ≈ dot(c, q) + dot(dec(r), q).
 The per-subspace residual lookup tables depend ONLY on the query (one shared
 codebook set), and the coarse term is a per-(query, cluster) SCALAR — so the
 batch probe relation carries the scalar offset column while ONE
-(nq, M, ksub) table broadcast serves every probed cluster. At 100 TB the
+(nq, M, ksub) table broadcast serves every probed cluster. Euclidean (r8)
+factors per subspace too, but its tables are per-(query, cluster) —
+||q − (c + dec(r))||² = Σ_m ||(q_m − c_m) − book_m[j_m]||² — still only
+nq·nprobe tiny tables in one broadcast (_ivfpq_search_batch_euclidean);
+scores surface as the Atlas 1/(1+√d²) rescale, rank-equal to distance. At 100 TB the
 probe join's equi-key is the partition key (directory-pruned scan), the code
 column is the only per-row payload read, and the optional exact rerank
 touches k·rerank_factor float vectors per query via a broadcast join — the
@@ -254,18 +258,19 @@ def ivfpq_search_batch(
     recipe, identical to pq.pq_search_batch's."""
     import pandas as pd
 
-    from ..functions.vector import dot
+    from ..functions.vector import atlas_score, dot
     from .knn import topk_per_group
 
-    if index.metric not in ("cosine", "dotProduct"):
-        # The ADC tables, coarse offset, and exact rerank below all score by
-        # raw dot product; serving a euclidean-built index through them would
-        # probe euclidean-nearest clusters but return dot-ranked results —
-        # silently wrong ordering. Refuse instead (euclidean ADC needs
-        # per-subspace squared-distance tables, not implemented).
+    if index.metric not in ("cosine", "dotProduct", "euclidean"):
         raise ValueError(
-            f"ivfpq search scores by dot product; index metric {index.metric!r} "
-            "is not supported (build with metric='cosine' or 'dotProduct')"
+            f"unknown ivfpq metric {index.metric!r}; expected cosine, "
+            "dotProduct or euclidean"
+        )
+    if index.metric == "euclidean":
+        return _ivfpq_search_batch_euclidean(
+            spark, index, queries, k,
+            nprobe=nprobe, rerank=rerank, rerank_factor=rerank_factor,
+            layout=layout,
         )
     books = index.codebooks
     M, ksub, dsub = books.shape
@@ -338,6 +343,109 @@ def ivfpq_search_batch(
             "query_id",
             F.col("__cand_id").alias("id"),
             F.round(dot(F.col(index.vector_col), F.col("__qvec")), 6).alias("score"),
+        )
+    )
+    return topk_per_group(cand, k, group_col="query_id", score_col="score", id_col="id")
+
+
+
+def _ivfpq_search_batch_euclidean(
+    spark: SparkSession,
+    index: IVFPQIndex,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    *,
+    nprobe: int = 4,
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
+    layout: DataFrame | None = None,
+) -> DataFrame:
+    """Euclidean ADC: the squared distance to a reconstruction decomposes
+    per subspace — ||q − (c + Σ_m book_m[j_m])||² = Σ_m ||(q_m − c_m) −
+    book_m[j_m]||² — so unlike the dot-product factorization (query-only
+    tables + a per-(query, cluster) scalar), the lookup tables here are
+    per-(query, cluster): E[m][j] = ||diff_m||² − 2·book_m[j]·diff_m +
+    ||book_m[j]||² with diff = q − centroid_c. Still tiny — nq·nprobe
+    tables of (M, ksub) doubles, one broadcast — and the plan shape is
+    identical to the dot path: broadcast probe join prunes the partitioned
+    layout, one Arrow kernel does M lookups per row, topk_per_group takes
+    per-query top-k. Scores are the Atlas euclidean rescale
+    1/(1 + √d²) (monotone in −d², the same observable contract as
+    ivf_search/knn euclidean); rerank re-scores exactly through
+    functions.vector.atlas_score."""
+    import pandas as pd
+
+    from ..functions.vector import atlas_score
+    from .knn import topk_per_group
+
+    books = index.codebooks
+    M, ksub, dsub = books.shape
+    qmat = np.stack([np.asarray(qv, dtype=np.float64) for _, qv in queries])
+    norms_b = np.stack([(books[m] ** 2).sum(axis=1) for m in range(M)])  # (M, ksub)
+    probe_rows, tables = [], {}
+    for (qid, _qv), q in zip(queries, qmat):
+        for c in index.nearest_clusters([float(x) for x in q], nprobe):
+            diff = q - index.centroids[c]
+            sub = diff.reshape(M, dsub)  # (M, dsub)
+            # E[m] = ||diff_m||² − 2·books[m]·diff_m + ||books[m][:]||²
+            e = (
+                (sub**2).sum(axis=1)[:, None]
+                - 2.0 * np.einsum("mkd,md->mk", books, sub)
+                + norms_b
+            )
+            tables[(int(qid), int(c))] = e
+            probe_rows.append((int(qid), int(c)))
+    probes = spark.createDataFrame(probe_rows, "query_id bigint, cluster_id int")
+    if layout is None:
+        layout = spark.read.parquet(index.path)
+    probed = layout.join(F.broadcast(probes), "cluster_id")
+    bc = spark.sparkContext.broadcast(tables)
+
+    def score_kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = bc.value
+        cols = np.arange(M)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            d2 = np.empty(len(pdf), dtype=np.float64)
+            keys = list(zip(pdf["query_id"].tolist(), pdf["cluster_id"].tolist()))
+            for i, key in enumerate(keys):
+                d2[i] = t[key][cols, codes[i]].sum()
+            score = 1.0 / (1.0 + np.sqrt(np.maximum(d2, 0.0)))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "id": pdf["id"],
+                    "adc_score": np.round(score, 6),
+                }
+            )
+
+    scored = probed.select("query_id", "id", "codes", "cluster_id").mapInPandas(
+        score_kern, "query_id bigint, id long, adc_score double"
+    )
+    n_cand = k * rerank_factor if rerank is not None else k
+    top = topk_per_group(
+        scored, n_cand, group_col="query_id", score_col="adc_score", id_col="id"
+    )
+    if rerank is None:
+        return top.select("query_id", "id", F.col("adc_score").alias("score"))
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+        "query_id bigint, __qvec array<double>",
+    )
+    cand = (
+        rerank.join(
+            F.broadcast(top.select("query_id", F.col("id").alias("__cand_id"))),
+            rerank[index.id_col] == F.col("__cand_id"),
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            F.col("__cand_id").alias("id"),
+            F.round(
+                atlas_score(F.col(index.vector_col), F.col("__qvec"), "euclidean"), 6
+            ).alias("score"),
         )
     )
     return topk_per_group(cand, k, group_col="query_id", score_col="score", id_col="id")

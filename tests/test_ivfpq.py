@@ -250,9 +250,7 @@ def test_save_load_roundtrip(spark, corpus, ivfpq_index):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
-def test_euclidean_index_refused_at_search(spark, tmp_path):
-    """ADC + rerank score by dot product; serving a euclidean-built index
-    through them would silently return dot-ranked results — must raise."""
+def test_unknown_metric_refused_at_search(spark, tmp_path):
     import numpy as np
     import pytest
 
@@ -267,7 +265,73 @@ def test_euclidean_index_refused_at_search(spark, tmp_path):
         codebooks=np.zeros((2, 4, 2)),
         id_col="vec_id",
         vector_col="embedding",
-        metric="euclidean",
+        metric="manhattan",
     )
-    with pytest.raises(ValueError, match="euclidean"):
+    with pytest.raises(ValueError, match="manhattan"):
         ivfpq_search(spark, idx, [1.0, 0.0, 0.0, 0.0], 3)
+
+
+def _euclid_corpus(spark, n=400, dim=8, seed=5):
+    """Clustered corpus so euclidean probing is meaningful."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(0, 10.0, size=(8, dim))
+    vecs = centers[rng.randint(0, 8, n)] + rng.normal(0, 0.5, size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    return df, vecs
+
+
+def test_euclidean_adc_search_end_to_end(spark, tmp_path):
+    """r8: euclidean ADC (per-(query, cluster) squared-distance tables).
+    With exact rerank the returned top-k must equal the brute-force
+    euclidean top-k on a clustered corpus (the probed neighborhood
+    contains the true neighbors), and the scores must be the exact Atlas
+    euclidean rescale of the true distances."""
+    import numpy as np
+
+    from hybrid_vector_search_spark.operators.ivfpq import (
+        build_ivfpq,
+        ivfpq_search,
+    )
+
+    df, vecs = _euclid_corpus(spark)
+    idx = build_ivfpq(
+        spark, df, str(tmp_path / "idx"),
+        n_clusters=8, n_subspaces=4, ksub=32, metric="euclidean", seed=3,
+    )
+    q = [float(x) for x in vecs[7]]
+    got = ivfpq_search(
+        spark, idx, q, 5, nprobe=3, rerank=df, rerank_factor=6
+    ).collect()
+    d = np.linalg.norm(vecs - np.asarray(q), axis=1)
+    want_ids = list(np.argsort(d)[:5])
+    assert [r["id"] for r in got] == [int(i) for i in want_ids]
+    for r in got:
+        assert r["score"] == round(1.0 / (1.0 + float(d[r["id"]])), 6)
+
+
+def test_euclidean_adc_approximates_distance(spark, tmp_path):
+    """Without rerank the ADC score 1/(1+sqrt(d2_quantized)) must correlate
+    with the true distances: recall@10 of the pure-ADC ranking >= 0.6 on
+    the clustered corpus (residual codebooks are tight within clusters)."""
+    import numpy as np
+
+    from hybrid_vector_search_spark.operators.ivfpq import (
+        build_ivfpq,
+        ivfpq_search,
+    )
+
+    df, vecs = _euclid_corpus(spark, seed=11)
+    idx = build_ivfpq(
+        spark, df, str(tmp_path / "idx"),
+        n_clusters=8, n_subspaces=4, ksub=32, metric="euclidean", seed=3,
+    )
+    q = [float(x) for x in vecs[42]]
+    got = {r["id"] for r in ivfpq_search(spark, idx, q, 10, nprobe=3).collect()}
+    d = np.linalg.norm(vecs - np.asarray(q), axis=1)
+    true = {int(i) for i in np.argsort(d)[:10]}
+    assert len(got & true) >= 6
