@@ -455,7 +455,7 @@ def _ann_eval_queries(spark: SparkSession, sf_dir: str):
     if emb is None:
         for stale_key in [k for k in _ANN_EMB_CACHE if k != sf_dir]:
             _ANN_EMB_CACHE.pop(stale_key).unpersist()
-        for stale_key in [k for k in _ANN_EXACT_CACHE if k != sf_dir]:
+        for stale_key in [k for k in _ANN_EXACT_CACHE if k[0] != sf_dir]:
             _ANN_EXACT_CACHE.pop(stale_key).unpersist()
         for stale_key in [k for k in _ANN_REPORT_CACHE if k[1] != sf_dir]:
             _ANN_REPORT_CACHE.pop(stale_key)
@@ -470,7 +470,8 @@ def _ann_eval_queries(spark: SparkSession, sf_dir: str):
 
 
 def _ann_recall_report(
-    sf_dir, emb, qdf, approx, *, floor: float, mean_floor: float
+    sf_dir, emb, qdf, approx, *, floor: float, mean_floor: float,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Exact side = bulk knn_join (broadcast queries, partition-local top-k),
     computed ONCE per sf_dir and cached — it is the identical ground truth
@@ -485,11 +486,11 @@ def _ann_recall_report(
     from hybrid_vector_search_spark.operators import ann_eval
     from hybrid_vector_search_spark.operators import knn as knn_op
 
-    exact = _ANN_EXACT_CACHE.get(sf_dir)
+    exact = _ANN_EXACT_CACHE.get((sf_dir, metric))
     if exact is None:
-        exact = knn_op.knn_join(qdf, emb, k=_ANN_EVAL_K).cache()
+        exact = knn_op.knn_join(qdf, emb, k=_ANN_EVAL_K, metric=metric).cache()
         exact.count()
-        _ANN_EXACT_CACHE[sf_dir] = exact
+        _ANN_EXACT_CACHE[(sf_dir, metric)] = exact
     return ann_eval.recall_report(
         exact, approx, k=_ANN_EVAL_K, floor=floor, mean_floor=mean_floor
     )
@@ -608,7 +609,11 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, qdf, qvecs = _ann_eval_queries(spark, sf_dir)
     index = _IVFPQ_CACHE.get(sf_dir)
     if index is None:
-        for stale_key in [k for k in _IVFPQ_CACHE if k != sf_dir]:
+        # cache keys: sf_dir (cosine) or ("euc", sf_dir); evict other-sf only
+        for stale_key in [
+            k for k in _IVFPQ_CACHE
+            if (k if isinstance(k, str) else k[-1]) != sf_dir
+        ]:
             _IVFPQ_CACHE.pop(stale_key)
             _IVFPQ_LAYOUT_CACHE.pop(stale_key).unpersist()
         safe = sf_dir.strip("/").replace("/", "_")
@@ -627,6 +632,51 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", F.col("id").alias("vec_id"))
     report = _ann_recall_report(sf_dir, emb, qdf, approx, floor=0.2, mean_floor=0.5)
     _ANN_REPORT_CACHE[("ivfpq", sf_dir)] = report
+    return report
+
+
+def q_ann_ivfpq_euclid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The euclidean twin of ann_ivfpq_topk (r8): the same composed IVF-PQ
+    index served through the euclidean ADC path — per-(query, cluster)
+    squared-distance tables instead of query-only dot tables — with exact
+    euclidean rerank. Exact side and oracle both score the Atlas
+    1/(1+distance) rescale; the in-plan recall contract (>= 20% per query,
+    mean >= 50% — measured ~0.9+ at sf0.001/sf0.01, floors set with
+    margin) hash-fails the driver gate on a quantizer or table regression,
+    exactly like the other four ANN attestation rows."""
+    from hybrid_vector_search_spark.operators import ivfpq as ivfpq_op
+
+    cached_report = _ANN_REPORT_CACHE.get(("ivfpq_euc", sf_dir))
+    if cached_report is not None:
+        return cached_report
+    emb, qdf, qvecs = _ann_eval_queries(spark, sf_dir)
+    index = _IVFPQ_CACHE.get(("euc", sf_dir))
+    if index is None:
+        for stale_key in [
+            k for k in _IVFPQ_CACHE
+            if (k if isinstance(k, str) else k[-1]) != sf_dir
+        ]:
+            _IVFPQ_CACHE.pop(stale_key)
+            _IVFPQ_LAYOUT_CACHE.pop(stale_key).unpersist()
+        safe = sf_dir.strip("/").replace("/", "_")
+        path = f"{_session_tmpdir()}/ivfpq_euc/{safe}/index"
+        index = ivfpq_op.build_ivfpq(
+            spark, emb, path, n_clusters=8, n_subspaces=8, ksub=32,
+            metric="euclidean", seed=42,
+        )
+        _IVFPQ_CACHE[("euc", sf_dir)] = index
+        layout = spark.read.parquet(index.path).cache()
+        layout.count()
+        _IVFPQ_LAYOUT_CACHE[("euc", sf_dir)] = layout
+    layout = _IVFPQ_LAYOUT_CACHE[("euc", sf_dir)]
+    approx = ivfpq_op.ivfpq_search_batch(
+        spark, index, qvecs, _ANN_EVAL_K,
+        nprobe=4, rerank=emb, rerank_factor=8, layout=layout,
+    ).select("query_id", F.col("id").alias("vec_id"))
+    report = _ann_recall_report(
+        sf_dir, emb, qdf, approx, floor=0.2, mean_floor=0.5, metric="euclidean"
+    )
+    _ANN_REPORT_CACHE[("ivfpq_euc", sf_dir)] = report
     return report
 
 
@@ -1715,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": relational.events_markov_transitions,
         "session_path_topk": relational.session_path_topk,
         "stream_markov_transitions": q_stream_markov,
+        "ann_ivfpq_euclid_topk": q_ann_ivfpq_euclid_topk,
         "nation_revenue_pareto": relational.nation_revenue_pareto,
         # --- (4) remaining r5-verified
         "dedup_canonical": pipeline.dedup_canonical,
@@ -1888,6 +1939,30 @@ ranked AS (
          row_number() OVER (
            PARTITION BY q.query_id
            ORDER BY round({_COS}, 6) DESC, e.vec_id ASC
+         ) AS rk
+  FROM embeddings e, q
+)
+SELECT query_id,
+       10::BIGINT AS k,
+       count(*)::BIGINT AS n_exact,
+       max(CASE WHEN rk = 1 THEN vec_id END) AS exact_top1_id,
+       max(CASE WHEN rk = 1 THEN score END) AS exact_top1_score,
+       true AS recall_ok,
+       true AS mean_recall_ok
+FROM ranked WHERE rk <= 10
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+_ANN_RECALL_ORACLE_EUC = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+ranked AS (
+  SELECT q.query_id, e.vec_id, round({_EUC}, 6) AS score,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round({_EUC}, 6) DESC, e.vec_id ASC
          ) AS rk
   FROM embeddings e, q
 )
@@ -3271,6 +3346,7 @@ def oracle_sql() -> dict[str, str]:
         "events_markov_transitions": _MARKOV_ORACLE,
         "session_path_topk": _PATHS_ORACLE,
         "stream_markov_transitions": _MARKOV_ORACLE,
+        "ann_ivfpq_euclid_topk": _ANN_RECALL_ORACLE_EUC,
         "nation_revenue_pareto": _PARETO_ORACLE,
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),
