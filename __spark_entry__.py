@@ -1613,6 +1613,51 @@ FROM b JOIN nation n ON b.c_nationkey = n.n_nationkey
 ORDER BY nation
 """
 
+_CORR_ORACLE = """
+WITH st AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(l_quantity::DECIMAL(18,2)) AS s_q,
+         sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)) AS ss_q,
+         sum(l_extendedprice::DECIMAL(18,2)) AS s_p,
+         sum(l_extendedprice::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)) AS ss_p,
+         sum(l_discount::DECIMAL(18,2)) AS s_d,
+         sum(l_discount::DECIMAL(18,2) * l_discount::DECIMAL(18,2)) AS ss_d,
+         sum(l_tax::DECIMAL(18,2)) AS s_t,
+         sum(l_tax::DECIMAL(18,2) * l_tax::DECIMAL(18,2)) AS ss_t,
+         sum(l_quantity::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)) AS sp_q_p,
+         sum(l_quantity::DECIMAL(18,2) * l_discount::DECIMAL(18,2)) AS sp_q_d,
+         sum(l_quantity::DECIMAL(18,2) * l_tax::DECIMAL(18,2)) AS sp_q_t,
+         sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2)) AS sp_p_d,
+         sum(l_extendedprice::DECIMAL(18,2) * l_tax::DECIMAL(18,2)) AS sp_p_t,
+         sum(l_discount::DECIMAL(18,2) * l_tax::DECIMAL(18,2)) AS sp_d_t
+  FROM lineitem),
+pairs AS (
+  SELECT 'l_extendedprice' AS col_x, 'l_quantity' AS col_y, n,
+         s_q::DOUBLE AS sx, ss_q::DOUBLE AS sxx, s_p::DOUBLE AS sy,
+         ss_p::DOUBLE AS syy, sp_q_p::DOUBLE AS sxy FROM st
+  UNION ALL
+  SELECT 'l_discount', 'l_quantity', n, s_d::DOUBLE, ss_d::DOUBLE,
+         s_q::DOUBLE, ss_q::DOUBLE, sp_q_d::DOUBLE FROM st
+  UNION ALL
+  SELECT 'l_quantity', 'l_tax', n, s_q::DOUBLE, ss_q::DOUBLE,
+         s_t::DOUBLE, ss_t::DOUBLE, sp_q_t::DOUBLE FROM st
+  UNION ALL
+  SELECT 'l_discount', 'l_extendedprice', n, s_d::DOUBLE, ss_d::DOUBLE,
+         s_p::DOUBLE, ss_p::DOUBLE, sp_p_d::DOUBLE FROM st
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_tax', n, s_p::DOUBLE, ss_p::DOUBLE,
+         s_t::DOUBLE, ss_t::DOUBLE, sp_p_t::DOUBLE FROM st
+  UNION ALL
+  SELECT 'l_discount', 'l_tax', n, s_d::DOUBLE, ss_d::DOUBLE,
+         s_t::DOUBLE, ss_t::DOUBLE, sp_d_t::DOUBLE FROM st)
+SELECT col_x, col_y, n AS n_rows,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+FROM pairs
+ORDER BY col_x, col_y
+"""
+
+
 
 
 _UNICODE_TOKENS_ORACLE = r"""
@@ -1766,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_path_topk": relational.session_path_topk,
         "stream_markov_transitions": q_stream_markov,
         "ann_ivfpq_euclid_topk": q_ann_ivfpq_euclid_topk,
+        "lineitem_correlations": relational.lineitem_correlations,
         "nation_revenue_pareto": relational.nation_revenue_pareto,
         # --- (4) remaining r5-verified
         "dedup_canonical": pipeline.dedup_canonical,
@@ -3347,6 +3393,7 @@ def oracle_sql() -> dict[str, str]:
         "session_path_topk": _PATHS_ORACLE,
         "stream_markov_transitions": _MARKOV_ORACLE,
         "ann_ivfpq_euclid_topk": _ANN_RECALL_ORACLE_EUC,
+        "lineitem_correlations": _CORR_ORACLE,
         "nation_revenue_pareto": _PARETO_ORACLE,
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),

@@ -2196,3 +2196,48 @@ def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem's numeric measures via
+    DECIMAL-exact sufficient statistics — the same discipline as the OLS
+    trends: built-in ``corr`` accumulates doubles in partition order
+    (run-to-run nondeterministic on a real cluster), while (n, Σx, Σy,
+    Σxy, Σx², Σy²) in decimal are associative and exact, so the one final
+    double expression per pair is bit-identical across engines and any
+    partitioning. ONE map-only aggregate produces every pair's statistics
+    (no per-pair passes); the 6-row result is driver-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    d = {c: F.col(c).cast("decimal(18,2)") for c in cols}
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(d[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(d[c] * d[c]).alias(f"ss_{c}"))
+    for i, x in enumerate(cols):
+        for y in cols[i + 1:]:
+            aggs.append(F.sum(d[x] * d[y]).alias(f"sp_{x}_{y}"))
+    stats = li.agg(*aggs)
+    pairs = []
+    for i, x in enumerate(cols):
+        for y in cols[i + 1:]:
+            n = F.col("n").cast("double")
+            sx, sy = F.col(f"s_{x}").cast("double"), F.col(f"s_{y}").cast("double")
+            sxx, syy = F.col(f"ss_{x}").cast("double"), F.col(f"ss_{y}").cast("double")
+            sxy = F.col(f"sp_{x}_{y}").cast("double")
+            r = (n * sxy - sx * sy) / F.sqrt(
+                (n * sxx - sx * sx) * (n * syy - sy * sy)
+            )
+            lx, ly = sorted([x, y])  # canonical (alphabetical) pair label
+            pairs.append(
+                F.struct(
+                    F.lit(lx).alias("col_x"),
+                    F.lit(ly).alias("col_y"),
+                    F.round(r, 6).alias("corr"),
+                )
+            )
+    return (
+        stats.select(F.explode(F.array(*pairs)).alias("p"), F.col("n"))
+        .select("p.col_x", "p.col_y", F.col("n").cast("long").alias("n_rows"), "p.corr")
+        .orderBy("col_x", "col_y")
+    )
