@@ -1735,70 +1735,19 @@ def q_hybrid_fusion_details(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is the driver's correctness-check priority: the driver
-    verifies a prefix window (~50). Round-8 layout retires the oldest
-    evidence debt (the r6/r7 verdicts' standing ask): (1) all 44 queries
-    whose latest green driver row is r4; (2) six r5 rows — the four
-    queries BENCH_r07 flagged as unexplained regressions (so their fix or
-    root-cause lands with fresh correctness evidence) plus two
-    tokenizer-touched ones (the r8 Unicode analyzer change flows through
-    their plans; testdata is ASCII so values are invariant, but the driver
-    should re-attest); (3) queries NEW in r8, staged immediately after the
-    window per the r7 verdict; then (4) remaining r5, (5) r6, (6) r7 —
-    freshest evidence last. Every declared query has an oracle_sql() twin."""
+    verifies a prefix window (~50). Round-9 layout retires the remaining
+    evidence debt per the r8 verdict: (1) the 14 queries added in r8 that
+    have NEVER been driver-checked (local oracle parity is green, but the
+    driver's DuckDB gate is the hard signal); (2) 36 of the 41 queries
+    whose latest green driver row is r5 — after this window no declared
+    query's driver evidence predates r6. Position 51+ stages r10: first
+    the 5 parked r5 queries (see ROTATION.md), then every r6/r7 query
+    whose code paths r9 touches (IVF determinism fix, session-builder
+    refactor, approx_topk clamp, analysis caching), then untouched r6/r7,
+    then the 50 r8-fresh queries CORRECTNESS_r08 just verified — freshest
+    evidence last. Every declared query has an oracle_sql() twin."""
     return {
-        # --- (1) oldest driver evidence: latest green is r4 (44)
-        "knn_limit_clamped": q_knn_limit_clamped,
-        "cli_range_bounds": q_cli_range_bounds,
-        "hybrid_fusion": q_hybrid_fusion,
-        "fulltext_bm25": q_fulltext_bm25,
-        "events_sessionize": q_events_sessionize,
-        "events_interval_join": q_events_interval_join,
-        "events_session_window": q_events_session_window,
-        "events_hourly_rollup": q_events_hourly_rollup,
-        "events_asof_signup": q_events_asof_signup,
-        "purchase_gaps": relational.purchase_gaps,
-        "segment_nation_arrays": relational.segment_nation_arrays,
-        "bigram_logprob_score": pipeline.bigram_logprob_score,
-        "doc_chunks": pipeline.doc_chunks,
-        "events_pivot": q_events_pivot,
-        "events_json_extract": q_events_json_extract,
-        "events_value_deciles": relational.events_value_deciles,
-        "events_latest_per_user": relational.events_latest_per_user,
-        "events_dow_hour": relational.events_dow_hour,
-        "flatten_roundtrip": relational.flatten_roundtrip,
-        "dedup_minhash_lsh": pipeline.dedup_minhash_lsh,
-        "dedup_components_star": pipeline.dedup_components_star,
-        "pii_redact": pipeline.pii_redact,
-        "dedup_exact": pipeline.dedup_exact,
-        "ngram_jaccard_pairs": pipeline.ngram_jaccard_pairs,
-        "dedup_components": pipeline.dedup_components,
-        "dedup_simhash": pipeline.dedup_simhash,
-        "dedup_embedding_cosine": pipeline.dedup_embedding_cosine,
-        "decontaminate": pipeline.decontaminate,
-        "corpus_clean": pipeline.corpus_clean,
-        "token_stats": pipeline.token_stats,
-        "language_id": pipeline.language_id,
-        "quality_score": pipeline.quality_score,
-        "doc_fingerprints": pipeline.doc_fingerprints,
-        "unigram_logprob_score": pipeline.unigram_logprob_score,
-        "doc_repetition": pipeline.doc_repetition,
-        "sample_deterministic": pipeline.sample_deterministic,
-        "stratified_sample": pipeline.stratified_sample,
-        "dataset_split_counts": pipeline.dataset_split_counts,
-        "multimodal_binary_stats": pipeline.multimodal_binary_stats,
-        "lineitem_self_join": q_lineitem_self_join,
-        "value_percentiles": q_value_percentiles,
-        "set_ops_customers": relational.set_ops_customers,
-        "daily_revenue_running_total": relational.daily_revenue_running_total,
-        "value_histogram": relational.value_histogram,
-        # --- (2) r5-stale: the 4 flagged bench regressions + 2 tokenizer-touched
-        "gopher_quality_rules": pipeline.gopher_quality_rules,
-        "duplicate_spans": pipeline.duplicate_spans,
-        "source_token_kl": pipeline.source_token_kl,
-        "training_manifest": pipeline.training_manifest,
-        "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
-        "phrase_match": pipeline.phrase_match,
-        # --- (3) NEW in r8, staged right after the window
+        # --- (1) NEW in r8, never driver-checked (14)
         "bson_roundtrip": q_bson_roundtrip,
         "unicode_token_stats": pipeline.unicode_token_stats,
         "quality_curriculum": pipeline.quality_curriculum,
@@ -1813,7 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_euclid_topk": q_ann_ivfpq_euclid_topk,
         "lineitem_correlations": relational.lineitem_correlations,
         "nation_revenue_pareto": relational.nation_revenue_pareto,
-        # --- (4) remaining r5-verified
+        # --- (2) r5-stale (36 of 41; the other 5 are staged first for r10)
         "dedup_canonical": pipeline.dedup_canonical,
         "hybrid_fusion_details": q_hybrid_fusion_details,
         "user_purge_counts": pipeline.user_purge_counts,
@@ -1850,12 +1799,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_rate": q_events_sliding_rate,
         "embedding_drift": pipeline.embedding_drift,
         "heavy_hitters": q_heavy_hitters,
+        # --- (3) staged for the r10 window: 5 parked r5 queries...
         "embed_roundtrip": q_embed_roundtrip,
         "sink_roundtrip": q_sink_roundtrip,
         "char_entropy_score": pipeline.char_entropy_score,
         "embedding_sign_buckets": pipeline.embedding_sign_buckets,
         "dedup_simhash_pairs": pipeline.dedup_simhash_pairs,
-        # --- (5) r6-verified
+        # ...then r6/r7 queries whose code paths r9 touches
+        "events_sessionize": q_events_sessionize,
+        "approx_topk_users": relational.approx_topk_users,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "stream_daily_distinct": q_stream_daily_distinct,
+        "stream_ivm_revenue": q_stream_ivm_revenue,
+        "ppr_top_docs": pipeline.ppr_top_docs,
+        "pagerank_top_docs": pipeline.pagerank_top_docs,
+        "dedup_canonical_shared": pipeline.dedup_canonical_shared,
+        "dedup_cluster_sizes_shared": pipeline.dedup_cluster_sizes_shared,
+        # --- (4) r6-verified
         "hybrid_rank_fusion": q_hybrid_rank_fusion,
         "cube_revenue": relational.cube_revenue,
         "revenue_calendar_fill": relational.revenue_calendar_fill,
@@ -1901,7 +1862,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": pipeline.dedup_cluster_sizes,
         "token_fertility_by_lang": pipeline.token_fertility_by_lang,
         # --- (6) r7-verified, freshest, so last
-        "pagerank_top_docs": pipeline.pagerank_top_docs,
         "orders_profile": q_orders_profile,
         "profit_by_nation_year": relational.profit_by_nation_year,
         "excess_quantity_suppliers": relational.excess_quantity_suppliers,
@@ -1917,32 +1877,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_pmi": pipeline.bigram_pmi,
         "events_robust_outliers": relational.events_robust_outliers,
         "orders_profile_approx": q_orders_profile_approx,
-        "dedup_canonical_shared": pipeline.dedup_canonical_shared,
-        "dedup_cluster_sizes_shared": pipeline.dedup_cluster_sizes_shared,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "epoch_shuffle_order": pipeline.epoch_shuffle_order,
         "epoch_shard_manifest": pipeline.epoch_shard_manifest,
         "hll_partial_union": relational.hll_partial_union,
         "dense_doc_ids": pipeline.dense_doc_ids,
         "sliding_distinct_users": relational.sliding_distinct_users,
         "copurchase_triangles": relational.copurchase_triangles,
-        "stream_daily_distinct": q_stream_daily_distinct,
         "dedup_edit_distance": pipeline.dedup_edit_distance,
         "nation_revenue_trend": relational.nation_revenue_trend,
         "dedup_source_matrix": pipeline.dedup_source_matrix,
         "blob_dedup_manifest": pipeline.blob_dedup_manifest,
         "hll_event_overlap": relational.hll_event_overlap,
         "doc_quality_skyline": pipeline.doc_quality_skyline,
-        "ppr_top_docs": pipeline.ppr_top_docs,
-        "approx_topk_users": relational.approx_topk_users,
         "k_anonymity_audit": pipeline.k_anonymity_audit,
         "link_hop_distances": pipeline.link_hop_distances,
         "l_diversity_audit": pipeline.l_diversity_audit,
         "ivm_revenue_apply": relational.ivm_revenue_apply,
         "approx_sum_sampled": relational.approx_sum_sampled,
-        "stream_ivm_revenue": q_stream_ivm_revenue,
         "user_interval_coverage": relational.user_interval_coverage,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "knn_bulk_topk": q_knn_bulk_topk,
@@ -1950,7 +1902,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_dot": q_knn_dot,
         "knn_euclidean": q_knn_euclidean,
         "knn_takeordered": q_knn_takeordered,
-        "knn_cosine_prefilter": q_knn_cosine_prefilter,
+        "knn_cosine_prefilter": q_knn_cosine_prefilter,        # --- (6) r8-fresh: the 50 queries CORRECTNESS_r08 just verified
+        "knn_limit_clamped": q_knn_limit_clamped,
+        "cli_range_bounds": q_cli_range_bounds,
+        "hybrid_fusion": q_hybrid_fusion,
+        "fulltext_bm25": q_fulltext_bm25,
+        "events_interval_join": q_events_interval_join,
+        "events_session_window": q_events_session_window,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "events_asof_signup": q_events_asof_signup,
+        "purchase_gaps": relational.purchase_gaps,
+        "segment_nation_arrays": relational.segment_nation_arrays,
+        "bigram_logprob_score": pipeline.bigram_logprob_score,
+        "doc_chunks": pipeline.doc_chunks,
+        "events_pivot": q_events_pivot,
+        "events_json_extract": q_events_json_extract,
+        "events_value_deciles": relational.events_value_deciles,
+        "events_latest_per_user": relational.events_latest_per_user,
+        "events_dow_hour": relational.events_dow_hour,
+        "flatten_roundtrip": relational.flatten_roundtrip,
+        "dedup_minhash_lsh": pipeline.dedup_minhash_lsh,
+        "dedup_components_star": pipeline.dedup_components_star,
+        "pii_redact": pipeline.pii_redact,
+        "dedup_exact": pipeline.dedup_exact,
+        "ngram_jaccard_pairs": pipeline.ngram_jaccard_pairs,
+        "dedup_components": pipeline.dedup_components,
+        "dedup_simhash": pipeline.dedup_simhash,
+        "dedup_embedding_cosine": pipeline.dedup_embedding_cosine,
+        "decontaminate": pipeline.decontaminate,
+        "corpus_clean": pipeline.corpus_clean,
+        "token_stats": pipeline.token_stats,
+        "language_id": pipeline.language_id,
+        "quality_score": pipeline.quality_score,
+        "doc_fingerprints": pipeline.doc_fingerprints,
+        "unigram_logprob_score": pipeline.unigram_logprob_score,
+        "doc_repetition": pipeline.doc_repetition,
+        "sample_deterministic": pipeline.sample_deterministic,
+        "stratified_sample": pipeline.stratified_sample,
+        "dataset_split_counts": pipeline.dataset_split_counts,
+        "multimodal_binary_stats": pipeline.multimodal_binary_stats,
+        "lineitem_self_join": q_lineitem_self_join,
+        "value_percentiles": q_value_percentiles,
+        "set_ops_customers": relational.set_ops_customers,
+        "daily_revenue_running_total": relational.daily_revenue_running_total,
+        "value_histogram": relational.value_histogram,
+        "gopher_quality_rules": pipeline.gopher_quality_rules,
+        "duplicate_spans": pipeline.duplicate_spans,
+        "source_token_kl": pipeline.source_token_kl,
+        "training_manifest": pipeline.training_manifest,
+        "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
+        "phrase_match": pipeline.phrase_match,
+
     }
 
 
