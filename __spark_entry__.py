@@ -1389,7 +1389,7 @@ def q_embed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMBED_ROUNDTRIP_ORACLE = """
+_EMBED_ROUNDTRIP_ORACLE = r"""
 WITH tokl AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
                              t -> t <> '') AS ts
@@ -2031,7 +2031,7 @@ ORDER BY query_id
 # (lower + split on non-alphanumerics) as functions.text.tokens.
 _FT_TERMS = "('fast', 'spark', 'table', 'value')"
 
-_BM25_SCORES = f"""
+_BM25_SCORES = rf"""
 toks AS (
   SELECT doc_id, t AS term FROM (
     SELECT doc_id, unnest(string_split_regex(lower(text), '[^\p{{L}}\p{{N}}]+')) AS t
@@ -2150,7 +2150,7 @@ ORDER BY score DESC, id ASC
 LIMIT 10
 """
 
-_BIGRAMS_ORACLE = """
+_BIGRAMS_ORACLE = r"""
 WITH tokl AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
                              t -> t <> '') AS ts

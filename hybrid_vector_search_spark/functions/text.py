@@ -1,4 +1,4 @@
-"""Text tokenization and n-gram column expressions.
+r"""Text tokenization and n-gram column expressions.
 
 The reference's analyzer is Lucene's standard analyzer inside the Atlas
 full-text index (reference indexes.py:73-86), which keeps UNICODE letters —

@@ -39,7 +39,7 @@ from ..functions.vector import cosine
 
 def normalized_text(c: Column) -> Column:
     """Whitespace/punctuation-insensitive canonical form for exact dedup."""
-    return F.trim(F.regexp_replace(F.lower(c), "[^\p{L}\p{N}]+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}]+", " "))
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -374,7 +374,7 @@ def sorted_neighborhood_pairs(
     still missed (more passes = more recall, same as more bands).
     Returned pairs are exact-verified, so precision is 1 by construction.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^\p{L}\p{N}]+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+", " "))
     pass_keys = [norm.substr(1, key_len), F.reverse(norm).substr(1, key_len)]
     if not 1 <= passes <= len(pass_keys):
         raise ValueError(f"passes must be in [1, {len(pass_keys)}], got {passes}")

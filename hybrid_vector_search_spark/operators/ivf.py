@@ -140,7 +140,10 @@ def build_ivf(
         }
         total = sum(sizes.values())
         cap = max(1, int(total * max_cluster_frac))
-        keep = [centroids[c] for c, n in sizes.items() if n <= cap]
+        # sorted: sizes comes from an unordered collect(), and the final
+        # centroid ordering defines the partitioned layout's cluster_ids —
+        # iterate deterministically like the oversized-cluster loop below
+        keep = [centroids[c] for c, n in sorted(sizes.items()) if n <= cap]
         for c, n in sorted(sizes.items()):
             if n <= cap:
                 continue

@@ -39,10 +39,14 @@ def mmr_rerank(
     id_col: str = "id",
     score_col: str = "score",
     vector_col: str = "embedding",
+    max_candidates: int = 256,
 ) -> DataFrame:
     """(id, rank, mmr_score) — the greedy MMR selection of ``k`` rows.
 
-    ``candidates`` must be a bounded relation (a top-k head). Relevance and
+    ``candidates`` must be a bounded relation (a top-k head); the fold
+    enforces this by collecting at most ``max_candidates + 1`` rows and
+    raising when exceeded, the same guarded-kernel contract as
+    ``dedup.embedding_near_dups``. Relevance and
     pairwise cosine are rounded to 6 dp before the greedy fold; ties break
     by ascending id. The fold materializes the candidate list and its k²
     similarity matrix once (two tiny jobs), then the selection itself is
@@ -66,7 +70,13 @@ def mmr_rerank(
             F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
         )
     )
-    cand_rows = a.select("ia", "rel").collect()
+    cand_rows = a.select("ia", "rel").limit(max_candidates + 1).collect()
+    if len(cand_rows) > max_candidates:
+        raise ValueError(
+            f"mmr_rerank folds the candidate set on the driver and the input "
+            f"exceeds max_candidates={max_candidates} rows. Pass the bounded "
+            f"top-k head only, or rerank per query-partition via applyInPandas."
+        )
     sim_rows = sims.collect()
     rel = {r["ia"]: float(r["rel"]) for r in cand_rows}
     sim = {(r["ia"], r["ib"]): float(r["sim"]) for r in sim_rows}

@@ -284,7 +284,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     nd = F.size(F.array_distinct(toks))
     len_sat = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
     ttr = nd.cast("double") / F.greatest(n, F.lit(1)).cast("double")
-    alnum = F.length(F.regexp_replace(F.lower(text), "[^\p{L}\p{N}]", "")).cast("double")
+    alnum = F.length(F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}]", "")).cast("double")
     alnum_ratio = alnum / F.greatest(F.length(text), F.lit(1)).cast("double")
     stop_en = _stop_ratio(F.array_distinct(toks), "en")
     score = len_sat * (F.lit(0.5) + F.lit(0.5) * ttr) * alnum_ratio * (

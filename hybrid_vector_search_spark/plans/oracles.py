@@ -18,7 +18,7 @@ from ..operators.textstats import MIN_LANG_RATIO, STOPWORDS
 # functions.text.tokens: lower, split on non-alphanumeric runs, drop empties
 TOKL = (
     "tokl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
-    "'[^\p{L}\p{N}]+'), t -> t <> '') AS ts FROM documents)"
+    r"'[^\p{L}\p{N}]+'), t -> t <> '') AS ts FROM documents)"
 )
 
 # operators.dedup.shingle_table: distinct word 3-gram md5 per doc
@@ -37,7 +37,7 @@ JACCARD = (
     "FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)"
 )
 
-NORM_TEXT = "trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'))"
+NORM_TEXT = r"trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'))"
 
 
 def _minhash_ctes(bands: int, rows_per_band: int) -> str:
@@ -305,7 +305,7 @@ ORDER BY t.event_type
 # normalized-prefix key, first-char bucket, per-bucket rank, window-3
 # candidates, exact-Jaccard verification — rank ties broken by doc_id in
 # both engines, keys are [a-z0-9 ] so binary collation agrees
-SORTED_NEIGHBORHOOD = f"""
+SORTED_NEIGHBORHOOD = rf"""
 WITH u AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -644,7 +644,7 @@ SELECT doc_id, {cols}, {case} AS pred_lang FROM r
 
 LANGUAGE_ID = _lang_sql()
 
-QUALITY_SCORE = f"""
+QUALITY_SCORE = rf"""
 WITH {TOKL},
 m AS (
   SELECT d.doc_id,
@@ -854,7 +854,7 @@ def _corpus_clean_sql(tail: str | None = None) -> str:
     for lg in langs[:-1]:
         case += f"WHEN ratio_{lg} = {best} THEN '{lg}' "
     case += f"ELSE '{langs[-1]}' END"
-    return f"""
+    return rf"""
 WITH {TOKL},
 q AS (
   SELECT d.doc_id,
@@ -986,7 +986,7 @@ m AS (
            list_sum(list_transform(ts, t -> length(t)))::DOUBLE / len(ts)::DOUBLE, 6)
            ELSE 0.0 END AS mean_word_len,
          CASE WHEN len(ts) > 0 THEN round(
-           len(list_filter(ts, t -> regexp_matches(t, '\p{{L}}')))::DOUBLE
+           len(list_filter(ts, t -> regexp_matches(t, '\\p{{L}}')))::DOUBLE
            / len(ts)::DOUBLE, 6) ELSE 0.0 END AS frac_alpha,
          CASE WHEN len(ls) > 0 THEN round(
            len(list_filter(ls, l -> regexp_matches(l, '^[-*\u2022]')))::DOUBLE
@@ -1125,7 +1125,7 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 # plans.pipeline.source_mixture_weights (alpha = 0.3)
-SOURCE_MIXTURE = """
+SOURCE_MIXTURE = r"""
 WITH per AS (
   SELECT source,
          sum(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
@@ -1196,7 +1196,7 @@ FROM x ORDER BY doc_id, chunk_id
 # (bucket, float32) rows; the dot is per-product 12dp-rounded DECIMAL(38,12)
 # sums (order-independent), and chunks sharing no bucket with the query
 # coalesce to exactly 0 — mirroring Spark's dense zip over all 64 buckets.
-RAG_RETRIEVE = f"""
+RAG_RETRIEVE = rf"""
 WITH {TOKL},
 n AS (SELECT doc_id, ts, len(ts) AS nt FROM tokl),
 c AS (
@@ -1383,7 +1383,7 @@ SELECT doc_id, source FROM ranked WHERE rk <= 20 ORDER BY doc_id
 # lists unnest pairwise); list slice ts[i:i+7] is 1-based inclusive = 8
 # tokens; string_agg skips the NULLed removed spans, coalesce covers docs
 # whose every span was removed (md5('') on both engines).
-SPAN_DEDUP = """
+SPAN_DEDUP = r"""
 WITH tok AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
@@ -1412,7 +1412,7 @@ FROM fl GROUP BY doc_id ORDER BY doc_id
 # plans.pipeline.dedup_incremental: cross-corpus exact shingle Jaccard —
 # base corpus vs a planted "new snapshot" (exact re-crawls of every 25th
 # doc, half-truncated re-crawls of every 40th); pairs are base×new only.
-DEDUP_INCREMENTAL = """
+DEDUP_INCREMENTAL = r"""
 WITH inc AS (
   SELECT doc_id + 30000 AS doc_id, text
   FROM documents WHERE doc_id % 25 = 0
@@ -1449,7 +1449,7 @@ FROM jac WHERE jaccard >= 0.5
 # plans.pipeline.nb_language_classifier: closed-form naive-Bayes log-odds
 # (operators/classifier.py) — add-one smoothing, en-vs-rest, score rounded
 # 6dp, pred = score > 0. Same token relation as the unigram LM.
-NB_CLASSIFIER = """
+NB_CLASSIFIER = r"""
 WITH tokl AS (
   SELECT doc_id, lang = 'en' AS is_pos,
          list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
@@ -1791,7 +1791,7 @@ LIMIT 20
 # AS MATERIALIZED is load-bearing: s{i} is referenced by both p{i+1} and
 # s{i+1}, and without it DuckDB inlines the chain into a 2^N-blowup.
 def _bpe_sql(merges: int = 10, passes: int = 6, tail: str | None = None) -> str:
-    head = """
+    head = r"""
 WITH w AS MATERIALIZED (
   SELECT t AS word, count(*)::BIGINT AS freq FROM (
     SELECT unnest(string_split_regex(lower(text), '[^\p{L}]+')) AS t FROM documents
@@ -1850,7 +1850,7 @@ SELECT token, sum(freq)::BIGINT AS total_count FROM (
 # pipeline.bpe_learned_fertility: corpus words joined to the trained
 # word → segmentation table for post-merge token counts, per-lang rollup
 BPE_LEARNED_FERTILITY = _bpe_sql(
-    tail="""
+    tail=r"""
 SELECT lang, sum(n_tokens)::BIGINT AS bpe_tokens, count(*)::BIGINT AS words,
        round(sum(n_tokens)::DOUBLE / count(*), 6) AS fertility
 FROM (

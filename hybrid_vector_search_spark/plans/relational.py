@@ -996,7 +996,24 @@ def approx_topk_users(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
     # exactness precondition safe under growth within a run; the exact side
     # already does a full groupBy, so this pre-pass never dominates.
     n_users = events.select("user_id").distinct().count()
-    tracked = max(100_000, 2 * n_users)
+    # Spark caps approx_top_k's maxItemsTracked at 1,000,000 — an uncapped
+    # 2*n_users THROWS once distinct users pass ~500k, the very
+    # data-volume flake the derivation avoids. Clamp to the engine cap and
+    # warn when the exactness precondition (tracked >= n_users) is gone:
+    # past that scale the sketch degrades gracefully (approximate counts)
+    # instead of erroring, and the attestation column reports it honestly.
+    _SPARK_TRACKED_CAP = 1_000_000
+    tracked = min(_SPARK_TRACKED_CAP, max(100_000, 2 * n_users))
+    if tracked < n_users:
+        import warnings
+
+        warnings.warn(
+            f"approx_topk_users: {n_users} distinct users exceed "
+            f"maxItemsTracked={tracked} (engine cap {_SPARK_TRACKED_CAP}); "
+            f"sketch counts are now approximate and sketch_count_exact may "
+            f"be false for tied/boundary items.",
+            stacklevel=2,
+        )
     sketch = events.agg(
         F.expr(f"approx_top_k(user_id, {k} + 200, {tracked})").alias("tk")
     ).select(

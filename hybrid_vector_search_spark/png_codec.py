@@ -65,14 +65,15 @@ def decode_png(data: bytes) -> np.ndarray:
         elif f == 1:  # Sub
             cur = line
             for x in range(ch, stride):
-                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
         elif f == 2:  # Up
-            cur = (line + prev) & 0xFF
+            cur = (line.astype(np.uint16) + prev) & 0xFF
+            cur = cur.astype(np.uint8)
         elif f == 3:  # Average
             cur = line
             for x in range(stride):
                 left = int(cur[x - ch]) if x >= ch else 0
-                cur[x] = (cur[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             cur = line
             for x in range(stride):
@@ -82,7 +83,7 @@ def decode_png(data: bytes) -> np.ndarray:
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) & 0xFF
+                cur[x] = (int(cur[x]) + pred) & 0xFF
         else:
             raise ValueError(f"corrupt PNG: unknown filter {f}")
         out[y] = cur

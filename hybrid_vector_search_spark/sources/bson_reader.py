@@ -181,13 +181,22 @@ def read_bson_dump(
 
 
 def write_bson_dump(df: DataFrame, path: str, *, gzipped: bool = True) -> None:
-    """Round-trip sink: one ``.bson``(.gz) shard per partition, written
-    executor-side via foreachPartition (no driver materialization) — the
+    """Round-trip sink: one ``.bson``(.gz) shard per partition — the
     mongodump layout our own reader ingests. Row → BSON uses the inverse
     scalar mappings of the reader for the types the engine's tables use
-    (long/int/double/string/bool/null, arrays, nested structs)."""
-    import os
-    import uuid
+    (long/int/double/string/bool/null, arrays, nested structs).
+
+    Encode + gzip run distributed (one ``mapInPandas`` pass, one output row
+    per partition); the finished shards are then streamed through the
+    driver ONE AT A TIME into the Hadoop FileSystem API, so they land on
+    the job's real target filesystem (HDFS/S3A/local) in any deployment —
+    a plain executor-side ``open()`` would scatter shards across
+    executor-local disks on a cluster and the subsequent read would
+    silently lose data. Driver memory is bounded by the largest single
+    shard (≈ one partition), never the dataset; like mongodump itself, the
+    export funnel is one process wide. For engine-internal round trips at
+    scale, parquet (sinks.py) is the right format — this sink exists for
+    mongorestore interop."""
 
     def _enc_value(v: Any) -> tuple[int, bytes]:
         if v is None:
@@ -219,18 +228,58 @@ def write_bson_dump(df: DataFrame, path: str, *, gzipped: bool = True) -> None:
             body += bytes([et]) + k.encode("utf-8") + b"\x00" + payload
         return struct.pack("<i", len(body) + 5) + body + b"\x00"
 
-    os.makedirs(path, exist_ok=True)
+    ext = ".bson.gz" if gzipped else ".bson"
+    fields = [f.name for f in df.schema.fields]
 
-    def sink(rows) -> None:
-        chunks = [_enc_doc(r.asDict(recursive=True)) for r in rows]
+    def enc_kern(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks: list[bytes] = []
+        for pdf in batches:
+            # convert_dtypes: keep null ints as Int64/pd.NA — the default
+            # float64 promotion would silently re-type a whole long column
+            # to BSON doubles the moment one row is null
+            for rec in pdf.convert_dtypes().to_dict("records"):
+                chunks.append(_enc_doc({k: _de_np(rec[k]) for k in fields}))
         if not chunks:
             return
         blob = b"".join(chunks)
-        name = f"part-{uuid.uuid4().hex}.bson"
         if gzipped:
             blob = gzip.compress(blob, compresslevel=1)
-            name += ".gz"
-        with open(os.path.join(path, name), "wb") as f:
-            f.write(blob)
+        yield pd.DataFrame({"name": [f"part-{pid:05d}{ext}"], "blob": [blob]})
 
-    df.foreachPartition(sink)
+    blobs = df.mapInPandas(enc_kern, "name string, blob binary")
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(path).getFileSystem(hconf)
+    fs.mkdirs(HPath(path))
+    for row in blobs.toLocalIterator():
+        out = fs.create(HPath(path, row["name"]), True)
+        try:
+            out.write(bytearray(row["blob"]))
+        finally:
+            out.close()
+
+
+def _de_np(v: Any) -> Any:
+    """Arrow/pandas record values → plain Python for the BSON encoder
+    (numpy scalars fail the isinstance(int/float) dispatch; pd.NA/NaT are
+    nulls)."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, np.ndarray):
+        return [_de_np(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_de_np(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _de_np(x) for k, x in v.items()}
+    if v is None or v is pd.NA or v is pd.NaT:
+        return None
+    if isinstance(v, np.generic):
+        return v.item()
+    return v

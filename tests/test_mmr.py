@@ -44,3 +44,19 @@ def test_k_clamps_to_candidate_count(spark):
     out = mmr_rerank(_cands(spark), k=50).collect()
     assert len(out) == 5
     assert sorted(r["rank"] for r in out) == [1, 2, 3, 4, 5]
+
+
+def test_unbounded_candidates_raise(spark):
+    """The driver fold enforces its documented bound instead of trusting the
+    caller (the dedup.embedding_near_dups guarded-kernel contract)."""
+    from hybrid_vector_search_spark.operators.mmr import mmr_rerank
+
+    big = spark.range(0, 300).selectExpr(
+        "id", "1.0 - id / 1000.0 AS score",
+        "array(cast(id AS double), 1.0, 0.0) AS embedding"
+    )
+    with pytest.raises(ValueError, match="max_candidates"):
+        mmr_rerank(big, k=5)
+    # raising the bound re-admits the same relation
+    out = mmr_rerank(big, k=3, max_candidates=300).collect()
+    assert len(out) == 3

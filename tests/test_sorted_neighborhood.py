@@ -32,7 +32,7 @@ def test_candidate_count_is_linear(spark):
         [(i, f"common opening words here then tail {i}") for i in range(200)],
         "doc_id long, text string",
     )
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^\p{L}\p{N}]+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^\p{L}\p{N}]+", " "))
     keys = docs.select(F.col("doc_id").alias("id"), norm.substr(1, 24).alias("key"))
     # all 200 docs share one bucket and one key prefix — the adversarial case
     out = dedup.sorted_neighborhood_pairs(
