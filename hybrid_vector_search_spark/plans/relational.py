@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from ..streaming.events import user_stream_window
 
 DEC = "decimal(18,2)"
 
@@ -1445,7 +1446,7 @@ def purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = user_stream_window()
     gaps = ev.select(
         "user_id",
         (
@@ -1994,7 +1995,7 @@ def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange shape at scale; purchases with no prior touch roll up as
     'none'."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = user_stream_window()
     prior = Window.partitionBy("user_id").orderBy("rn").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -2109,7 +2110,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     and row totals are a tiny aggregate joined broadcast-side. Counts are
     exact integers; each probability is one double division rounded 6 dp."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = user_stream_window()
     pairs = (
         ev.select(
             "user_id",
@@ -2144,7 +2145,7 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window pass), then a tiny count + top-k. Ties break on the path
     string for a deterministic LIMIT boundary."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = user_stream_window()
     paths = (
         ev.select(
             F.lag("event_type", 2).over(w).alias("e1"),

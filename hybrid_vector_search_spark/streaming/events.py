@@ -38,6 +38,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_MIN = 30
+
+# THE canonical per-user journey ordering. Every operator that walks a
+# user's event stream in order — sessionize (here), the Markov transition
+# matrix, session-path trigrams, first/last-touch attribution
+# (plans/relational.py), and the streaming Markov fold
+# (streaming/sketch.py) — must sort by exactly this key, or batch and
+# stream twins drift apart on ties (events sharing a timestamp).
+USER_STREAM_ORDER: tuple[str, str] = ("ts", "event_id")
+
+
+def user_stream_window(
+    user_col: str = "user_id", ts_col: str = "ts", id_col: str = "event_id"
+):
+    """The shared session-assembly window: partition by user, order by the
+    canonical (event time, event id) key. Column names are parameterized
+    for call sites that alias (streaming/sketch.stream_markov), but the
+    ORDER SEMANTICS are defined once, here."""
+    return Window.partitionBy(user_col).orderBy(ts_col, id_col)
+
+
 DEC = "decimal(18,4)"
 
 
@@ -146,7 +166,7 @@ def sessionize(events: DataFrame, *, gap_minutes: int = SESSION_GAP_MIN) -> Data
     """Gap-based sessions per user: a new session starts when the time since
     the previous event exceeds the gap. Pure window functions — one shuffle
     on user_id; the running sum never leaves the per-user partition."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = user_stream_window()
     # Gap at exact microsecond precision — the same break definition
     # _session_state_fn uses (gap_us > threshold), so a gap in (1800, 1801)
     # seconds sessionizes identically batch vs stream.

@@ -502,6 +502,8 @@ def stream_markov(
     against the DuckDB-oracled batch query)."""
     from pyspark.sql import Window
 
+    from .events import user_stream_window
+
     schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -521,7 +523,7 @@ def stream_markov(
             F.col(id_col).alias("i"),
             F.col(type_col).alias("ty"),
         ).localCheckpoint(eager=True)
-        w = Window.partitionBy("u").orderBy("t", "i")
+        w = user_stream_window("u", "t", "i")
         within = (
             b.select(F.lag("ty").over(w).alias("from_type"),
                      F.col("ty").alias("to_type"))

@@ -271,3 +271,56 @@ def test_audio_windows_partition_invariant(spark):
         map(tuple, audio_windows(media.repartition(7)).drop("window").collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_jpeg_gated_lane_pillow_parity(spark):
+    """Runs only where Pillow exists (not this container): a REAL JPEG
+    declared as format='jpeg' must route through decode_image's Pillow
+    gate and come out of resize_images as the exact nearest-neighbor
+    resize of Pillow's own decode — the same gated-lane contract the PNG
+    codec has in test_png_codec.test_pillow_parity_when_available."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from hybrid_vector_search_spark.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        resize_array,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(img).save(buf, format="JPEG", quality=95)
+    jpeg = buf.getvalue()
+    # JPEG is lossy: the comparison baseline is Pillow's decode of the
+    # same bytes, not the source array
+    decoded = np.asarray(PIL_Image.open(io.BytesIO(jpeg)))[:, :, :3]
+    assert np.array_equal(decode_media(jpeg, {"format": "jpeg"}), decoded)
+
+    df = spark.createDataFrame(
+        [(0, "image", jpeg, (12, 16, None, None, "jpeg"))], MEDIA_SCHEMA
+    )
+    out = resize_images(df, width=6, height=8).collect()[0]
+    assert (out["meta"]["width"], out["meta"]["height"]) == (6, 8)
+    assert out["meta"]["format"] == "raw-rgb"
+    got = np.frombuffer(bytes(out["content"]), dtype=np.uint8).reshape(8, 6, 3)
+    assert np.array_equal(got, resize_array(decoded, width=6, height=8))
+
+
+def test_jpeg_without_pillow_raises_honestly(spark):
+    """In THIS container (no Pillow) a format='jpeg' blob must raise the
+    loud NotImplementedError contract, not mis-decode via the fake."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        pytest.skip("Pillow present — the gated parity test covers this env")
+    except ImportError:
+        pass
+    from hybrid_vector_search_spark.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_media(b"\xff\xd8\xff\xe0fakejpegbytes", {"format": "jpeg"})

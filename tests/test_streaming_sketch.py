@@ -471,3 +471,52 @@ def test_stream_markov_equals_batch_recount(spark, tmp_path):
     }
     assert got == want
     assert sum(got.values()) == 6 * 5  # every transition counted exactly once
+
+
+def test_stream_markov_equals_declared_batch_query(spark, tmp_path):
+    """The maintained matrix must equal relational.events_markov_transitions
+    — the DECLARED batch query, not an inline recount — over the real
+    sf0.001 events table split into three time-ordered files (the same
+    batch/stream twin pinning every other streaming operator has)."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.plans.relational import (
+        events_markov_transitions,
+    )
+    from hybrid_vector_search_spark.sources import load_table
+    from hybrid_vector_search_spark.streaming.sketch import (
+        markov_from_state,
+        stream_markov,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cuts = ev.agg(
+        F.percentile_approx("ts", F.array(F.lit(0.33), F.lit(0.66)), 10_000)
+        .alias("c")
+    ).collect()[0]["c"]
+    src = str(tmp_path / "src")
+    ev.where(F.col("ts") <= cuts[0]).coalesce(1).write.mode("overwrite").parquet(src)
+    ev.where((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("ts") > cuts[1]).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_markov(
+        spark, src, state_dir=str(tmp_path / "state"),
+        checkpoint_path=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    got = [
+        (r["from_type"], r["to_type"], r["n_transitions"], r["prob"])
+        for r in markov_from_state(spark, str(tmp_path / "state"))
+        .orderBy("from_type", "to_type").collect()
+    ]
+    want = [
+        (r["from_type"], r["to_type"], r["n_transitions"], r["prob"])
+        for r in events_markov_transitions(spark, sf_dir)
+        .orderBy("from_type", "to_type").collect()
+    ]
+    assert got == want and len(got) > 0
