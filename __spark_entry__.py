@@ -1832,7 +1832,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_rate": q_events_sliding_rate,
         "embedding_drift": pipeline.embedding_drift,
         "heavy_hitters": q_heavy_hitters,
-        # --- (3) staged for the r10 window: 5 parked r5 queries...
+        # --- (3) staged for the r10 window: first the 4 NEW in r9
+        # (never driver-checked), then the 5 parked r5 queries...
+        "rfm_segments": relational.rfm_segments,
+        "time_to_convert": relational.time_to_convert,
+        "wau_mau_stickiness": relational.wau_mau_stickiness,
+        "link_prediction_scores": pipeline.link_prediction_scores,
         "embed_roundtrip": q_embed_roundtrip,
         "sink_roundtrip": q_sink_roundtrip,
         "char_entropy_score": pipeline.char_entropy_score,
@@ -3398,6 +3403,91 @@ ORDER BY doc_id
 """
 
 
+
+# --- r9-new analytics oracles -------------------------------------------
+
+_RFM_ORACLE = """
+WITH anchor AS (SELECT max(ts::DATE) AS anchor FROM events),
+pu AS (
+  SELECT user_id,
+         datediff('day', max(ts::DATE), (SELECT anchor FROM anchor)) AS recency_days,
+         count(*)::BIGINT AS frequency,
+         sum(value::DECIMAL(18,4)) AS monetary_dec
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+scored AS (
+  SELECT monetary_dec,
+         ntile(5) OVER (ORDER BY recency_days DESC, user_id ASC)::INT AS r_score,
+         ntile(5) OVER (ORDER BY frequency ASC, user_id ASC)::INT AS f_score,
+         ntile(5) OVER (ORDER BY monetary_dec ASC, user_id ASC)::INT AS m_score
+  FROM pu
+)
+SELECT r_score, f_score, m_score, count(*)::BIGINT AS n_users,
+       round(sum(monetary_dec)::DOUBLE / count(*), 6) AS avg_monetary
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+_TIME_TO_CONVERT_ORACLE = """
+WITH fs AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+fp AS (
+  SELECT e.user_id, fs.signup_ts, min(e.ts) AS purchase_ts
+  FROM events e JOIN fs ON e.user_id = fs.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fs.signup_ts
+  GROUP BY e.user_id, fs.signup_ts
+),
+b AS (
+  SELECT floor((epoch_us(purchase_ts) - epoch_us(signup_ts)) / 3600000000)::BIGINT
+           AS latency_hours,
+         count(*)::BIGINT AS n_users
+  FROM fp GROUP BY 1
+)
+SELECT latency_hours, n_users,
+       round(n_users::DOUBLE / (SELECT sum(n_users) FROM b)::DOUBLE, 6) AS share
+FROM b ORDER BY latency_hours
+"""
+
+_WAU_MAU_ORACLE = """
+WITH uw AS (SELECT DISTINCT date_trunc('week', ts)::DATE AS week, user_id FROM events),
+wk AS (SELECT DISTINCT week FROM uw),
+wau AS (SELECT week, count(*)::BIGINT AS wau FROM uw GROUP BY week),
+mau AS (
+  SELECT w.week, count(DISTINCT uw.user_id)::BIGINT AS mau
+  FROM wk w JOIN uw ON uw.week <= w.week AND uw.week >= w.week - 21
+  GROUP BY w.week
+)
+SELECT strftime(wau.week, '%Y-%m-%d') AS week_start, wau, mau,
+       round(wau::DOUBLE / mau::DOUBLE, 6) AS stickiness
+FROM wau JOIN mau USING (week) ORDER BY week_start
+"""
+
+_LINK_PREDICTION_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src,
+           (doc_id * 31 + 7) % (SELECT count(*) FROM documents) AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           (doc_id * 17 + 3) % (SELECT count(*) FROM documents)
+    FROM documents
+  )
+),
+deg AS (SELECT dst, count(*)::BIGINT AS indeg FROM e GROUP BY dst)
+SELECT e1.src AS a, e2.src AS b, count(*)::BIGINT AS common_neighbors,
+       sum(floor(1000000 / indeg))::BIGINT AS ra_fp6
+FROM e e1
+JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+JOIN deg ON deg.dst = e1.dst
+GROUP BY a, b
+ORDER BY ra_fp6 DESC, a ASC, b ASC
+LIMIT 25
+"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters": _HEAVY_HITTERS_ORACLE,
@@ -3430,6 +3520,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_euclid_topk": _ANN_RECALL_ORACLE_EUC,
         "lineitem_correlations": _CORR_ORACLE,
         "nation_revenue_pareto": _PARETO_ORACLE,
+        # r9-new analytics
+        "rfm_segments": _RFM_ORACLE,
+        "time_to_convert": _TIME_TO_CONVERT_ORACLE,
+        "wau_mau_stickiness": _WAU_MAU_ORACLE,
+        "link_prediction_scores": _LINK_PREDICTION_ORACLE,
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),
         "knn_dot": _KNN_ORACLE.format(score_expr=_DOT, where="e.vec_id <> 0"),

@@ -1949,3 +1949,57 @@ def dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"), "degree")
         .orderBy("doc_id")
     )
+
+
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation link prediction over the synthetic directed link graph
+    (the same two-formula edge derivation as link_hop_distances /
+    pagerank_top_docs): for every source pair (a < b) sharing a cited
+    target, the common-neighbor count and the resource-allocation index
+    Σ 1/indeg(shared) — the classic 'which docs should link' signal.
+
+    The RA term is fixed-point: floor(1e6 / indeg) summed as BIGINT
+    (``ra_fp6``, micro-units) — indeg is a small integer, so both engines
+    compute the identical double quotient and the sum is exact integer
+    arithmetic; a raw double Σ 1/indeg would be partial-order-dependent at
+    the last ULP.
+
+    Scale: pure inverted-index shape — edges shuffle ONCE by dst, the
+    pair fan-out is Σ indeg² per target (never all-pairs), the indeg join
+    rides the same dst partitioning (no extra exchange), then one
+    groupBy(a,b). A hub target with indeg d contributes d² pairs: at real
+    web-graph skew, cap or salt hub dsts exactly as ngram_jaccard_pairs
+    documents for hot shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    ids = docs.select("doc_id")
+    edges = (
+        ids.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 31 + 7) % n).alias("dst"),
+        )
+        .unionAll(
+            ids.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 17 + 3) % n).alias("dst"),
+            )
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("dst").agg(F.count("*").alias("indeg"))
+    e1 = edges.select(F.col("src").alias("a"), "dst")
+    e2 = edges.select(F.col("src").alias("b"), "dst")
+    return (
+        e1.join(e2, "dst")
+        .where(F.col("a") < F.col("b"))
+        .join(deg, "dst")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum(F.floor(F.lit(1_000_000) / F.col("indeg")))
+            .cast("long")
+            .alias("ra_fp6"),
+        )
+        .orderBy(F.desc("ra_fp6"), F.asc("a"), F.asc("b"))
+        .limit(25)
+    )

@@ -2259,3 +2259,146 @@ def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.col_x", "p.col_y", F.col("n").cast("long").alias("n_rows"), "p.corr")
         .orderBy("col_x", "col_y")
     )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    purchase events: per user, days since last purchase (vs the stream's
+    max event day), purchase count, and exact DECIMAL spend; each metric
+    quintile-scored with ntile(5) over a TOTAL order (metric, user_id) so
+    both engines bucket ties identically (score 5 = most recent / most
+    frequent / highest spend), then rolled up per (r,f,m) segment.
+
+    Scale: the scored relation is ONE ROW PER PURCHASING USER — the events
+    table reduces by orders of magnitude in the first groupBy, and only
+    that user-level relation passes through the three global ntile sorts
+    (the same single-exchange-of-the-reduced-relation shape as the
+    profile/deciles queries). At true 100 TB user counts, swap ntile for
+    approx-quantile boundary CASE buckets — the approx-twin pattern
+    (value_percentiles_approx) — trading exact equal-size buckets for a
+    map-only assignment."""
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(F.max(F.to_date("ts")).alias("anchor"))
+    per_user = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("monetary_dec"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("anchor", "last_day").alias("recency_days"),
+            "frequency",
+            "monetary_dec",
+        )
+    )
+    w_r = Window.orderBy(F.desc("recency_days"), F.asc("user_id"))
+    w_f = Window.orderBy(F.asc("frequency"), F.asc("user_id"))
+    w_m = Window.orderBy(F.asc("monetary_dec"), F.asc("user_id"))
+    scored = per_user.select(
+        "monetary_dec",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(
+                F.sum("monetary_dec").cast("double") / F.count("*"), 6
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion-latency distribution: per user, the FIRST
+    signup and the first purchase at-or-after it; latency bucketed into
+    whole hours (integer microsecond arithmetic — engine-exact), with each
+    bucket's user count and share of all converters.
+
+    Scale: one groupBy(user_id) for first signups, a co-partitioned join
+    against purchases on the same key (no extra exchange shape), then a
+    tiny hour-bucket rollup; the share divides by a broadcast 1-row total.
+    No global window over user rows."""
+    events = load_table(spark, sf_dir, "events")
+    first_signup = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    first_purchase = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(first_signup, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    bucketed = first_purchase.select(
+        F.floor(
+            (F.unix_micros("purchase_ts") - F.unix_micros("signup_ts"))
+            / 3_600_000_000
+        ).alias("latency_hours")
+    ).groupBy("latency_hours").agg(F.count("*").alias("n_users"))
+    total = bucketed.agg(F.sum("n_users").alias("n_total"))
+    return (
+        bucketed.crossJoin(F.broadcast(total))
+        .select(
+            "latency_hours",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("n_total").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("latency_hours")
+    )
+
+
+def wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly stickiness (WAU / trailing-4-week MAU) — the standard growth
+    engagement ratio. Weeks are Monday-truncated dates (both engines
+    truncate to Monday); MAU(w) counts distinct users active in weeks
+    w-3..w via a range join of the distinct user-week relation against the
+    tiny week dimension.
+
+    Scale: (user_id, week) distinct is ONE shuffle of the reduced
+    relation; the 4-week range join broadcasts the week dimension
+    (|weeks| rows), so the fan-out is ≤4× the user-week relation, followed
+    by one distinct per (week, user). No per-event work after the first
+    projection."""
+    events = load_table(spark, sf_dir, "events")
+    user_weeks = events.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"), "user_id"
+    ).distinct()
+    weeks = user_weeks.select("week").distinct()
+    wau = user_weeks.groupBy("week").agg(F.count("*").alias("wau"))
+    uw, w = user_weeks.alias("uw"), weeks.alias("w")
+    mau = (
+        uw.join(
+            F.broadcast(w),
+            (F.col("uw.week") <= F.col("w.week"))
+            & (F.col("uw.week") >= F.date_sub(F.col("w.week"), 21)),
+        )
+        .select(F.col("w.week").alias("week"), "user_id")
+        .distinct()
+        .groupBy("week")
+        .agg(F.count("*").alias("mau"))
+    )
+    return (
+        wau.join(mau, "week")
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week_start"),
+            "wau",
+            "mau",
+            F.round(
+                F.col("wau").cast("double") / F.col("mau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("week_start")
+    )
