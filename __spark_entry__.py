@@ -1838,6 +1838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_to_convert": relational.time_to_convert,
         "wau_mau_stickiness": relational.wau_mau_stickiness,
         "link_prediction_scores": pipeline.link_prediction_scores,
+        "ab_test_lift": relational.ab_test_lift,
+        "ks_test_ab": relational.ks_test_ab,
+        "bounce_rate_daily": relational.bounce_rate_daily,
         "embed_roundtrip": q_embed_roundtrip,
         "sink_roundtrip": q_sink_roundtrip,
         "char_entropy_score": pipeline.char_entropy_score,
@@ -3488,6 +3491,87 @@ LIMIT 25
 
 
 
+
+_AB_LIFT_ORACLE = """
+WITH arms AS (
+  SELECT (user_id % 2)::INT AS arm, count(*)::BIGINT AS n,
+         sum(value::DECIMAL(18,4)) AS s,
+         sum(value::DECIMAL(18,4) * value::DECIMAL(18,4)) AS ss
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+j AS (
+  SELECT a.n AS n_a, a.s::DOUBLE AS sa, a.ss::DOUBLE AS ssa,
+         b.n AS n_b, b.s::DOUBLE AS sb, b.ss::DOUBLE AS ssb
+  FROM arms a, arms b WHERE a.arm = 0 AND b.arm = 1
+)
+SELECT n_a, n_b,
+       round(sa / n_a, 6) AS mean_a,
+       round(sb / n_b, 6) AS mean_b,
+       round(sb / n_b - sa / n_a, 6) AS lift,
+       round((sb / n_b - sa / n_a)
+             / sqrt((ssa - sa * sa / n_a) / (n_a - 1) / n_a
+                    + (ssb - sb * sb / n_b) / (n_b - 1) / n_b), 6) AS welch_t,
+       round(pow((ssa - sa * sa / n_a) / (n_a - 1) / n_a
+                 + (ssb - sb * sb / n_b) / (n_b - 1) / n_b, 2)
+             / (pow((ssa - sa * sa / n_a) / (n_a - 1) / n_a, 2) / (n_a - 1)
+                + pow((ssb - sb * sb / n_b) / (n_b - 1) / n_b, 2) / (n_b - 1)),
+             6) AS welch_df
+FROM j
+"""
+
+_KS_AB_ORACLE = """
+WITH pv AS (
+  SELECT value::DECIMAL(18,4) AS v,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+t AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b FROM pv),
+cdf AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+         sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM pv
+)
+SELECT t.n_a, t.n_b,
+       round(abs(cum_a::DOUBLE / t.n_a::DOUBLE - cum_b::DOUBLE / t.n_b::DOUBLE), 6)
+         AS ks_stat,
+       v::DOUBLE AS at_value
+FROM cdf, t
+ORDER BY ks_stat DESC, at_value ASC
+LIMIT 1
+"""
+
+_BOUNCE_RATE_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+  FROM g
+),
+sess AS (
+  SELECT user_id, session_seq, min(ts) AS session_start,
+         count(*)::BIGINT AS n_events
+  FROM s GROUP BY user_id, session_seq
+)
+SELECT strftime(session_start::DATE, '%Y-%m-%d') AS day,
+       count(*)::BIGINT AS n_sessions,
+       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS bounce_rate
+FROM sess GROUP BY 1 ORDER BY 1
+"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters": _HEAVY_HITTERS_ORACLE,
@@ -3525,6 +3609,9 @@ def oracle_sql() -> dict[str, str]:
         "time_to_convert": _TIME_TO_CONVERT_ORACLE,
         "wau_mau_stickiness": _WAU_MAU_ORACLE,
         "link_prediction_scores": _LINK_PREDICTION_ORACLE,
+        "ab_test_lift": _AB_LIFT_ORACLE,
+        "ks_test_ab": _KS_AB_ORACLE,
+        "bounce_rate_daily": _BOUNCE_RATE_ORACLE,
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),
         "knn_dot": _KNN_ORACLE.format(score_expr=_DOT, where="e.vec_id <> 0"),

@@ -2402,3 +2402,132 @@ def wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B comparison of purchase values (arm = user_id parity —
+    the planted random split): per-arm count / mean / sample variance from
+    EXACT DECIMAL sufficient statistics (Σx as DECIMAL(38,4), Σx² as
+    DECIMAL(38,8) — partition-order-independent, the
+    lineitem_correlations recipe), then the Welch t statistic and
+    Welch–Satterthwaite degrees of freedom as single double expressions
+    over those exact sums — both engines evaluate the identical formula on
+    identical inputs, so the 6-dp rounding is stable.
+
+    Scale: ONE map-side-combinable aggregate over the purchase stream —
+    no shuffle wider than 2 groups, no second pass."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,4)")
+    arms = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy((F.col("user_id") % 2).cast("int").alias("arm"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(v).alias("s"),
+            F.sum(v * v).alias("ss"),
+        )
+    )
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("ss").alias("ss_a")
+    )
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("ss").alias("ss_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    ssa, ssb = F.col("ss_a").cast("double"), F.col("ss_b").cast("double")
+    mean_a, mean_b = sa / na, sb / nb
+    var_a = (ssa - sa * sa / na) / (na - 1)
+    var_b = (ssb - sb * sb / nb) / (nb - 1)
+    se2 = var_a / na + var_b / nb
+    welch_t = (mean_b - mean_a) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (var_a / na) * (var_a / na) / (na - 1)
+        + (var_b / nb) * (var_b / nb) / (nb - 1)
+    )
+    return j.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(mean_b - mean_a, 6).alias("lift"),
+        F.round(welch_t, 6).alias("welch_t"),
+        F.round(df, 6).alias("welch_df"),
+    )
+
+
+def ks_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the same A/B arms'
+    purchase-value distributions: per distinct value, running per-arm
+    counts (one ordered window over the MERGED DISTINCT SUPPORT — a
+    relation of unique values, orders of magnitude smaller than the event
+    stream) give both empirical CDFs; the statistic is the max |F_a − F_b|
+    with the smallest attaining value as the deterministic argmax.
+
+    The window is a global sort of the distinct-value relation (the same
+    accepted reduced-relation shape as the deciles/profile queries); at
+    true 100 TB support sizes, bucket values first and bound the KS error
+    by the bucket width."""
+    events = load_table(spark, sf_dir, "events")
+    per_value = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("value").cast("decimal(18,4)").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    totals = per_value.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = per_value.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    ).crossJoin(F.broadcast(totals))
+    d = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+    )
+    return (
+        cdf.select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(d, 6).alias("ks_stat"),
+            F.col("v").cast("double").alias("at_value"),
+        )
+        .orderBy(F.desc("ks_stat"), F.asc("at_value"))
+        .limit(1)
+    )
+
+
+def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (30-min-gap, the engine's ONE
+    session definition — streaming.events.sessionize over the shared
+    user_stream_window ordering) containing exactly one event, keyed by
+    session start date.
+
+    Scale: sessionize is one user_id exchange; the rollup is a tiny
+    per-day aggregate. Reuses the canonical session builder, so a gap-rule
+    change propagates here, to the streaming sessionizer, and to the
+    journey operators in one place."""
+    from ..streaming.events import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    sessions = sessionize(events)
+    per_day = sessions.groupBy(
+        F.to_date("session_start").alias("day")
+    ).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
+    )
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_sessions",
+        F.col("n_bounces").cast("long").alias("n_bounces"),
+        F.round(
+            F.col("n_bounces").cast("double") / F.col("n_sessions").cast("double"), 6
+        ).alias("bounce_rate"),
+    ).orderBy("day")
