@@ -1841,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_lift": relational.ab_test_lift,
         "ks_test_ab": relational.ks_test_ab,
         "bounce_rate_daily": relational.bounce_rate_daily,
+        "image_phash_neardup": pipeline.image_phash_neardup,
         "embed_roundtrip": q_embed_roundtrip,
         "sink_roundtrip": q_sink_roundtrip,
         "char_entropy_score": pipeline.char_entropy_score,
@@ -3572,6 +3573,16 @@ FROM sess GROUP BY 1 ORDER BY 1
 
 
 
+
+_PHASH_NEARDUP_ORACLE = """
+WITH d AS (SELECT doc_id, doc_id // 6 AS g, doc_id % 6 AS v FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, abs(a.v - b.v)::INT AS hamming
+FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id AND abs(a.v - b.v) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters": _HEAVY_HITTERS_ORACLE,
@@ -3612,6 +3623,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_test_lift": _AB_LIFT_ORACLE,
         "ks_test_ab": _KS_AB_ORACLE,
         "bounce_rate_daily": _BOUNCE_RATE_ORACLE,
+        "image_phash_neardup": _PHASH_NEARDUP_ORACLE,
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),
         "knn_dot": _KNN_ORACLE.format(score_expr=_DOT, where="e.vec_id <> 0"),

@@ -333,3 +333,150 @@ def audio_windows(df: DataFrame, *, win_ms: int = 25, hop_ms: int = 10) -> DataF
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(kernel, AUDIO_WINDOW_SCHEMA)
+
+
+# ------------------------------------------------------- perceptual hashing
+
+
+def dhash64(grey: np.ndarray) -> int:
+    """Difference hash of an 8×9 greyscale array: bit (r,c) = 1 iff
+    pixel (r,c) < pixel (r,c+1) — 8 rows × 8 adjacent comparisons = 64
+    bits, row-major, bit index r*8+c in the LOW bits of the BIGINT. The
+    standard near-duplicate image fingerprint: brightness/contrast shifts
+    preserve comparisons, so visually-identical images hash close."""
+    h, w = grey.shape[:2]
+    if (h, w) != (8, 9):
+        grey = resize_array(grey, width=9, height=8)
+    bits = (grey[:, :-1].astype(np.int64) < grey[:, 1:].astype(np.int64)).ravel()
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out
+
+
+_PHASH_GROUP_SIZE = 6
+_PHASH_FLIP_POSITIONS = (56, 57, 58, 59, 60)  # nested-variant flip region
+
+
+def synthetic_png_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-PNG image corpus with SQL-replayable near-dup
+    geometry, one image per doc id. Ids split into groups of 6 (g = id//6,
+    variant v = id%6); an image's TARGET dHash is
+
+        bits 0..55  = g's 14-bit value repeated 4× (group identity —
+                      distinct groups differ in ≥1 id bit, hence ≥4 hash
+                      bits: cross-group Hamming is ALWAYS > 3)
+        bits 56..60 = the first v of five fixed flip positions
+                      (nested masks: same-group Hamming is EXACTLY |v_i−v_j|)
+
+    and the pixel rows are brightness walks (start 128, step ±8) whose
+    adjacent comparisons realize exactly those bits, encoded as a real
+    8×9 grey PNG (png_codec). Everything downstream — decode, hash, band
+    join — is real image work; the planted layout just makes the expected
+    pair set pure id arithmetic for the DuckDB oracle."""
+    from .png_codec import encode_png
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, contents, metas = [], [], [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                g, v = divmod(i, _PHASH_GROUP_SIZE)
+                if g >= 1 << 14:
+                    raise ValueError(
+                        "synthetic_png_corpus encodes the group id in 4×14 "
+                        "repeated bits (≤16383 groups); widen the hash or "
+                        "shard the corpus for more"
+                    )
+                bits = 0
+                for k in range(4):
+                    bits |= (g & 0x3FFF) << (14 * k)
+                for p in _PHASH_FLIP_POSITIONS[:v]:
+                    bits ^= 1 << p
+                img = np.empty((8, 9), dtype=np.uint8)
+                for r in range(8):
+                    cur = 128
+                    img[r, 0] = cur
+                    for c in range(8):
+                        cur += 8 if (bits >> (r * 8 + c)) & 1 else -8
+                        img[r, c + 1] = cur
+                ids.append(i)
+                kinds.append("image")
+                contents.append(encode_png(img))
+                metas.append((9, 8, None, None, "png"))
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "content": contents, "meta": metas}
+            )
+
+    return docs.select(id_col).mapInPandas(kern, MEDIA_SCHEMA)
+
+
+def image_neardup_pairs(
+    media: DataFrame, *, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: decode → dHash → banded LSH
+    self-join → exact Hamming verify (id_a < id_b, hamming ≤ max_hamming).
+
+    Scale: the content bytes NEVER shuffle — the hash is computed in the
+    scan partition and only (media_id, 8-byte hash) moves. Banding is the
+    SimHash pigeonhole: ≤3 differing bits can touch at most 3 of 4
+    16-bit bands, so every qualifying pair shares ≥1 exact band key; the
+    band join is an inverted index (fan-out = per-band-bucket pairs,
+    never n²), and survivors pay one cheap bit_count(xor) verify."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    def hash_kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                m = dict(meta) if meta is not None else {}
+                img = decode_media(bytes(content), m)
+                grey = img[:, :, 0] if img.ndim == 3 else img
+                ids.append(int(mid))
+                hashes.append(dhash64(grey))
+            yield pd.DataFrame({"media_id": ids, "h": hashes})
+
+    hashed = media.mapInPandas(hash_kern, "media_id long, h long")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = hashed.select(
+        "media_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("h"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "h", "bk.band", "bk.key")
+    a = banded.select(
+        F.col("media_id").alias("id_a"), F.col("h").alias("h_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col("media_id").alias("id_b"), F.col("h").alias("h_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.expr("bit_count(h_a ^ h_b)").cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

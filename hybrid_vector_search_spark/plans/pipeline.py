@@ -1964,35 +1964,34 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic; a raw double Σ 1/indeg would be partial-order-dependent at
     the last ULP.
 
-    Scale: pure inverted-index shape — edges shuffle ONCE by dst, the
-    pair fan-out is Σ indeg² per target (never all-pairs), the indeg join
-    rides the same dst partitioning (no extra exchange), then one
-    groupBy(a,b). A hub target with indeg d contributes d² pairs: at real
-    web-graph skew, cap or salt hub dsts exactly as ngram_jaccard_pairs
-    documents for hot shingles."""
+    Scale: pure inverted-index shape — edges shuffle ONCE by dst into a
+    per-target src set (collect_set doubles as the distinct), indeg =
+    size(set), and the pair fan-out is a double explode of that set
+    (Σ indeg² per target, never all-pairs, NO self-join — a join
+    formulation re-derived and re-scanned the edge relation three times),
+    then one groupBy(a,b). A hub target with indeg d contributes d² pairs:
+    at real web-graph skew, cap size(srcs) or salt hub dsts exactly as
+    ngram_jaccard_pairs documents for hot shingles."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.count()
     ids = docs.select("doc_id")
-    edges = (
+    edges = ids.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % n).alias("dst"),
+    ).unionAll(
         ids.select(
             F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * 31 + 7) % n).alias("dst"),
+            ((F.col("doc_id") * 17 + 3) % n).alias("dst"),
         )
-        .unionAll(
-            ids.select(
-                F.col("doc_id").alias("src"),
-                ((F.col("doc_id") * 17 + 3) % n).alias("dst"),
-            )
-        )
-        .distinct()
     )
-    deg = edges.groupBy("dst").agg(F.count("*").alias("indeg"))
-    e1 = edges.select(F.col("src").alias("a"), "dst")
-    e2 = edges.select(F.col("src").alias("b"), "dst")
+    by_dst = edges.groupBy("dst").agg(
+        F.collect_set("src").alias("srcs")
+    )
     return (
-        e1.join(e2, "dst")
+        by_dst.select(F.size("srcs").alias("indeg"), "srcs")
+        .select("indeg", F.explode("srcs").alias("a"), "srcs")
+        .select("indeg", "a", F.explode("srcs").alias("b"))
         .where(F.col("a") < F.col("b"))
-        .join(deg, "dst")
         .groupBy("a", "b")
         .agg(
             F.count("*").alias("common_neighbors"),
@@ -2003,3 +2002,19 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ra_fp6"), F.asc("a"), F.asc("b"))
         .limit(25)
     )
+
+
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-duplicates over a REAL-PNG corpus: one
+    8×9 grey PNG per doc id (multimodal.synthetic_png_corpus — stdlib
+    codec, no dependencies), decoded and dHash-64'd executor-side, then
+    banded-LSH joined and Hamming-verified (≤3). The planted brightness
+    geometry makes the expected pair set pure id arithmetic — groups of 6
+    ids share a base image with nested 0..5-bit perturbations, so the
+    oracle replays pairs AND exact Hamming distances from doc_id alone
+    while Spark does the full codec → hash → band-join work."""
+    from .. import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_png_corpus(docs)
+    return multimodal.image_neardup_pairs(media)

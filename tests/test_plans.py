@@ -411,3 +411,42 @@ def test_markov_and_paths_share_one_user_exchange_shape(spark):
         plan = _plan(fn(spark, "/root/testdata/sf0.001"))
         assert "hashpartitioning(user_id" in plan
         assert "SortMergeJoin" not in plan
+
+
+def test_wau_mau_broadcasts_week_dimension(spark):
+    from hybrid_vector_search_spark.plans.relational import wau_mau_stickiness
+
+    plan = _plan(wau_mau_stickiness(spark, SF_SMALL))
+    # the 4-week range join must broadcast the tiny week dimension, not
+    # sort-merge or cartesian the user-week relation
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_link_prediction_no_cartesian_and_single_dst_exchange(spark):
+    from hybrid_vector_search_spark.plans.pipeline import link_prediction_scores
+
+    plan = _plan(link_prediction_scores(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    # inverted-index shape: the pair build and the indeg join both ride
+    # hashpartitioning(dst); top-k is per-partition heaps, no global sort
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ab_test_lift_single_aggregate_pass(spark):
+    from hybrid_vector_search_spark.plans.relational import ab_test_lift
+
+    plan = _plan(ab_test_lift(spark, SF_SMALL))
+    # the arm split is a broadcast of the 1-row side, never a fact shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rfm_reduces_before_ntile(spark):
+    from hybrid_vector_search_spark.plans.relational import rfm_segments
+
+    plan = _plan(rfm_segments(spark, SF_SMALL))
+    # the global ntile windows must sit ABOVE the per-user aggregate:
+    # exactly one scan of events feeds a HashAggregate before any Window
+    assert plan.index("HashAggregate") < plan.index("Window") or \
+        "Window" not in plan.split("HashAggregate")[0], plan
