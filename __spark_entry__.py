@@ -1842,6 +1842,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test_ab": relational.ks_test_ab,
         "bounce_rate_daily": relational.bounce_rate_daily,
         "image_phash_neardup": pipeline.image_phash_neardup,
+        "semdedup_prune": pipeline.semdedup_prune,
+        "embedding_mahalanobis_outliers": pipeline.embedding_mahalanobis_outliers,
+        "ngram_novelty_scores": pipeline.ngram_novelty_scores,
+        "revenue_changepoint": relational.revenue_changepoint,
+        "journey_reach_prob": relational.journey_reach_prob,
         "embed_roundtrip": q_embed_roundtrip,
         "sink_roundtrip": q_sink_roundtrip,
         "char_entropy_score": pipeline.char_entropy_score,
@@ -3582,6 +3587,89 @@ ORDER BY id_a, id_b
 """
 
 
+_CHANGEPOINT_ORACLE = """
+WITH daily AS (
+  SELECT l_shipdate::DATE AS d,
+         sum(l_extendedprice::DECIMAL(18,4)
+             * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY d
+),
+spine AS (
+  SELECT d, rev_dec::DOUBLE AS revenue,
+         sum(rev_dec) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS run_dec,
+         row_number() OVER (ORDER BY d) AS rn,
+         sum(rev_dec) OVER () AS tot_dec,
+         count(*) OVER () AS n_days
+  FROM daily
+),
+cus AS (
+  SELECT d, revenue,
+         round(run_dec::DOUBLE
+               - rn::DOUBLE * (tot_dec::DOUBLE / n_days::DOUBLE), 6) AS cusum
+  FROM spine
+),
+rk AS (
+  SELECT d, revenue, cusum,
+         row_number() OVER (ORDER BY abs(cusum) DESC, d ASC) AS _rk
+  FROM cus
+)
+SELECT strftime(d, '%Y-%m-%d') AS ship_day, revenue, cusum,
+       (_rk = 1) AS is_changepoint
+FROM rk ORDER BY ship_day
+"""
+
+
+def _reach_oracle(k: int = 4) -> str:
+    """Fixed-unroll chained-CTE twin of relational.journey_reach_prob: the
+    same quantize(6dp) -> exact-decimal dot product -> one double division
+    ladder per step, purchase absorbing."""
+    steps = []
+    prev = "r0"
+    for t in range(1, k + 1):
+        steps.append(
+            f"""s{t} AS (
+  SELECT p.from_type AS state,
+         round(sum(p.n::DECIMAL(18,0) * r.p::DECIMAL(18,6))::DOUBLE
+               / any_value(t.n_from)::DOUBLE, 6) AS p_step
+  FROM pairs p JOIN {prev} r ON r.state = p.to_type
+  JOIN totals t ON t.from_type = p.from_type
+  GROUP BY p.from_type
+),
+r{t} AS (
+  SELECT s.state,
+         CASE WHEN s.state = 'purchase' THEN 1.0
+              ELSE coalesce(p_step, 0.0) END AS p
+  FROM states s LEFT JOIN s{t} ON s{t}.state = s.state
+)"""
+        )
+        prev = f"r{t}"
+    joined = ",\n".join(steps)
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT from_type, to_type, count(*) AS n FROM (
+    SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS from_type,
+           event_type AS to_type
+    FROM events)
+  WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS MATERIALIZED (
+  SELECT from_type, sum(n) AS n_from FROM pairs GROUP BY 1
+),
+states AS MATERIALIZED (SELECT from_type AS state FROM totals),
+r0 AS (
+  SELECT state,
+         CASE WHEN state = 'purchase' THEN 1.0 ELSE 0.0 END AS p
+  FROM states
+),
+{joined}
+SELECT state AS from_state, round(p, 6) AS p_reach_4
+FROM {prev} ORDER BY from_state
+"""
+
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -3624,6 +3712,8 @@ def oracle_sql() -> dict[str, str]:
         "ks_test_ab": _KS_AB_ORACLE,
         "bounce_rate_daily": _BOUNCE_RATE_ORACLE,
         "image_phash_neardup": _PHASH_NEARDUP_ORACLE,
+        "revenue_changepoint": _CHANGEPOINT_ORACLE,
+        "journey_reach_prob": _reach_oracle(4),
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),
         "knn_dot": _KNN_ORACLE.format(score_expr=_DOT, where="e.vec_id <> 0"),

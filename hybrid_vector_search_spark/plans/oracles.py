@@ -1981,6 +1981,89 @@ ORDER BY f.cohort_week, f.week_k
 """
 
 
+
+
+# ------------------------------------------------- r9: semantic pruning etc.
+
+_SIGN8 = " + ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i in range(8)
+)
+
+# plans.pipeline.semdedup_prune — sign-bucket blocking, 6-dp cosine >= 0.3,
+# min-label components, min-id election
+SEMDEDUP_PRUNE = f"""
+WITH RECURSIVE b AS MATERIALIZED (
+  SELECT vec_id, embedding, ({_SIGN8})::BIGINT AS bucket FROM embeddings
+),
+pr AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)
+        >= 0.3
+),
+edges AS (
+  SELECT id_a AS a, id_b AS bb FROM pr UNION SELECT id_b, id_a FROM pr
+),
+reach(n, m) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.bb, r.m FROM reach r JOIN edges e ON e.a = r.n
+),
+comp AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n)
+SELECT v.vec_id, v.bucket,
+       coalesce(c.component, v.vec_id)::BIGINT AS canonical_id,
+       (coalesce(c.component, v.vec_id) = v.vec_id) AS is_kept
+FROM b v LEFT JOIN comp c ON c.node = v.vec_id
+ORDER BY v.vec_id
+"""
+
+# plans.pipeline.embedding_mahalanobis_outliers — quantize -> exact-sum ->
+# divide ladder, identical to the Spark side
+EMBEDDING_MAHALANOBIS = """
+WITH pos AS MATERIALIZED (
+  SELECT vec_id, u['idx'] AS idx,
+         round(u['v'], 7)::DECIMAL(18,7) AS v
+  FROM (SELECT vec_id,
+               unnest([{'idx': i, 'v': embedding[i]::DOUBLE}
+                       FOR i IN range(1, len(embedding) + 1)]) AS u
+        FROM embeddings)
+),
+stats AS MATERIALIZED (
+  SELECT idx, count(*)::DOUBLE AS n, sum(v) AS s, sum(v * v) AS ss
+  FROM pos GROUP BY idx
+),
+sd AS (
+  SELECT idx, s::DOUBLE / n AS mu,
+         (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n) / n AS var
+  FROM stats
+),
+terms AS (
+  SELECT vec_id,
+         round((v::DOUBLE - mu) * (v::DOUBLE - mu) / var, 6)::DECIMAL(18,6) AS t
+  FROM pos JOIN sd USING (idx)
+),
+dist AS (SELECT vec_id, sum(t)::DOUBLE AS m2 FROM terms GROUP BY vec_id)
+SELECT vec_id, round(m2, 6) AS mahalanobis_sq
+FROM dist ORDER BY m2 DESC, vec_id ASC LIMIT 20
+"""
+
+# plans.pipeline.ngram_novelty_scores — first-occurrence share per doc
+NGRAM_NOVELTY = f"""
+WITH {TOKL},
+{SHINGLES3},
+first_seen AS (SELECT sh AS shk, min(id) AS first_id FROM sh GROUP BY sh)
+SELECT id AS doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN first_id = id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       round(sum(CASE WHEN first_id = id THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS novelty
+FROM sh JOIN first_seen ON first_seen.shk = sh.sh
+GROUP BY id ORDER BY doc_id
+"""
+
+
 PIPELINE_ORACLES: dict[str, str] = {
     "span_dedup": SPAN_DEDUP,
     "dedup_incremental": DEDUP_INCREMENTAL,
@@ -2074,4 +2157,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS,
     "doc_keywords_tfidf": DOC_KEYWORDS,
     "source_mixture_weights": SOURCE_MIXTURE,
+    "semdedup_prune": SEMDEDUP_PRUNE,
+    "embedding_mahalanobis_outliers": EMBEDDING_MAHALANOBIS,
+    "ngram_novelty_scores": NGRAM_NOVELTY,
 }

@@ -2018,3 +2018,150 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthetic_png_corpus(docs)
     return multimodal.image_neardup_pairs(media)
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv:2303.09540):
+    block embeddings into coarse semantic buckets, find within-bucket
+    cosine-near pairs, connect them into duplicate groups, and keep one
+    representative per group — every vector labeled (bucket, canonical_id,
+    is_kept), the corpus-pruning manifest an embedding-dedup pass emits.
+
+    The paper clusters with k-means; the engine-portable blocking here is
+    the deterministic 8-bit axis-sign bucket (functions.vector.sign_bucket,
+    the identity-projection SimHash member) so the oracle replays blocking
+    exactly. Canonical election is min-id, which IS the min-label component
+    id — no second election pass. Blocking recall <1 by design (SemDeDup
+    trades recall for never comparing across clusters); the oracle applies
+    the identical blocking, so the contract pins the implemented semantics.
+
+    Scale: the pair search is an inverted-index self-join on bucket —
+    fan-out Σ per-bucket n², never corpus²; a hot bucket is capped the same
+    way ngram_jaccard_pairs documents for hot shingles (or raise `bits`).
+    Components run on the near-dup pair graph only (pairs ≪ corpus);
+    vectors never shuffle — only (vec_id, bucket, 64-dim array) within the
+    bucket join, and the label join back is on ids."""
+    from ..functions.vector import cosine, sign_bucket
+    from ..operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding"), bits=8).alias("bucket")
+    )
+    left = b.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+    )
+    right = b.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    # threshold on the 6-dp-rounded cosine (embedding_near_dups' contract):
+    # raw-double boundary compares could flip membership between engines
+    pairs = (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.3)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    return (
+        b.join(comps.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("canonical_id"),
+            (F.coalesce(F.col("component"), F.col("vec_id")) == F.col("vec_id")).alias(
+                "is_kept"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 global outliers by diagonal Mahalanobis distance — each
+    embedding's squared deviation from the corpus mean, scaled by per-
+    dimension variance (whitened distance). Complements
+    embedding_centroid_outliers (per-label cosine): this is the unlabeled
+    anisotropy-corrected screen for corrupt or out-of-distribution vectors.
+
+    Determinism ladder (the repo's quantize → exact-sum → divide
+    discipline): per-dim sufficient statistics are exact DECIMAL sums of
+    7-dp-quantized components, so mean/variance are one double division
+    each; each dimension's distance term is rounded to 6 dp and carried as
+    DECIMAL(18,6) so the 64-term sum is associative and partition-order-
+    proof; rank orders by that exact sum with vec_id tiebreak.
+
+    Scale: one posexplode + (dim)-grouped aggregate (shuffle rows =
+    dims × partitions partial sums), the 64-row stats relation broadcasts
+    back onto the same posexplode, and one groupBy(vec_id) reassembles
+    distances — map-side-combined everywhere, nothing corpus-quadratic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("idx", "val"),
+    ).select("vec_id", "idx", F.round(F.col("val"), 7).cast("decimal(18,7)").alias("v"))
+    stats = pos.groupBy("idx").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    stats = stats.select(
+        "idx",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("mu"),
+        (
+            (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("var"),
+    )
+    terms = pos.join(F.broadcast(stats), "idx").select(
+        "vec_id",
+        F.round(
+            (F.col("v").cast("double") - F.col("mu"))
+            * (F.col("v").cast("double") - F.col("mu"))
+            / F.col("var"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("t"),
+    )
+    dist = terms.groupBy("vec_id").agg(F.sum("t").cast("double").alias("m2"))
+    return (
+        dist.orderBy(F.desc("m2"), F.asc("vec_id"))
+        .limit(20)
+        .select("vec_id", F.round("m2", 6).alias("mahalanobis_sq"))
+    )
+
+
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct word
+    3-grams whose FIRST corpus occurrence (min doc_id — ingestion order in
+    this corpus) is the doc itself. The dedup-adjacent freshness signal
+    training-data curation uses to downweight recombined/boilerplate text:
+    novelty 1.0 = all new, 0.0 = every shingle seen in an earlier doc.
+
+    Scale: shingle_table's distinct (id, gram-md5) relation, ONE groupBy(sh)
+    for the first-occurrence owner, joined back on the same sh partitioning
+    (no second exchange shape), one groupBy(id) rollup. Counts are integers;
+    the share is one double division."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    first = sh.groupBy("sh").agg(F.min("id").alias("first_id"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_shingles",
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2531,3 +2531,138 @@ def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bounces").cast("double") / F.col("n_sessions").cast("double"), 6
         ).alias("bounce_rate"),
     ).orderBy("day")
+
+
+def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over one ship-year of daily revenue: the
+    cumulative sum of mean-centered daily revenue peaks (in absolute value)
+    at the most likely level-shift day — the classic offline CUSUM
+    statistic behind pipeline drift monitors and revenue anomaly triage.
+
+    Determinism: daily revenue and its running total stay DECIMAL through
+    every frame (associative, partition-order-proof); the mean enters once
+    as one double division, so `cusum` is the same three IEEE ops in both
+    engines, and the changepoint rank orders by the 6-dp-rounded statistic
+    with the day as tiebreak — never raw-double comparisons.
+
+    Scale: the fact scan reduces to a ~365-row daily aggregate in one
+    map-side-combined pass; every window (running sum, grand total, rank)
+    runs on that driver-sized spine, so 100 TB of lineitem costs one
+    aggregate exchange and the windows cost nothing."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    )
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("rev_dec")
+    )
+    run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    whole = Window.partitionBy()
+    spine = daily.select(
+        "d",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.sum("rev_dec").over(run).alias("run_dec"),
+        F.row_number().over(Window.orderBy("d")).alias("rn"),
+        F.sum("rev_dec").over(whole).alias("tot_dec"),
+        F.count("*").over(whole).alias("n_days"),
+    ).select(
+        "d",
+        "revenue",
+        F.round(
+            F.col("run_dec").cast("double")
+            - F.col("rn").cast("double")
+            * (F.col("tot_dec").cast("double") / F.col("n_days").cast("double")),
+            6,
+        ).alias("cusum"),
+    )
+    ranked = spine.select(
+        "d",
+        "revenue",
+        "cusum",
+        F.row_number()
+        .over(Window.orderBy(F.desc(F.abs(F.col("cusum"))), F.asc("d")))
+        .alias("_rk"),
+    )
+    return ranked.select(
+        F.date_format("d", "yyyy-MM-dd").alias("ship_day"),
+        "revenue",
+        "cusum",
+        (F.col("_rk") == 1).alias("is_changepoint"),
+    ).orderBy("ship_day")
+
+
+def journey_reach_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-step absorbing reachability of 'purchase' from every journey state:
+    relational matrix power over the first-order transition matrix (the
+    events_markov_transitions estimator — shared user_stream_window session
+    ordering), with purchase absorbing. r_0(s) = [s = purchase];
+    r_{t+1}(s) = Σ_next P(s → next) · r_t(next) for non-absorbing s, unrolled
+    a fixed K=4 steps — "probability a user purchases within 4 events given
+    they just did X", the funnel-free conversion-propensity estimate.
+
+    Exactness: transition counts are integers, and each step's vector entry
+    is quantized to 6 dp and carried as DECIMAL(18,6) — so the step's dot
+    product Σ(n_transitions · r) is an exact decimal sum (associative,
+    partition-order-proof), followed by ONE double division re-rounded to
+    6 dp. Both engines run the identical quantize→exact-sum→divide ladder,
+    so the unrolled probabilities match bit-for-bit at any parallelism.
+
+    Scale: the fact table reduces to the (from,to) count matrix in one lag
+    window + one aggregate (|states|² ≤ 25 rows), localCheckpointed ONCE —
+    without the checkpoint the K unroll steps each re-derive the matrix and
+    the plan re-scans the fact table per step (observed: 34 exchanges /
+    12 joins at K=4; with it, one scan). The unroll then joins that tiny
+    relation with a |states|-row vector — broadcast-sized forever,
+    independent of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    w = user_stream_window()
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from")).localCheckpoint()
+    states = totals.select(F.col("from_type").alias("state"))
+    # r_0: 1.0 at the absorbing state
+    r = states.select(
+        "state",
+        F.when(F.col("state") == "purchase", F.lit(1.0)).otherwise(F.lit(0.0)).alias("p"),
+    )
+    for _ in range(4):
+        step = (
+            pairs.join(r.withColumnRenamed("state", "to_type"), "to_type")
+            .groupBy("from_type")
+            .agg(
+                F.sum(
+                    F.col("n").cast("decimal(18,0)") * F.col("p").cast("decimal(18,6)")
+                ).alias("num_dec")
+            )
+            .join(totals, "from_type")
+            .select(
+                F.col("from_type").alias("state"),
+                F.round(
+                    F.col("num_dec").cast("double") / F.col("n_from").cast("double"), 6
+                ).alias("p_step"),
+            )
+        )
+        r = (
+            states.join(step, "state", "left")
+            .select(
+                "state",
+                F.when(F.col("state") == "purchase", F.lit(1.0))
+                .otherwise(F.coalesce(F.col("p_step"), F.lit(0.0)))
+                .alias("p"),
+            )
+        )
+    return r.select(
+        F.col("state").alias("from_state"), F.round("p", 6).alias("p_reach_4")
+    ).orderBy("from_state")

@@ -450,3 +450,56 @@ def test_rfm_reduces_before_ntile(spark):
     # exactly one scan of events feeds a HashAggregate before any Window
     assert plan.index("HashAggregate") < plan.index("Window") or \
         "Window" not in plan.split("HashAggregate")[0], plan
+
+
+def test_changepoint_single_fact_exchange(spark):
+    from hybrid_vector_search_spark.plans.relational import revenue_changepoint
+
+    plan = _plan(revenue_changepoint(spark, SF_SMALL))
+    # the fact scan must reduce to the daily aggregate BEFORE any window
+    # (plan text prints top-down, so the upstream aggregate appears AFTER
+    # the windows); one hash exchange total — every window frame runs on
+    # the single-partition ~365-row spine
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert plan.index("Window") < plan.index("HashAggregate"), plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+
+
+def test_journey_reach_checkpoints_transition_matrix(spark):
+    from hybrid_vector_search_spark.plans.relational import journey_reach_prob
+
+    plan = _plan(journey_reach_prob(spark, SF_SMALL))
+    # the K-step unroll must consume the localCheckpointed 25-row matrix,
+    # never re-derive it: zero fact-table scans inside the unrolled plan
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mahalanobis_broadcasts_stats(spark):
+    from hybrid_vector_search_spark.plans.pipeline import (
+        embedding_mahalanobis_outliers,
+    )
+
+    plan = _plan(embedding_mahalanobis_outliers(spark, SF_SMALL))
+    # 64-row per-dim stats broadcast back onto the posexplode; top-20 is
+    # per-partition heaps, not a global sort
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_blocks_on_bucket(spark):
+    from hybrid_vector_search_spark.plans.pipeline import semdedup_prune
+
+    plan = _plan(semdedup_prune(spark, SF_SMALL))
+    # the pair search must be an equi-join on bucket (inverted index),
+    # never an unblocked cross product
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ngram_novelty_no_cartesian(spark):
+    from hybrid_vector_search_spark.plans.pipeline import ngram_novelty_scores
+
+    plan = _plan(ngram_novelty_scores(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
