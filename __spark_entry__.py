@@ -1847,6 +1847,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty_scores": pipeline.ngram_novelty_scores,
         "revenue_changepoint": relational.revenue_changepoint,
         "journey_reach_prob": relational.journey_reach_prob,
+        "katz_central_docs": pipeline.katz_central_docs,
+        "flesch_reading_ease": pipeline.flesch_reading_ease,
+        "user_active_streaks": relational.user_active_streaks,
+        "customer_balance_gini": relational.customer_balance_gini,
         "embed_roundtrip": q_embed_roundtrip,
         "sink_roundtrip": q_sink_roundtrip,
         "char_entropy_score": pipeline.char_entropy_score,
@@ -3587,6 +3591,50 @@ ORDER BY id_a, id_b
 """
 
 
+_STREAKS_ORACLE = """
+WITH days AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+isl AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d)::INT AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, count(*)::BIGINT AS streak_days, min(d) AS start_d
+  FROM isl GROUP BY user_id, grp
+),
+best AS (
+  SELECT user_id, streak_days, start_d,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY streak_days DESC, start_d ASC) AS _rk
+  FROM streaks
+)
+SELECT user_id, streak_days, strftime(start_d, '%Y-%m-%d') AS streak_start
+FROM best WHERE _rk = 1
+ORDER BY streak_days DESC, user_id ASC
+LIMIT 25
+"""
+
+
+_GINI_ORACLE = """
+WITH ranked AS (
+  SELECT c_nationkey, c_acctbal::DECIMAL(18,2) AS bal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal ASC, c_custkey ASC) AS i
+  FROM customer
+),
+agg AS (
+  SELECT c_nationkey, count(*)::BIGINT AS n, sum(bal) AS sx,
+         sum(i::DECIMAL(18,0) * bal) AS swx
+  FROM ranked GROUP BY c_nationkey
+)
+SELECT n.n_name AS nation, a.n AS n_customers, a.sx::DOUBLE AS total_balance,
+       round(2.0 * a.swx::DOUBLE / (a.n::DOUBLE * a.sx::DOUBLE)
+             - (a.n::DOUBLE + 1.0) / a.n::DOUBLE, 6) AS gini
+FROM agg a JOIN nation n ON n.n_nationkey = a.c_nationkey
+ORDER BY nation
+"""
+
+
 _CHANGEPOINT_ORACLE = """
 WITH daily AS (
   SELECT l_shipdate::DATE AS d,
@@ -3714,6 +3762,8 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_neardup": _PHASH_NEARDUP_ORACLE,
         "revenue_changepoint": _CHANGEPOINT_ORACLE,
         "journey_reach_prob": _reach_oracle(4),
+        "user_active_streaks": _STREAKS_ORACLE,
+        "customer_balance_gini": _GINI_ORACLE,
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),
         "knn_dot": _KNN_ORACLE.format(score_expr=_DOT, where="e.vec_id <> 0"),

@@ -414,3 +414,69 @@ def kcore(
         .where(F.col("degree") >= k)
         .select(F.col("a").alias("node"), "degree")
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    alpha: float = 0.05,
+    iterations: int = 6,
+    dp: int = 12,
+) -> DataFrame:
+    """(node, katz) after ``iterations`` of x ← 1 + α·Aᵀx, x₀ = 1 — Katz
+    centrality with β=1 (Katz 1953), the walk-counting authority score that
+    (unlike PageRank) rewards ALL inbound walks without degree-normalizing,
+    so hub-feeding nodes surface. ``alpha`` must stay below 1/λ_max of the
+    adjacency matrix; for bounded-indegree graphs indeg_max·alpha < 1 is a
+    sufficient caller-side check.
+
+    Engine-exact arithmetic, same ladder as operators/pagerank.py: each
+    edge's contribution α·x(u) is ONE double multiply rounded to ``dp``
+    decimals, accumulated as DECIMAL(38,dp) (associative, partition-order-
+    proof), +1 in decimal — so the whole fixpoint replays bit-for-bit as a
+    chained-CTE SQL oracle. Each iteration eagerly localCheckpoints (plan
+    never grows past one step); the edge relation persists for the loop.
+
+    Scale per iteration: one src-keyed join of edges with the (node, x)
+    relation and one groupBy(dst) partial-sum — both hash on node ids, so
+    pre-bucketing the edge list makes the join shuffle-free at 100 TB.
+    """
+    dec = f"decimal(38,{dp})"
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    x = nodes.select("node", F.lit(1).cast(dec).alias("x")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(x.withColumnRenamed("node", "u"), "u")
+            .select(
+                "v",
+                F.round(F.lit(alpha) * F.col("x").cast("double"), dp)
+                .cast(dec)
+                .alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        x = (
+            nodes.join(contrib.withColumnRenamed("v", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1).cast(dec)
+                    + F.coalesce(F.col("s"), F.lit(0).cast(dec))
+                ).alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return x.select("node", F.col("x").cast("double").alias("katz"))

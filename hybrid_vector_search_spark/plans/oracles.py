@@ -2064,6 +2064,70 @@ GROUP BY id ORDER BY doc_id
 """
 
 
+
+
+# operators.graph.katz_centrality over the pagerank link fixture
+# (pipeline.katz_central_docs): x <- 1 + alpha*A'x unrolled as chained CTEs,
+# contributions rounded to 12dp then summed as DECIMAL(38,12) — the
+# pagerank ladder with beta=1 and no degree normalization
+def _katz_sql(iterations: int = 6, alpha: float = 0.05, dp: int = 12) -> str:
+    head = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+edges AS MATERIALIZED (
+  SELECT doc_id AS u, (doc_id * 31 + 7) % nn.n AS v FROM documents, nn
+  UNION ALL
+  SELECT doc_id AS u, (doc_id * 17 + 3) % nn.n AS v FROM documents, nn
+),
+x0 AS (SELECT doc_id AS node, 1::DECIMAL(38,{dp}) AS x FROM documents)"""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f""",
+x{i} AS (
+  SELECT d.doc_id AS node,
+         (1::DECIMAL(38,{dp}) + coalesce(s.m, 0::DECIMAL(38,{dp})))::DECIMAL(38,{dp}) AS x
+  FROM documents d
+  LEFT JOIN (
+    SELECT e.v AS node,
+           sum(round({alpha} * r.x::DOUBLE, {dp})::DECIMAL(38,{dp})) AS m
+    FROM edges e JOIN x{i - 1} r ON e.u = r.node
+    GROUP BY e.v
+  ) s ON d.doc_id = s.node
+)"""
+        )
+    tail = f"""
+SELECT node AS doc_id, round(x::DOUBLE, 10) AS katz
+FROM x{iterations}
+ORDER BY katz DESC, doc_id ASC
+LIMIT 20
+"""
+    return head + "".join(its) + tail
+
+
+KATZ_CENTRAL_DOCS = _katz_sql()
+
+
+
+
+# plans.pipeline.flesch_reading_ease — identical regex proxies both engines
+FLESCH_READING_EASE = f"""
+WITH {TOKL},
+m AS (
+  SELECT d.doc_id,
+         len(list_filter(string_split_regex(d.text, '[.!?]+'),
+                         s -> trim(s) <> ''))::INT AS n_sentences,
+         len(ts)::INT AS n_words,
+         len(regexp_extract_all(lower(d.text), '[aeiouy]+'))::INT AS n_syllables
+  FROM documents d JOIN tokl USING (doc_id)
+)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+       round(206.835
+             - 1.015 * (n_words::DOUBLE / greatest(n_sentences, 1)::DOUBLE)
+             - 84.6 * (n_syllables::DOUBLE / greatest(n_words, 1)::DOUBLE),
+             6) AS fre
+FROM m ORDER BY doc_id
+"""
+
+
 PIPELINE_ORACLES: dict[str, str] = {
     "span_dedup": SPAN_DEDUP,
     "dedup_incremental": DEDUP_INCREMENTAL,
@@ -2160,4 +2224,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "semdedup_prune": SEMDEDUP_PRUNE,
     "embedding_mahalanobis_outliers": EMBEDDING_MAHALANOBIS,
     "ngram_novelty_scores": NGRAM_NOVELTY,
+    "katz_central_docs": KATZ_CENTRAL_DOCS,
+    "flesch_reading_ease": FLESCH_READING_EASE,
 }

@@ -2165,3 +2165,67 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def katz_central_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (operators/graph.katz_centrality, α=0.05, 6
+    iterations) over the same deterministic synthetic link graph as
+    pagerank_top_docs — walk-counting authority that complements PageRank's
+    degree-normalized rank (a page fed by many low-outdegree pages scores
+    differently under the two). Top-20; the DECIMAL(38,12) contribution
+    ladder makes the fixpoint bit-replayable as 6 chained CTEs."""
+    from ..operators.graph import katz_centrality
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    ids = docs.select("doc_id")
+    edges = ids.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % n).alias("dst"),
+    ).unionAll(
+        ids.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 17 + 3) % n).alias("dst"),
+        )
+    )
+    out = katz_centrality(edges, alpha=0.05, iterations=6)
+    return (
+        out.select(F.col("node").alias("doc_id"), F.round("katz", 10).alias("katz"))
+        .orderBy(F.desc("katz"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease per document (206.835 − 1.015·words/sentences −
+    84.6·syllables/words, Flesch 1948) with the standard cheap proxies:
+    sentences = non-empty [.!?]+ splits, syllables = vowel-run count — the
+    readability band filter quality-curriculum builders use alongside the
+    Gopher rules.
+
+    Pure Catalyst (three regexp passes per doc, zero Python, zero shuffle
+    beyond the scan); counts are integers and the score is one double
+    expression, so the oracle replays it exactly. Both engines interpret
+    the character-class regexes identically (no engine-specific classes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import tokens
+
+    n_words = F.size(tokens(F.col("text")))
+    n_sent = F.size(
+        F.filter(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s) != "")
+    )
+    n_syll = F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    return docs.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (n_words.cast("double") / F.greatest(n_sent, F.lit(1)).cast("double"))
+            - F.lit(84.6)
+            * (n_syll.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")),
+            6,
+        ).alias("fre"),
+    ).orderBy("doc_id")

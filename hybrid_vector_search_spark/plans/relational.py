@@ -2666,3 +2666,92 @@ def journey_reach_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         F.col("state").alias("from_state"), F.round("p", 6).alias("p_reach_4")
     ).orderBy("from_state")
+
+
+def user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (top-25) — the
+    gaps-and-islands idiom: distinct active days, island key = day minus
+    row_number-as-days (constant within a run of consecutive dates), one
+    count per island, longest island per user. Engagement analytics'
+    "current/longest streak" feature, in pure window algebra.
+
+    Scale: the fact table reduces to distinct (user, day) in one exchange;
+    BOTH windows and the island aggregate ride that same user_id hash
+    partitioning (no second fact shuffle), and the final top-25 is a
+    TakeOrdered heap. Everything after the distinct is integer-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id", "d", F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp")
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count("*").alias("streak_days"), F.min("d").alias("start_d")
+    )
+    best = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("start_d")
+    )
+    longest = (
+        streaks.select(
+            "user_id",
+            "streak_days",
+            "start_d",
+            F.row_number().over(best).alias("_rk"),
+        )
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return (
+        longest.orderBy(F.desc("streak_days"), F.asc("user_id"))
+        .limit(25)
+        .select(
+            "user_id",
+            "streak_days",
+            F.date_format("start_d", "yyyy-MM-dd").alias("streak_start"),
+        )
+    )
+
+
+def customer_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer account balances — the
+    inequality-of-value metric next to nation_revenue_pareto's
+    concentration boundary. Uses the rank-sum identity
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted balances;
+    Σ i·xᵢ is invariant to tie order, so the custkey tiebreak only fixes
+    the row_number, never the statistic.
+
+    Exactness: balances are DECIMAL(18,2); both Σx and Σ i·x accumulate as
+    exact decimals (i is an integer), so the Gini is one double expression
+    over exact sums. Scale: one exchange by nation for the rank window,
+    then a per-nation aggregate on the same partitioning; the 25-row
+    result joins the nation dimension broadcast-side."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    ranked = cust.select(
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        F.row_number().over(w).alias("i"),
+    )
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum("bal").alias("sx"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("bal")).alias("swx"),
+    )
+    return (
+        agg.join(F.broadcast(nation), agg.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").cast("long").alias("n_customers"),
+            F.col("sx").cast("double").alias("total_balance"),
+            F.round(
+                F.lit(2.0) * F.col("swx").cast("double")
+                / (F.col("n").cast("double") * F.col("sx").cast("double"))
+                - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n").cast("double"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("nation")
+    )

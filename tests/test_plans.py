@@ -503,3 +503,39 @@ def test_ngram_novelty_no_cartesian(spark):
 
     plan = _plan(ngram_novelty_scores(spark, SF_SMALL))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_streaks_single_fact_exchange(spark):
+    from hybrid_vector_search_spark.plans.relational import user_active_streaks
+
+    plan = _plan(user_active_streaks(spark, SF_SMALL))
+    # distinct(user, day), rank window, island aggregate and best-streak
+    # window all ride ONE user_id hash partitioning; top-25 is a heap
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_gini_broadcasts_nation(spark):
+    from hybrid_vector_search_spark.plans.relational import customer_balance_gini
+
+    plan = _plan(customer_balance_gini(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_flesch_is_scan_only(spark):
+    from hybrid_vector_search_spark.plans.pipeline import flesch_reading_ease
+
+    plan = _plan(flesch_reading_ease(spark, SF_SMALL))
+    # pure per-row projection: no shuffle except the final presentation sort
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_katz_consumes_checkpointed_iterations(spark):
+    from hybrid_vector_search_spark.plans.pipeline import katz_central_docs
+
+    plan = _plan(katz_central_docs(spark, SF_SMALL))
+    # every iteration materialized eagerly: the final plan must not re-derive
+    # the fixpoint (no fact scans), and top-20 is a heap
+    assert "Scan parquet" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
