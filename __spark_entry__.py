@@ -207,6 +207,21 @@ def q_fulltext_bm25_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "score")
 
 
+def q_fulltext_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance-feedback expansion over the shared BM25 index
+    (operators/bm25.rm3_scores): base retrieve -> mine 8 expansion terms
+    from the top-10 -> interpolated second pass, all relational (the
+    feedback set and term model broadcast; no driver round trip)."""
+    out = bm25_op.rm3_scores(
+        _text_stats(spark, sf_dir), bm25_op._py_tokens(FT_QUERY)
+    )
+    return (
+        out.orderBy(F.desc("score"), F.asc("id"))
+        .limit(10)
+        .select(F.col("id").alias("doc_id"), "score")
+    )
+
+
 # ------------------------------------------------------------- hybrid mode
 
 
@@ -1851,6 +1866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flesch_reading_ease": pipeline.flesch_reading_ease,
         "user_active_streaks": relational.user_active_streaks,
         "customer_balance_gini": relational.customer_balance_gini,
+        "fulltext_rm3": q_fulltext_rm3,
+        "token_zipf_fit": pipeline.token_zipf_fit,
+        "source_keyness_g2": pipeline.source_keyness_g2,
         "embed_roundtrip": q_embed_roundtrip,
         "sink_roundtrip": q_sink_roundtrip,
         "char_entropy_score": pipeline.char_entropy_score,
@@ -2125,6 +2143,54 @@ FROM bm25 b JOIN documents d USING (doc_id)
 WHERE d.n_chars > 200
 ORDER BY b.score DESC, b.doc_id ASC
 LIMIT 10
+"""
+
+_RM3_ORACLE = f"""
+WITH {_BM25_SCORES},
+fb AS (SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 10),
+posts AS MATERIALIZED (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term
+),
+w AS (
+  SELECT p.term,
+         sum(round((p.tf / dl.dl) * fb.score, 9)::DECIMAL(18,9)) AS wdec
+  FROM posts p
+  JOIN fb ON fb.doc_id = p.doc_id
+  JOIN doclen dl ON dl.doc_id = p.doc_id
+  WHERE p.term NOT IN {_FT_TERMS}
+  GROUP BY p.term
+),
+topt AS MATERIALIZED (
+  SELECT term, wdec FROM w ORDER BY wdec::DOUBLE DESC, term ASC LIMIT 8
+),
+tot AS (SELECT sum(wdec) AS t FROM topt),
+what AS (
+  SELECT term, wdec::DOUBLE / t::DOUBLE AS what FROM topt CROSS JOIN tot
+),
+df2 AS (
+  SELECT term, count(*)::DOUBLE AS df FROM posts
+  WHERE term IN (SELECT term FROM topt) GROUP BY term
+),
+exps AS (
+  SELECT p.doc_id,
+         sum(round(w.what * (ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                   * ((p.tf * 2.2)
+                      / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / c.avgdl))))),
+                   9)::DECIMAL(18,9)) AS edec
+  FROM posts p
+  JOIN what w USING (term)
+  JOIN df2 d USING (term)
+  JOIN doclen dl USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+),
+final AS (
+  SELECT coalesce(b.doc_id, e.doc_id) AS doc_id,
+         round(0.6 * coalesce(b.score, 0.0)
+               + 0.4 * coalesce(e.edec::DOUBLE, 0.0), 6) AS score
+  FROM bm25 b FULL OUTER JOIN exps e ON b.doc_id = e.doc_id
+)
+SELECT doc_id, score FROM final ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 _HYBRID_ORACLE = f"""
@@ -3764,6 +3830,7 @@ def oracle_sql() -> dict[str, str]:
         "journey_reach_prob": _reach_oracle(4),
         "user_active_streaks": _STREAKS_ORACLE,
         "customer_balance_gini": _GINI_ORACLE,
+        "fulltext_rm3": _RM3_ORACLE,
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),
         "knn_dot": _KNN_ORACLE.format(score_expr=_DOT, where="e.vec_id <> 0"),

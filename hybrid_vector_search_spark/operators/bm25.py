@@ -161,3 +161,89 @@ def _py_tokens(s: str) -> list[str]:
     import re
 
     return [t for t in re.split(r"[\W_]+", s.lower()) if t]
+
+
+def rm3_scores(
+    stats: TextStats,
+    query_terms: list[str],
+    *,
+    fb_docs: int = 10,
+    fb_terms: int = 8,
+    orig_weight: float = 0.6,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 relevance models,
+    the Anserini/Indri default expansion): retrieve top ``fb_docs`` by BM25,
+    mine ``fb_terms`` expansion terms from them weighted by
+    Σ_d P(t|d)·score(d) (P(t|d) = tf/dl), then interpolate
+    ``orig_weight``·BM25(Q) + (1−orig_weight)·Σ_t ŵ_t·BM25-term(t) — the
+    recall-recovering second pass a query-expansion search stack runs.
+
+    Fully relational: the feedback set (``fb_docs`` rows) and the mined
+    term model (``fb_terms`` rows) stay DataFrames and broadcast into the
+    postings joins — no driver round trip, so the same plan serves a
+    100 TB postings relation.
+
+    Determinism ladder: base scores are BM25's 6-dp contract; every
+    accumulated product (term weights, per-term expanded contributions) is
+    quantized to 9 dp and summed as DECIMAL(18,9) (associative), and each
+    normalization/interpolation is single double ops over those exact sums
+    — so the whole two-pass pipeline replays bit-for-bit in SQL.
+    """
+    q_terms = sorted(set(query_terms))
+    base = bm25_scores(stats, q_terms, k1=k1, b=b, round_dp=6)
+    fb = base.orderBy(F.desc("score"), F.asc("id")).limit(fb_docs)
+    # --- term model from the feedback docs (original terms excluded)
+    w = (
+        stats.postings.join(F.broadcast(fb), "id")
+        .join(stats.doc_len, "id")
+        .where(~F.col("term").isin(q_terms))
+        .select(
+            "term",
+            F.round((F.col("tf") / F.col("dl")) * F.col("score"), 9)
+            .cast("decimal(18,9)")
+            .alias("c"),
+        )
+        .groupBy("term")
+        .agg(F.sum("c").alias("wdec"))
+    )
+    topt = w.orderBy(F.desc(F.col("wdec").cast("double")), F.asc("term")).limit(
+        fb_terms
+    )
+    tot = topt.agg(F.sum("wdec").alias("t"))
+    what = topt.crossJoin(F.broadcast(tot)).select(
+        "term",
+        (F.col("wdec").cast("double") / F.col("t").cast("double")).alias("what"),
+    )
+    # --- expanded pass: ŵ_t · per-term BM25 over the full postings
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    exp_scores = (
+        stats.postings.join(F.broadcast(what), "term")
+        .join(F.broadcast(stats.doc_freq.join(what.select("term"), "term")), "term")
+        .join(stats.doc_len, "id")
+        .crossJoin(F.broadcast(stats.corpus))
+        .select(
+            "id",
+            F.round(F.col("what") * (idf * tf_part), 9)
+            .cast("decimal(18,9)")
+            .alias("e"),
+        )
+        .groupBy("id")
+        .agg(F.sum("e").alias("edec"))
+    )
+    return (
+        base.join(exp_scores, "id", "full_outer")
+        .select(
+            "id",
+            F.round(
+                F.lit(orig_weight) * F.coalesce(F.col("score"), F.lit(0.0))
+                + F.lit(1.0 - orig_weight)
+                * F.coalesce(F.col("edec").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+    )

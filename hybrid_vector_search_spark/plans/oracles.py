@@ -2128,6 +2128,81 @@ FROM m ORDER BY doc_id
 """
 
 
+
+
+# plans.pipeline.token_zipf_fit — 12-dp-quantized coordinates, exact decimal
+# sufficient statistics, single double expressions (the OLS-trends ladder)
+TOKEN_ZIPF_FIT = f"""
+WITH {TOKL},
+freq AS (
+  SELECT t AS term, count(*)::BIGINT AS n
+  FROM (SELECT unnest(ts) AS t FROM tokl) GROUP BY t
+  ORDER BY n DESC, term ASC LIMIT 100
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS rank FROM freq
+),
+xy AS (
+  SELECT round(ln(rank::DOUBLE), 12)::DECIMAL(18,12) AS x,
+         round(ln(n::DOUBLE), 12)::DECIMAL(18,12) AS y
+  FROM ranked
+),
+s AS (
+  SELECT count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+         sum(x * x)::DOUBLE AS sxx, sum(x * y)::DOUBLE AS sxy,
+         sum(y * y)::DOUBLE AS syy
+  FROM xy
+)
+SELECT n::BIGINT AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+# plans.pipeline.source_keyness_g2 — Dunning G2, en vs rest, fixed-shape
+# expression over integer cells
+SOURCE_KEYNESS_G2 = f"""
+WITH {TOKL},
+toks AS (
+  SELECT (d.lang = 'en') AS is_en, t AS term
+  FROM tokl JOIN documents d USING (doc_id), unnest(ts) AS u(t)
+),
+cnt AS (
+  SELECT term,
+         sum(CASE WHEN is_en THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN is_en THEN 0 ELSE 1 END)::BIGINT AS b
+  FROM toks GROUP BY term
+),
+tot AS (SELECT sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb FROM cnt),
+j AS (
+  SELECT term, a::DOUBLE AS a, b::DOUBLE AS b, ta::DOUBLE AS ta, tb::DOUBLE AS tb
+  FROM cnt CROSS JOIN tot
+),
+g AS (
+  SELECT term, a, b,
+         2.0 * (
+           (CASE WHEN a > 0
+                 THEN a * ln(a / (ta * ((a + b) / (ta + tb)))) ELSE 0.0 END)
+           + (CASE WHEN b > 0
+                   THEN b * ln(b / (tb * ((a + b) / (ta + tb)))) ELSE 0.0 END)
+           + (CASE WHEN (ta - a) > 0
+                   THEN (ta - a) * ln((ta - a)
+                        / (ta * (((ta - a) + (tb - b)) / (ta + tb)))) ELSE 0.0 END)
+           + (CASE WHEN (tb - b) > 0
+                   THEN (tb - b) * ln((tb - b)
+                        / (tb * (((ta - a) + (tb - b)) / (ta + tb)))) ELSE 0.0 END)
+         ) AS g2,
+         CASE WHEN a / ta > b / tb THEN 'en' ELSE 'rest' END AS favors
+  FROM j
+)
+SELECT term, a::BIGINT AS n_en, b::BIGINT AS n_rest, round(g2, 6) AS g2, favors
+FROM g ORDER BY g2 DESC, term ASC LIMIT 25
+"""
+
+
 PIPELINE_ORACLES: dict[str, str] = {
     "span_dedup": SPAN_DEDUP,
     "dedup_incremental": DEDUP_INCREMENTAL,
@@ -2226,4 +2301,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "ngram_novelty_scores": NGRAM_NOVELTY,
     "katz_central_docs": KATZ_CENTRAL_DOCS,
     "flesch_reading_ease": FLESCH_READING_EASE,
+    "token_zipf_fit": TOKEN_ZIPF_FIT,
+    "source_keyness_g2": SOURCE_KEYNESS_G2,
 }

@@ -2229,3 +2229,116 @@ def flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fre"),
     ).orderBy("doc_id")
+
+
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-100 corpus terms: OLS of ln(freq) on
+    ln(rank) — slope ≈ −1 for natural language, and drift in the exponent
+    is a cheap corpus-health signal (boilerplate flattens it, spam steepens
+    it). One row: n_terms, slope, intercept, r2.
+
+    Determinism: term counts are integers; each regression coordinate is
+    ln() quantized to 12 dp and carried as DECIMAL(18,12), so all five
+    sufficient statistics are exact decimal sums (the OLS-trends
+    discipline) and slope/intercept/r² are single double expressions over
+    them. Scale: one token aggregate (map-side combined) → TakeOrdered
+    top-100 → the regression runs on 100 rows."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(100)
+    )
+    ranked = freq.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("term")))
+        .alias("rank"),
+    )
+    dec = "decimal(18,12)"
+    xy = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")), 12).cast(dec).alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 12).cast(dec).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    r2_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    )
+    r2_den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(r2_num / r2_den, 6).alias("r2"),
+    )
+
+
+def source_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-comparison keyness: Dunning's log-likelihood G² (Dunning 1993)
+    of each term between the 'en' slice and the rest of the corpus — the
+    standard "which words characterize this subcorpus" statistic behind
+    contamination triage and domain-mix audits (stronger than PMI/TF-IDF
+    for low counts). Top-25 terms by G², with the favored side.
+
+    All four 2×2 cells derive from one (term, is_en) integer aggregate plus
+    a broadcast 1-row total; G² is a single fixed-shape double expression
+    (zero cells contribute 0 by the 0·ln0 convention), so both engines
+    compute bit-identical statistics. One token exchange; top-25 is a
+    heap."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("lang") == "en").alias("is_en"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    )
+    cnt = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("is_en"), 0).otherwise(1)).alias("b"),
+    )
+    tot = cnt.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    j = cnt.crossJoin(F.broadcast(tot))
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    ta, tb = F.col("ta").cast("double"), F.col("tb").cast("double")
+    nn = ta + tb
+    ca, cb = ta - a, tb - b
+    ea = ta * ((a + b) / nn)
+    eb = tb * ((a + b) / nn)
+    eca = ta * ((ca + cb) / nn)
+    ecb = tb * ((ca + cb) / nn)
+
+    def cell(o, e):
+        return F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    g2 = F.lit(2.0) * (cell(a, ea) + cell(b, eb) + cell(ca, eca) + cell(cb, ecb))
+    return (
+        j.select(
+            "term",
+            F.col("a").cast("long").alias("n_en"),
+            F.col("b").cast("long").alias("n_rest"),
+            F.round(g2, 6).alias("g2"),
+            F.when(a / ta > b / tb, F.lit("en")).otherwise(F.lit("rest")).alias(
+                "favors"
+            ),
+        )
+        .orderBy(F.desc("g2"), F.asc("term"))
+        .limit(25)
+    )

@@ -539,3 +539,38 @@ def test_katz_consumes_checkpointed_iterations(spark):
     # the fixpoint (no fact scans), and top-20 is a heap
     assert "Scan parquet" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rm3_feedback_relations_broadcast(spark):
+    """RM3's two-pass expansion must keep the feedback set and the mined
+    term model broadcast-side: no SortMergeJoin against the postings, no
+    cartesian product, no driver round trip (the whole thing is one lazy
+    plan)."""
+    from hybrid_vector_search_spark.operators.bm25 import (
+        build_text_stats,
+        rm3_scores,
+    )
+    from hybrid_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    stats = build_text_stats(docs, "doc_id", "text")
+    plan = _plan(rm3_scores(stats, ["spark", "fast", "table", "value"]))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_zipf_fit_is_takeordered_then_tiny(spark):
+    from hybrid_vector_search_spark.plans.pipeline import token_zipf_fit
+
+    plan = _plan(token_zipf_fit(spark, SF_SMALL))
+    # vocab aggregate -> top-100 heap; the regression never shuffles the corpus
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_keyness_single_token_exchange(spark):
+    from hybrid_vector_search_spark.plans.pipeline import source_keyness_g2
+
+    plan = _plan(source_keyness_g2(spark, SF_SMALL))
+    # one (term) aggregate; the 1-row totals cross-join must broadcast
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
