@@ -909,6 +909,61 @@ def q_stream_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _staged_time_ordered_events(spark: SparkSession, sf_dir: str) -> str:
+    """Events staged as three TIME-ORDERED parquet files — the append-log
+    delivery contract the stateful stream folds (markov, funnel) assume.
+    Built once per sf_dir and shared by every stream twin that folds the
+    events table."""
+    src = _STREAM_SRC_CACHE.get(("events3", sf_dir))
+    if src is None:
+        safe = sf_dir.strip("/").replace("/", "_")
+        src = f"{_session_tmpdir()}/stream_events3/{safe}"
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+        cuts = ev.agg(
+            F.percentile_approx("ts", F.array(F.lit(0.33), F.lit(0.66)), 10_000).alias("c")
+        ).collect()[0]["c"]
+        ev.where(F.col("ts") <= cuts[0]).coalesce(1).write.mode("overwrite").parquet(src)
+        ev.where((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])).coalesce(1).write.mode("append").parquet(src)
+        ev.where(F.col("ts") > cuts[1]).coalesce(1).write.mode("append").parquet(src)
+        _STREAM_SRC_CACHE[("events3", sf_dir)] = src
+    return src
+
+
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming twin of events_funnel: the three time-ordered
+    event files fold one per micro-batch through
+    streaming.sketch.stream_funnel (per-user stage-timestamp frontier);
+    the maintained stage counts must equal the batch window recount, so
+    the oracle is the identical SQL the batch query answers to."""
+    import shutil
+    import tempfile
+
+    from hybrid_vector_search_spark.streaming.sketch import (
+        funnel_from_state,
+        stream_funnel,
+    )
+
+    src = _staged_time_ordered_events(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="stream_funnel_", dir=_session_tmpdir())
+    with _stream_shuffle(spark):
+        q = stream_funnel(
+            spark, src,
+            state_dir=f"{workdir}/state", checkpoint_path=f"{workdir}/ckpt",
+            max_files_per_trigger=1,
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
+    out = funnel_from_state(spark, f"{workdir}/state")
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def q_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming twin of events_markov_transitions: events staged
     as three TIME-ORDERED files (the append-log contract) and folded one
@@ -925,20 +980,7 @@ def q_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_markov,
     )
 
-    src = _STREAM_SRC_CACHE.get(("markov", sf_dir))
-    if src is None:
-        safe = sf_dir.strip("/").replace("/", "_")
-        src = f"{_session_tmpdir()}/stream_markov/{safe}"
-        ev = load_table(spark, sf_dir, "events").select(
-            "user_id", "ts", "event_id", "event_type"
-        )
-        cuts = ev.agg(
-            F.percentile_approx("ts", F.array(F.lit(0.33), F.lit(0.66)), 10_000).alias("c")
-        ).collect()[0]["c"]
-        ev.where(F.col("ts") <= cuts[0]).coalesce(1).write.mode("overwrite").parquet(src)
-        ev.where((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])).coalesce(1).write.mode("append").parquet(src)
-        ev.where(F.col("ts") > cuts[1]).coalesce(1).write.mode("append").parquet(src)
-        _STREAM_SRC_CACHE[("markov", sf_dir)] = src
+    src = _staged_time_ordered_events(spark, sf_dir)
     workdir = tempfile.mkdtemp(prefix="stream_markov_", dir=_session_tmpdir())
     with _stream_shuffle(spark):
         q = stream_markov(
@@ -1869,6 +1911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_rm3": q_fulltext_rm3,
         "token_zipf_fit": pipeline.token_zipf_fit,
         "source_keyness_g2": pipeline.source_keyness_g2,
+        "tfidf_doc_pairs": pipeline.tfidf_doc_pairs,
+        "stream_funnel_counts": _memo("stream_funnel_counts", q_stream_funnel),
         "embed_roundtrip": q_embed_roundtrip,
         "sink_roundtrip": q_sink_roundtrip,
         "char_entropy_score": pipeline.char_entropy_score,
@@ -3803,6 +3847,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_view_click_join": _STREAM_VIEW_CLICK_ORACLE,
         "stream_dedup_events": _STREAM_DEDUP_ORACLE,
         "events_funnel": _EVENTS_FUNNEL_ORACLE,
+        # the maintained funnel frontier must equal the batch recount —
+        # same oracle as the batch query (the stream_markov contract)
+        "stream_funnel_counts": _EVENTS_FUNNEL_ORACLE,
         "revenue_rollup": _REVENUE_ROLLUP_ORACLE,
         "embed_roundtrip": _EMBED_ROUNDTRIP_ORACLE,
         "sink_roundtrip": _SINK_ROUNDTRIP_ORACLE,

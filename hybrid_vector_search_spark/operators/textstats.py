@@ -632,3 +632,82 @@ def doc_keywords(df: DataFrame, id_col: str, text_col: str, *, k: int = 3) -> Da
         .where(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), "term", "tfidf", "rank")
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.2,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, cos) sparse TF-IDF cosine document pairs ≥ threshold —
+    the inverted-index similarity join (term-at-a-time partial products)
+    that complements the dense-embedding kernels: no vectors exist, the
+    dot product IS the posting-list intersection, so the shuffle carries
+    (term, id, weight) postings and the pair fan-out is Σ per-term df² —
+    never corpus². Terms with df > max_df_frac·N are dropped before the
+    join (the stop-term cap every production similarity join applies;
+    near-ubiquitous terms add O(N²) pairs and ~zero discrimination — at
+    100 TB this cap is the difference between a join and an explosion).
+
+    Determinism ladder: weights are ln-idf·tf doubles quantized to 9 dp;
+    per-doc norms sum 12-dp-quantized squares as DECIMAL(28,12); pair dot
+    products sum 9-dp-quantized cross products as DECIMAL(18,9); the final
+    cosine is one double division rounded to 6 dp and thresholded on the
+    rounded value — bit-replayable in SQL at any partitioning."""
+    from ..functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    postings = toks.groupBy("id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = postings.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    kept = dfreq.where(F.col("df") <= max_df_frac * n_docs)
+    weighted = postings.join(F.broadcast(kept), "term").select(
+        "id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
+        ).alias("w"),
+    )
+    norms = (
+        weighted.select(
+            "id",
+            F.round(F.col("w") * F.col("w"), 12).cast("decimal(28,12)").alias("w2"),
+        )
+        .groupBy("id")
+        .agg(F.sqrt(F.sum("w2").cast("double")).alias("nrm"))
+    )
+    a = weighted.select(F.col("id").alias("id_a"), "term", F.col("w").alias("wa"))
+    b = weighted.select(F.col("id").alias("id_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("wa") * F.col("wb"), 9).cast("decimal(18,9)").alias("p"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("p").alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot").cast("double") / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

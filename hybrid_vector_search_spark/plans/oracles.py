@@ -2203,6 +2203,46 @@ FROM g ORDER BY g2 DESC, term ASC LIMIT 25
 """
 
 
+
+
+# operators.textstats.tfidf_cosine_pairs (pipeline.tfidf_doc_pairs) —
+# inverted-index TF-IDF cosine with the df cap and the 9/12-dp quantize ->
+# exact-decimal-sum ladder
+TFIDF_DOC_PAIRS = f"""
+WITH {TOKL},
+posts AS MATERIALIZED (
+  SELECT doc_id AS id, t AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM tokl) GROUP BY 1, 2
+),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM posts GROUP BY term),
+kept AS (SELECT term, df FROM dfreq CROSS JOIN nn WHERE df <= 0.5 * nn.n),
+weighted AS MATERIALIZED (
+  SELECT id, p.term, round(p.tf * ln(nn.n / k.df), 9) AS w
+  FROM posts p JOIN kept k USING (term) CROSS JOIN nn
+),
+norms AS MATERIALIZED (
+  SELECT id, sqrt(sum(round(w * w, 12)::DECIMAL(28,12))::DOUBLE) AS nrm
+  FROM weighted GROUP BY id
+),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         sum(round(a.w * b.w, 9)::DECIMAL(18,9)) AS dot
+  FROM weighted a JOIN weighted b ON a.term = b.term AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a AS doc_a, id_b AS doc_b, cos FROM (
+  SELECT d.id_a, d.id_b,
+         round(d.dot::DOUBLE / (na.nrm * nb.nrm), 6) AS cos
+  FROM dots d
+  JOIN norms na ON na.id = d.id_a
+  JOIN norms nb ON nb.id = d.id_b
+)
+WHERE cos >= 0.3
+ORDER BY doc_a, doc_b
+"""
+
+
 PIPELINE_ORACLES: dict[str, str] = {
     "span_dedup": SPAN_DEDUP,
     "dedup_incremental": DEDUP_INCREMENTAL,
@@ -2303,4 +2343,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "flesch_reading_ease": FLESCH_READING_EASE,
     "token_zipf_fit": TOKEN_ZIPF_FIT,
     "source_keyness_g2": SOURCE_KEYNESS_G2,
+    "tfidf_doc_pairs": TFIDF_DOC_PAIRS,
 }

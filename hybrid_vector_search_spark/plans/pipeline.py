@@ -2342,3 +2342,14 @@ def source_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("g2"), F.asc("term"))
         .limit(25)
     )
+
+
+def tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-duplicate pairs ≥ 0.3
+    (operators/textstats.tfidf_cosine_pairs): the inverted-index similarity
+    join — the lexical-overlap complement to dedup's set-Jaccard and the
+    embedding kernels' dense cosine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.tfidf_cosine_pairs(
+        docs, "doc_id", "text", threshold=0.3, max_df_frac=0.5
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "cos")

@@ -627,3 +627,150 @@ def markov_from_state(
         .orderBy("from_type", "to_type")
         .localCheckpoint(eager=True)
     )
+
+
+def stream_funnel(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_path: str,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    step_window: str = "INTERVAL 1 HOUR",
+    max_files_per_trigger: int | None = None,
+    commit_mode: str = "rename",
+):
+    """Incrementally-maintained view→click→purchase funnel — the stateful
+    streaming twin of relational.events_funnel (same stage semantics: first
+    view, first click within the step window OF that view, first purchase
+    within the window of that click).
+
+    State is ONE bounded relation: per user the (t_view, t_click,
+    t_purchase) stage-timestamp triple (a row only once a user has reached
+    stage 1) — the O(users) frontier every funnel maintainer carries. Per
+    micro-batch the fold advances stages in three per-user conditional
+    mins; the later stages read the JUST-advanced earlier stage, so a
+    single batch carrying a user's whole journey completes all three.
+
+    Correctness contract: per-user time-monotone batch arrival (the
+    append-log assumption shared with stream_markov). Under it the
+    maintained triple equals the batch window recount for any batching —
+    a user's first view is in the earliest batch holding their views, so
+    coalesce(state, batch-min) IS the global first; pinned against the
+    DuckDB-oracled batch query in tests/test_streaming_sketch.py."""
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    ckpt_id = os.path.abspath(checkpoint_path)
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        current = _resolve_current(state_dir, commit_mode)
+        if _epoch_skip(current, ckpt_id, epoch_id, state_dir):
+            return
+        sess = batch_df.sparkSession
+        win = F.expr(step_window)
+        b = batch_df.select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).alias("t"),
+            F.col(type_col).alias("ty"),
+        ).localCheckpoint(eager=True)
+        state_path = os.path.join(current, "funnel")
+        if os.path.exists(state_path):
+            prev = sess.read.parquet(state_path)
+        else:
+            prev = sess.createDataFrame(
+                [], "u long, t_view timestamp, t_click timestamp, t_purchase timestamp"
+            )
+        cand_v = (
+            b.where(F.col("ty") == "view").groupBy("u").agg(F.min("t").alias("cv"))
+        )
+        merged = (
+            prev.join(cand_v, "u", "full_outer")
+            .select(
+                "u",
+                F.coalesce(F.col("t_view"), F.col("cv")).alias("t_view"),
+                "t_click",
+                "t_purchase",
+            )
+        )
+        cand_c = (
+            b.where(F.col("ty") == "click")
+            .join(merged.select("u", "t_view"), "u")
+            .where(
+                (F.col("t") >= F.col("t_view"))
+                & (F.col("t") <= F.col("t_view") + win)
+            )
+            .groupBy("u")
+            .agg(F.min("t").alias("cc"))
+        )
+        merged = merged.join(cand_c, "u", "left").select(
+            "u",
+            "t_view",
+            F.coalesce(F.col("t_click"), F.col("cc")).alias("t_click"),
+            "t_purchase",
+        )
+        cand_p = (
+            b.where(F.col("ty") == "purchase")
+            .join(merged.select("u", "t_click"), "u")
+            .where(
+                (F.col("t") >= F.col("t_click"))
+                & (F.col("t") <= F.col("t_click") + win)
+            )
+            .groupBy("u")
+            .agg(F.min("t").alias("cp"))
+        )
+        new_state = (
+            merged.join(cand_p, "u", "left")
+            .select(
+                "u",
+                "t_view",
+                "t_click",
+                F.coalesce(F.col("t_purchase"), F.col("cp")).alias("t_purchase"),
+            )
+            .where(F.col("t_view").isNotNull())
+            .localCheckpoint(eager=True)
+        )
+        meta = {"epoch": epoch_id, "checkpoint": ckpt_id}
+
+        def write(target: str) -> None:
+            new_state.write.mode("overwrite").parquet(
+                os.path.join(target, "funnel")
+            )
+
+        _commit_version(state_dir, commit_mode, meta, write)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def funnel_from_state(
+    spark: SparkSession, state_dir: str, *, commit_mode: str = "rename"
+) -> DataFrame:
+    """Stage counts off the maintained frontier — the batch query's exact
+    output contract (stage_idx, stage, n_users)."""
+    current = _resolve_current(state_dir, commit_mode)
+    st = spark.read.parquet(os.path.join(current, "funnel"))
+    counts = st.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+    return (
+        counts.select(
+            F.expr(
+                "stack(3, 1, 'view', n_view, 2, 'click', n_click,"
+                " 3, 'purchase', n_purchase) AS (stage_idx, stage, n_users)"
+            )
+        )
+        .orderBy("stage_idx")
+        .localCheckpoint(eager=True)
+    )

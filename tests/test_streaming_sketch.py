@@ -520,3 +520,87 @@ def test_stream_markov_equals_declared_batch_query(spark, tmp_path):
         .orderBy("from_type", "to_type").collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_stream_funnel_equals_declared_batch_query(spark, tmp_path):
+    """The maintained funnel frontier must equal relational.events_funnel
+    over the real sf0.001 events split into three time-ordered files —
+    including the cross-batch journeys (view in one file, qualifying click
+    in a later one) a naive per-batch recount would lose."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.plans.relational import events_funnel
+    from hybrid_vector_search_spark.sources import load_table
+    from hybrid_vector_search_spark.streaming.sketch import (
+        funnel_from_state,
+        stream_funnel,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cuts = ev.agg(
+        F.percentile_approx("ts", F.array(F.lit(0.33), F.lit(0.66)), 10_000)
+        .alias("c")
+    ).collect()[0]["c"]
+    src = str(tmp_path / "src")
+    ev.where(F.col("ts") <= cuts[0]).coalesce(1).write.mode("overwrite").parquet(src)
+    ev.where((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("ts") > cuts[1]).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_funnel(
+        spark, src, state_dir=str(tmp_path / "state"),
+        checkpoint_path=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    got = [
+        (r["stage_idx"], r["stage"], r["n_users"])
+        for r in funnel_from_state(spark, str(tmp_path / "state")).collect()
+    ]
+    want = [
+        (r["stage_idx"], r["stage"], r["n_users"])
+        for r in events_funnel(spark, sf_dir).collect()
+    ]
+    assert got == want and len(got) == 3
+
+
+def test_stream_funnel_cross_batch_journey(spark, tmp_path):
+    """A journey split across micro-batches (view | click | purchase, each
+    within the 1-hour step window) must complete: the frontier carries the
+    earlier stages between batches."""
+    import datetime as dt
+
+    from hybrid_vector_search_spark.streaming.sketch import (
+        funnel_from_state,
+        stream_funnel,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows, path, mode):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        ).coalesce(1).write.mode(mode).parquet(path)
+
+    src = str(tmp_path / "src")
+    mins = dt.timedelta(minutes=30)
+    # user 1 completes across three batches; user 2's click misses the window
+    mk([(1, t0, "view"), (2, t0, "view")], src, "overwrite")
+    mk([(1, t0 + mins, "click"), (2, t0 + dt.timedelta(hours=2), "click")], src, "append")
+    mk([(1, t0 + mins + mins, "purchase")], src, "append")
+
+    q = stream_funnel(
+        spark, src, state_dir=str(tmp_path / "state"),
+        checkpoint_path=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = {
+        r["stage"]: r["n_users"]
+        for r in funnel_from_state(spark, str(tmp_path / "state")).collect()
+    }
+    assert got == {"view": 2, "click": 1, "purchase": 1}
