@@ -1913,6 +1913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_keyness_g2": pipeline.source_keyness_g2,
         "tfidf_doc_pairs": pipeline.tfidf_doc_pairs,
         "stream_funnel_counts": _memo("stream_funnel_counts", q_stream_funnel),
+        "entity_resolution_pairs": relational.entity_resolution_pairs,
+        "ngram_containment_pairs": pipeline.ngram_containment_pairs,
+        "revenue_dow_anomaly": relational.revenue_dow_anomaly,
         "embed_roundtrip": q_embed_roundtrip,
         "sink_roundtrip": q_sink_roundtrip,
         "char_entropy_score": pipeline.char_entropy_score,
@@ -3745,6 +3748,82 @@ ORDER BY nation
 """
 
 
+_ER_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+),
+dup AS (
+  SELECT c_custkey + 100000 AS c_custkey,
+         substr(c_name, 1, length(c_name) - 1) || 'X' AS c_name,
+         c_nationkey, c_acctbal + 0.37 AS c_acctbal, c_mktsegment
+  FROM base WHERE c_custkey % 10 = 0
+),
+recs AS MATERIALIZED (
+  SELECT * FROM base UNION ALL SELECT * FROM dup
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+    FROM recs a JOIN recs b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    UNION ALL
+    SELECT a.c_custkey, b.c_custkey
+    FROM recs a JOIN recs b
+      ON a.c_nationkey = b.c_nationkey
+     AND floor(a.c_acctbal / 100.0) = floor(b.c_acctbal / 100.0)
+     AND a.c_custkey < b.c_custkey
+  )
+),
+scored AS (
+  SELECT id_a, id_b,
+    CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+         THEN ln(0.9 / 0.01) ELSE ln((1 - 0.9) / (1 - 0.01)) END AS rw_name,
+    CASE WHEN abs(a.c_acctbal::DECIMAL(18,2) - b.c_acctbal::DECIMAL(18,2))
+              <= '1.00'::DECIMAL(18,2)
+         THEN ln(0.8 / 0.05) ELSE ln((1 - 0.8) / (1 - 0.05)) END AS rw_bal,
+    CASE WHEN a.c_mktsegment = b.c_mktsegment
+         THEN ln(0.95 / 0.2) ELSE ln((1 - 0.95) / (1 - 0.2)) END AS rw_seg
+  FROM cand
+  JOIN recs a ON a.c_custkey = id_a
+  JOIN recs b ON b.c_custkey = id_b
+)
+SELECT id_a, id_b,
+       round(rw_name, 6) AS w_name,
+       round(rw_bal, 6) AS w_bal,
+       round(rw_seg, 6) AS w_seg,
+       round(rw_name + rw_bal + rw_seg, 6) AS weight
+FROM scored
+WHERE round(rw_name + rw_bal + rw_seg, 6) >= 6.0
+ORDER BY id_a, id_b
+"""
+
+_DOW_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT l_shipdate::DATE AS d,
+         sum(l_extendedprice::DECIMAL(18,4)
+             * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY d
+),
+spine AS (
+  SELECT d, rev_dec, (d - DATE '1970-01-05') % 7 AS dow FROM daily
+),
+scored AS (
+  SELECT d, dow, rev_dec::DOUBLE AS revenue,
+         rev_dec::DOUBLE
+           / (sum(rev_dec) OVER (PARTITION BY dow)::DOUBLE
+              / count(*) OVER (PARTITION BY dow)::DOUBLE) AS _ratio
+  FROM spine
+)
+SELECT strftime(d, '%Y-%m-%d') AS ship_day, dow, revenue,
+       round(_ratio, 6) AS dow_ratio,
+       (_ratio < 0.6 OR _ratio > 1.4) AS is_anomaly
+FROM scored ORDER BY ship_day
+"""
+
 _CHANGEPOINT_ORACLE = """
 WITH daily AS (
   SELECT l_shipdate::DATE AS d,
@@ -3877,6 +3956,8 @@ def oracle_sql() -> dict[str, str]:
         "journey_reach_prob": _reach_oracle(4),
         "user_active_streaks": _STREAKS_ORACLE,
         "customer_balance_gini": _GINI_ORACLE,
+        "entity_resolution_pairs": _ER_ORACLE,
+        "revenue_dow_anomaly": _DOW_ANOMALY_ORACLE,
         "fulltext_rm3": _RM3_ORACLE,
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),

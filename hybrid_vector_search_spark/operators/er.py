@@ -1,0 +1,103 @@
+"""Entity resolution — Fellegi-Sunter record linkage (blocked, weighted).
+
+Record linkage dedupes ENTITIES rather than byte content: the same customer
+re-ingested with a typo'd name and a drifted balance is one entity in two
+rows, and no content hash or shingle set will say so. The reference engine's
+corpus carries the same problem one level up (re-crawled pages, re-embedded
+docs); this operator is the classic probabilistic answer (Fellegi & Sunter
+1969) — the model behind Splink, Zingg, and every MDM dedupe:
+
+1. **Blocking** (multi-pass): candidate pairs are generated per blocking
+   key — an inverted-index self-join, Σ per-block n² fan-out, never
+   corpus². Several cheap keys unioned beat one clever key (a pair missed
+   by every pass is unrecoverable, so passes are chosen for complementary
+   recall — the standard multi-pass discipline).
+2. **Field comparison**: each candidate pair gets a boolean agreement
+   vector (edit-distance bands, numeric tolerance, exact codes).
+3. **Weighting**: each field contributes ln(m/u) on agreement and
+   ln((1-m)/(1-u)) on disagreement (m = P(agree | same entity),
+   u = P(agree | different entities)); the pair's score is the sum — the
+   log-likelihood ratio of the match hypothesis. Pairs ≥ threshold link.
+
+Determinism: agreements are integer/exact-string predicates (levenshtein,
+equality, DECIMAL tolerance); weights are ln() of literal ratios — fixed
+double constants identical in any engine — summed in fixed expression
+order and rounded once, so the whole linkage replays bit-for-bit in SQL.
+
+Scale: each blocking pass shuffles (id, key) only; the candidate union is
+distinct-ed BEFORE the record payloads join back (payloads move once per
+surviving pair, not per pass); the weighted compare is a map-only
+projection. Skewed blocks are the operational risk — cap or salt hot keys
+exactly as the dedup shingle joins document.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Comparator = tuple[str, Callable[[Column, Column], Column], float, float]
+
+
+def fellegi_sunter_pairs(
+    records: DataFrame,
+    id_col: str,
+    *,
+    block_keys: Sequence[Column],
+    comparators: Sequence[Comparator],
+    threshold: float,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, w_<field>..., weight) for candidate pairs scoring ≥
+    threshold under the Fellegi-Sunter log-likelihood model.
+
+    ``block_keys``: one blocking pass per expression (evaluated over
+    ``records``); ``comparators``: (field, agree(a_struct, b_struct) →
+    Boolean, m, u) triples. The threshold compares the ROUNDED weight, so
+    the decision boundary is engine-portable.
+    """
+    cands = None
+    for bk in block_keys:
+        keyed = records.select(F.col(id_col).alias("_id"), bk.alias("_bk")).where(
+            F.col("_bk").isNotNull()
+        )
+        a = keyed.select(F.col("_id").alias("id_a"), "_bk")
+        b = keyed.select(F.col("_id").alias("id_b"), "_bk")
+        p = (
+            a.join(b, "_bk")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cands = p if cands is None else cands.unionAll(p)
+    cands = cands.distinct()
+    payload = records.select(
+        F.col(id_col).alias("_id"), F.struct(*records.columns).alias("_r")
+    )
+    paired = (
+        cands.join(payload.withColumnRenamed("_id", "id_a"), "id_a")
+        .withColumnRenamed("_r", "_ra")
+        .join(payload.withColumnRenamed("_id", "id_b"), "id_b")
+        .withColumnRenamed("_r", "_rb")
+    )
+    weight_cols = []
+    total = None
+    for name, agree, m, u in comparators:
+        w = F.when(
+            agree(F.col("_ra"), F.col("_rb")),
+            F.log(F.lit(m) / F.lit(u)),
+        ).otherwise(F.log(F.lit(1.0 - m) / F.lit(1.0 - u)))
+        col = F.round(w, round_dp).alias(f"w_{name}")
+        weight_cols.append(col)
+        total = w if total is None else total + w
+    return (
+        paired.select(
+            "id_a",
+            "id_b",
+            *weight_cols,
+            F.round(total, round_dp).alias("weight"),
+        )
+        .where(F.col("weight") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -2243,6 +2243,46 @@ ORDER BY doc_a, doc_b
 """
 
 
+
+
+# plans.pipeline.ngram_containment_pairs — planted half-doc scrapes, the
+# same inverted-index intersection as the jaccard oracles
+NGRAM_CONTAINMENT = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, substr(text, 1, floor(n_chars / 2)::INT)
+  FROM documents WHERE doc_id % 25 = 0
+),
+tok2 AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text),
+         '[^\p{L}\p{N}]+'), t -> t <> '') AS ts FROM corpus
+),
+sh2 AS (
+  SELECT DISTINCT doc_id AS id, md5(g) AS sh FROM (
+    SELECT doc_id, unnest([array_to_string(ts[i:i+2], ' ')
+                           FOR i IN range(1, len(ts) - 1)]) AS g
+    FROM tok2 WHERE len(ts) >= 3)
+),
+sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh2 GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS i
+  FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM (
+  SELECT id_a, id_b,
+         round(i / sa.sz::DOUBLE, 6) AS cont_a_in_b,
+         round(i / sb.sz::DOUBLE, 6) AS cont_b_in_a
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+)
+WHERE cont_a_in_b >= 0.8 OR cont_b_in_a >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
 PIPELINE_ORACLES: dict[str, str] = {
     "span_dedup": SPAN_DEDUP,
     "dedup_incremental": DEDUP_INCREMENTAL,
@@ -2344,4 +2384,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "token_zipf_fit": TOKEN_ZIPF_FIT,
     "source_keyness_g2": SOURCE_KEYNESS_G2,
     "tfidf_doc_pairs": TFIDF_DOC_PAIRS,
+    "ngram_containment_pairs": NGRAM_CONTAINMENT,
 }

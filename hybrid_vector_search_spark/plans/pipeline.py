@@ -2353,3 +2353,55 @@ def tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_cosine_pairs(
         docs, "doc_id", "text", threshold=0.3, max_df_frac=0.5
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "cos")
+
+
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs — |A∩B|/|A| per direction — with
+    planted partial scrapes (every 25th doc re-inserted TRUNCATED to its
+    first half under a shifted id). Containment is the subset/quote
+    detector symmetric Jaccard structurally misses: a half-doc inside its
+    source has Jaccard ≈ 0.5 (below every dedup threshold) but containment
+    ≈ 1.0 — the snippet-vs-source, quote-vs-article relation a training
+    corpus must catch to avoid double-counting.
+
+    Same inverted-index shape as jaccard_pairs (shingle join bounds the
+    fan-out per shingle, never corpus²); sizes and intersections are
+    integers, each containment is one double division rounded 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    truncated = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(floor(n_chars / 2) AS INT))").alias(
+            "text"
+        ),
+    )
+    corpus = docs.select("doc_id", "text").unionAll(truncated)
+    sh = dedup.shingle_table(corpus, "doc_id", "text", n=3)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("i") / F.col("sa").cast("double"), 6).alias(
+                "cont_a_in_b"
+            ),
+            F.round(F.col("i") / F.col("sb").cast("double"), 6).alias(
+                "cont_b_in_a"
+            ),
+        )
+        .where(
+            (F.col("cont_a_in_b") >= 0.8) | (F.col("cont_b_in_a") >= 0.8)
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -2755,3 +2755,116 @@ def customer_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+def entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record linkage (operators/er.py) over the customer
+    table with deterministically PLANTED dirty re-ingests — every 10th
+    customer re-inserted under a shifted key with a typo'd name (last char
+    substituted) and a drifted balance (+0.37), the same fixture-planting
+    policy as pii_redact/dedup_exact. Two blocking passes
+    ((nation, segment) and (nation, balance-century)), three compared
+    fields (name edit-distance ≤ 2, balance within 1.00 exact-decimal,
+    segment equality) with assumed (m, u) parameters, link threshold 6.0 —
+    planted dupes score ≈ 8.83, name-collision-only candidates ≈ 4.50, so
+    the threshold separates them; any candidate pair that GENUINELY agrees
+    on all three fields links too, which is the model working, not noise."""
+    from ..operators.er import fellegi_sunter_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    base = cust.select(*cols)
+    dup = cust.where(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 100_000).alias("c_custkey"),
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X")
+        ).alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") + 0.37).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    recs = base.unionAll(dup)
+    dec = "decimal(18,2)"
+    return fellegi_sunter_pairs(
+        recs,
+        "c_custkey",
+        block_keys=[
+            F.struct(F.col("c_nationkey"), F.col("c_mktsegment")),
+            F.struct(
+                F.col("c_nationkey"), F.floor(F.col("c_acctbal") / 100.0)
+            ),
+        ],
+        comparators=[
+            (
+                "name",
+                lambda a, b: F.levenshtein(a["c_name"], b["c_name"]) <= 2,
+                0.9,
+                0.01,
+            ),
+            (
+                "bal",
+                lambda a, b: F.abs(
+                    a["c_acctbal"].cast(dec) - b["c_acctbal"].cast(dec)
+                )
+                <= F.lit("1.00").cast(dec),
+                0.8,
+                0.05,
+            ),
+            (
+                "seg",
+                lambda a, b: a["c_mktsegment"] == b["c_mktsegment"],
+                0.95,
+                0.2,
+            ),
+        ],
+        threshold=6.0,
+    )
+
+
+def revenue_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonally-adjusted revenue anomalies over one ship
+    year: each day's revenue divided by its weekday's mean — the STL-lite
+    decomposition that catches a weak Tuesday even when Tuesdays are
+    always weak (the trailing-window and CUSUM monitors both miss that).
+    Flags ratio outside [0.6, 1.4].
+
+    Weekday index is pure integer date arithmetic (days-since-a-known-
+    Monday mod 7 — no locale, no engine dayofweek convention). Daily and
+    per-weekday sums stay DECIMAL; each ratio is one double division over
+    exact sums, rounded 6. All windows run on the ~365-row daily spine
+    after ONE fact aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    )
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("rev_dec")
+    )
+    spine = daily.select(
+        "d",
+        "rev_dec",
+        (F.datediff(F.col("d"), F.lit("1970-01-05")) % 7).alias("dow"),
+    )
+    w = Window.partitionBy("dow")
+    scored = spine.select(
+        "d",
+        "dow",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.col("rev_dec").cast("double")
+            / (
+                F.sum("rev_dec").over(w).cast("double")
+                / F.count("*").over(w).cast("double")
+            )
+        ).alias("_ratio"),
+    )
+    return scored.select(
+        F.date_format("d", "yyyy-MM-dd").alias("ship_day"),
+        "dow",
+        "revenue",
+        F.round("_ratio", 6).alias("dow_ratio"),
+        ((F.col("_ratio") < 0.6) | (F.col("_ratio") > 1.4)).alias("is_anomaly"),
+    ).orderBy("ship_day")

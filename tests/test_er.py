@@ -1,0 +1,72 @@
+"""operators.er.fellegi_sunter_pairs — linkage semantics on a hand fixture."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _recs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alice smith", 10, 100.0),
+            (2, "alice smyth", 10, 100.5),   # typo + drift: true dupe of 1
+            (3, "bob jones", 10, 100.2),     # same block, disagrees on name
+            (4, "carol white", 20, 500.0),   # different block entirely
+        ],
+        "id long, name string, grp int, bal double",
+    )
+
+
+def _link(spark, threshold):
+    from hybrid_vector_search_spark.operators.er import fellegi_sunter_pairs
+
+    return fellegi_sunter_pairs(
+        _recs(spark),
+        "id",
+        block_keys=[F.col("grp")],
+        comparators=[
+            ("name", lambda a, b: F.levenshtein(a["name"], b["name"]) <= 2, 0.9, 0.01),
+            ("bal", lambda a, b: F.abs(a["bal"] - b["bal"]) <= 1.0, 0.8, 0.05),
+        ],
+        threshold=threshold,
+    )
+
+
+def test_true_dupe_links_and_scores_loglikelihood(spark):
+    rows = {(r["id_a"], r["id_b"]): r["weight"] for r in _link(spark, 6.0).collect()}
+    assert set(rows) == {(1, 2)}
+    expect = round(math.log(0.9 / 0.01) + math.log(0.8 / 0.05), 6)
+    assert abs(rows[(1, 2)] - expect) < 1e-9
+
+
+def test_partial_agreement_scores_below_full(spark):
+    """(1,3)/(2,3) agree on balance only: weight = ln(.1/.99) + ln(16) —
+    negative name evidence pulls them under any sensible threshold."""
+    got = {(r["id_a"], r["id_b"]): r["weight"] for r in _link(spark, -10.0).collect()}
+    expect = round(math.log(0.1 / 0.99) + math.log(0.8 / 0.05), 6)
+    assert got[(1, 3)] == expect and got[(2, 3)] == expect
+    assert got[(1, 2)] > got[(1, 3)]
+
+
+def test_blocking_never_compares_across_blocks(spark):
+    got = _link(spark, -100.0).collect()
+    assert all({r["id_a"], r["id_b"]} <= {1, 2, 3} for r in got), got
+
+
+def test_multipass_blocking_unions_candidates(spark):
+    from hybrid_vector_search_spark.operators.er import fellegi_sunter_pairs
+
+    out = fellegi_sunter_pairs(
+        _recs(spark),
+        "id",
+        block_keys=[F.col("grp"), F.floor(F.col("bal") / 1000.0)],
+        comparators=[
+            ("name", lambda a, b: F.levenshtein(a["name"], b["name"]) <= 2, 0.9, 0.01),
+        ],
+        threshold=-100.0,
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # pass 2 (bal-millennium) brings the cross-group (x, 4) candidates in
+    assert (1, 4) in pairs and (1, 2) in pairs

@@ -574,3 +574,38 @@ def test_keyness_single_token_exchange(spark):
     # one (term) aggregate; the 1-row totals cross-join must broadcast
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_er_payloads_join_after_candidate_dedup(spark):
+    from hybrid_vector_search_spark.plans.relational import entity_resolution_pairs
+
+    plan = _plan(entity_resolution_pairs(spark, SF_SMALL))
+    # blocking passes shuffle (id, key) only; record payloads join back
+    # once per surviving pair — and nothing degenerates to a cross product
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_containment_inverted_index_shape(spark):
+    from hybrid_vector_search_spark.plans.pipeline import ngram_containment_pairs
+
+    plan = _plan(ngram_containment_pairs(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dow_anomaly_single_fact_exchange(spark):
+    from hybrid_vector_search_spark.plans.relational import revenue_dow_anomaly
+
+    plan = _plan(revenue_dow_anomaly(spark, SF_SMALL))
+    # fact reduces to the daily spine in one exchange; the dow windows ride
+    # the tiny spine partitioned by weekday
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+
+
+def test_tfidf_pairs_df_cap_broadcast(spark):
+    from hybrid_vector_search_spark.plans.pipeline import tfidf_doc_pairs
+
+    plan = _plan(tfidf_doc_pairs(spark, SF_SMALL))
+    # the kept-terms (df-capped) relation broadcasts onto the postings
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
