@@ -1916,6 +1916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution_pairs": relational.entity_resolution_pairs,
         "ngram_containment_pairs": pipeline.ngram_containment_pairs,
         "revenue_dow_anomaly": relational.revenue_dow_anomaly,
+        "harmonic_central_docs": pipeline.harmonic_central_docs,
+        "revenue_autocorr7": relational.revenue_autocorr7,
+        "embedding_pc1_variance": _memo("embedding_pc1_variance", pipeline.embedding_pc1_variance),
         "embed_roundtrip": q_embed_roundtrip,
         "sink_roundtrip": q_sink_roundtrip,
         "char_entropy_score": pipeline.char_entropy_score,
@@ -3824,6 +3827,30 @@ SELECT strftime(d, '%Y-%m-%d') AS ship_day, dow, revenue,
 FROM scored ORDER BY ship_day
 """
 
+_AUTOCORR7_ORACLE = """
+WITH daily AS (
+  SELECT l_shipdate::DATE AS d,
+         sum(l_extendedprice::DECIMAL(18,4)
+             * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS y
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY d
+),
+pairs AS (
+  SELECT y, lag(y, 7) OVER (ORDER BY d) AS x FROM daily
+),
+s AS (
+  SELECT count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+         sum(x * x)::DOUBLE AS sxx, sum(x * y)::DOUBLE AS sxy,
+         sum(y * y)::DOUBLE AS syy
+  FROM pairs WHERE x IS NOT NULL
+)
+SELECT n::BIGINT AS n_pairs,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS autocorr7
+FROM s
+"""
+
 _CHANGEPOINT_ORACLE = """
 WITH daily AS (
   SELECT l_shipdate::DATE AS d,
@@ -3958,6 +3985,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_balance_gini": _GINI_ORACLE,
         "entity_resolution_pairs": _ER_ORACLE,
         "revenue_dow_anomaly": _DOW_ANOMALY_ORACLE,
+        "revenue_autocorr7": _AUTOCORR7_ORACLE,
         "fulltext_rm3": _RM3_ORACLE,
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),

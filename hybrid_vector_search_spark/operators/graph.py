@@ -480,3 +480,82 @@ def katz_centrality(
     e.unpersist()
     nodes.unpersist()
     return x.select("node", F.col("x").cast("double").alias("katz"))
+
+
+def seed_hop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """(seed, node, hops) — min hop count from EACH seed separately (the
+    per-landmark BFS behind landmark/pivot centrality estimates), as
+    frontier joins keyed by (seed, node). Unlike hop_distances (which
+    collapses the seed set into one multi-source frontier), every seed's
+    distance field stays distinct, so per-seed aggregates (harmonic sums,
+    eccentricity bounds) are computable downstream.
+
+    Frontier semantics again make the relation a pure function of the
+    graph. State and fan-out are |seeds| × reachable-nodes — the reason
+    landmark methods SAMPLE seeds at scale; callers pick the landmark set
+    size, and each BFS round is one frontier-edge join + one anti-join
+    with an eager checkpoint."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    e = e.localCheckpoint(eager=True)
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"), F.lit(0).alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.a)
+            .select("seed", F.col("b").alias("node"))
+            .distinct()
+            .join(dist, ["seed", "node"], "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+    dp: int = 12,
+) -> DataFrame:
+    """(node, harmonic) — landmark-estimated harmonic centrality
+    (Boldi & Vigna 2014's axiomatically-preferred closeness variant):
+    H(v) = Σ_landmarks 1/d(s→v) over the per-seed BFS fields, distance-0
+    terms excluded. With landmarks = all nodes this is exact inbound
+    harmonic centrality; with a sample it is the standard unbiased-up-to-
+    scaling estimate — the only way the question is answerable at 100 TB.
+
+    1/d terms are rounded to ``dp`` decimals and summed as DECIMAL(38,dp)
+    (associative), so the score replays exactly from a bounded recursive
+    CTE."""
+    dec = f"decimal(38,{dp})"
+    d = seed_hop_distances(edges, landmarks, src=src, dst=dst, max_hops=max_hops)
+    return (
+        d.where(F.col("hops") > 0)
+        .select(
+            "node",
+            F.round(F.lit(1.0) / F.col("hops").cast("double"), dp)
+            .cast(dec)
+            .alias("t"),
+        )
+        .groupBy("node")
+        .agg(F.sum("t").cast("double").alias("harmonic"))
+    )

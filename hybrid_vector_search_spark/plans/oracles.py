@@ -2283,6 +2283,94 @@ ORDER BY id_a, id_b
 """
 
 
+
+
+# operators.graph.harmonic_centrality over the link fixture, landmarks =
+# the BFS seed fixture (pipeline.harmonic_central_docs): per-seed bounded
+# walk -> min hops -> 12-dp-quantized 1/d summed as DECIMAL(38,12)
+HARMONIC_CENTRAL_DOCS = """
+WITH RECURSIVE nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+edges AS (
+  SELECT doc_id AS u, (doc_id * 31 + 7) % nn.n AS v FROM documents, nn
+  UNION
+  SELECT doc_id AS u, (doc_id * 17 + 3) % nn.n AS v FROM documents, nn
+),
+walk(seed, node, hops) AS (
+  SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id % 50 = 0
+  UNION
+  SELECT w.seed, e.v, w.hops + 1
+  FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.hops < 6
+),
+d AS (SELECT seed, node, min(hops) AS hops FROM walk GROUP BY seed, node)
+SELECT node, harmonic FROM (
+  SELECT node,
+         round(sum(round(1.0 / hops::DOUBLE, 12)::DECIMAL(38,12))::DOUBLE, 10)
+           AS harmonic
+  FROM d WHERE hops > 0 GROUP BY node
+)
+ORDER BY harmonic DESC, node ASC
+LIMIT 20
+"""
+
+
+
+
+# operators.pca.pc1_power_iteration (pipeline.embedding_pc1_variance):
+# exact-decimal covariance sufficient statistics, then the 12-dp quantize ->
+# exact-sum -> single-double-op power iteration unrolled as chained CTEs
+def _pc1_sql(iterations: int = 8, dp: int = 12) -> str:
+    dec = f"DECIMAL(38,{dp})"
+    head = f"""
+WITH pos AS MATERIALIZED (
+  SELECT vec_id AS rid, u['idx'] AS i, round(u['v'], 7)::DECIMAL(18,7) AS v
+  FROM (SELECT vec_id,
+               unnest([{{'idx': i, 'v': embedding[i]::DOUBLE}}
+                       FOR i IN range(1, len(embedding) + 1)]) AS u
+        FROM embeddings)
+),
+gram AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, count(*)::BIGINT AS n, sum(a.v * b.v) AS sp
+  FROM pos a JOIN pos b ON a.rid = b.rid GROUP BY 1, 2
+),
+mu AS MATERIALIZED (
+  SELECT i, sum(v)::DOUBLE / count(*)::DOUBLE AS mu FROM pos GROUP BY i
+),
+cov AS MATERIALIZED (
+  SELECT g.i, g.j, g.sp::DOUBLE / g.n::DOUBLE - m1.mu * m2.mu AS c
+  FROM gram g JOIN mu m1 ON m1.i = g.i JOIN mu m2 ON m2.i = g.j
+),
+tr AS (SELECT sum(round(c, {dp})::{dec})::DOUBLE AS trace FROM cov WHERE i = j),
+x0 AS (SELECT DISTINCT i AS j, 0.125::{dec} AS x FROM cov)"""
+    its = []
+    prev = "x0"
+    for t in range(1, iterations + 1):
+        its.append(f""",
+y{t} AS MATERIALIZED (
+  SELECT c.i, sum(round(c.c * p.x::DOUBLE, {dp})::{dec})::DOUBLE AS y
+  FROM cov c JOIN {prev} p ON p.j = c.j GROUP BY c.i
+),
+n{t} AS (SELECT sqrt(sum(round(y * y, {dp})::{dec})::DOUBLE) AS nrm FROM y{t}),
+x{t} AS (
+  SELECT y{t}.i AS j, round(y{t}.y / n{t}.nrm, {dp})::{dec} AS x
+  FROM y{t} CROSS JOIN n{t}
+)"""
+        )
+        prev = f"x{t}"
+    tail = f"""
+SELECT (SELECT count(*) FROM mu)::BIGINT AS dim,
+       (SELECT count(*) FROM embeddings)::BIGINT AS n_vectors,
+       round(nrm, 6) AS lambda1,
+       round(trace, 6) AS trace,
+       round(nrm / trace, 6) AS explained_frac
+FROM n{iterations} CROSS JOIN tr
+"""
+    return head + "".join(its) + tail
+
+
+EMBEDDING_PC1 = _pc1_sql()
+
+
 PIPELINE_ORACLES: dict[str, str] = {
     "span_dedup": SPAN_DEDUP,
     "dedup_incremental": DEDUP_INCREMENTAL,
@@ -2385,4 +2473,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "source_keyness_g2": SOURCE_KEYNESS_G2,
     "tfidf_doc_pairs": TFIDF_DOC_PAIRS,
     "ngram_containment_pairs": NGRAM_CONTAINMENT,
+    "harmonic_central_docs": HARMONIC_CENTRAL_DOCS,
+    "embedding_pc1_variance": EMBEDDING_PC1,
 }

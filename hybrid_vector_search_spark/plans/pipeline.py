@@ -2405,3 +2405,42 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def harmonic_central_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark harmonic centrality (operators/graph.harmonic_centrality)
+    over the shared synthetic link graph, landmarks = doc_id % 50 = 0 (the
+    BFS seed fixture) — top-20 most-reachable docs by Σ 1/hops from the
+    landmark sample, the closeness-family rank beside PageRank's and Katz's
+    walk-counting ranks."""
+    from ..operators.graph import harmonic_centrality
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    ids = docs.select("doc_id")
+    edges = ids.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % n).alias("dst"),
+    ).unionAll(
+        ids.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 17 + 3) % n).alias("dst"),
+        )
+    )
+    landmarks = ids.where(F.col("doc_id") % 50 == 0)
+    out = harmonic_centrality(edges, landmarks, max_hops=6)
+    return (
+        out.select("node", F.round("harmonic", 10).alias("harmonic"))
+        .orderBy(F.desc("harmonic"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def embedding_pc1_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anisotropy probe (operators/pca.pc1_power_iteration): the
+    dominant covariance eigenvalue and its explained-variance share after
+    8 relational power steps — high share = collapsing embedding space."""
+    from ..operators.pca import pc1_power_iteration
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pc1_power_iteration(emb, "vec_id", "embedding", iterations=8)

@@ -2868,3 +2868,45 @@ def revenue_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_ratio", 6).alias("dow_ratio"),
         ((F.col("_ratio") < 0.6) | (F.col("_ratio") > 1.4)).alias("is_anomaly"),
     ).orderBy("ship_day")
+
+
+def revenue_autocorr7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly periodicity check: lag-7 Pearson autocorrelation of the daily
+    revenue spine (row lag over the date-ordered spine). Near +1 means a
+    strong weekly cycle — the signal that decides whether the dow-seasonal
+    monitor (revenue_dow_anomaly) applies to a series at all.
+
+    Same DECIMAL discipline as lineitem_correlations: the (y_t, y_{t−7})
+    pairs keep money exact, all five sufficient statistics accumulate as
+    exact decimals in one aggregate, and the correlation is one double
+    expression. One fact exchange; the lag rides the tiny spine."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    )
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("y")
+    )
+    w = Window.orderBy("d")
+    pairs = daily.select("d", "y", F.lag("y", 7).over(w).alias("x")).where(
+        F.col("x").isNotNull()
+    )
+    s = pairs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(r, 6).alias("autocorr7"),
+    )

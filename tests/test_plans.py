@@ -609,3 +609,20 @@ def test_tfidf_pairs_df_cap_broadcast(spark):
     # the kept-terms (df-capped) relation broadcasts onto the postings
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pc1_iteration_consumes_checkpointed_cov(spark):
+    from hybrid_vector_search_spark.plans.pipeline import embedding_pc1_variance
+
+    plan = _plan(embedding_pc1_variance(spark, SF_SMALL))
+    # the covariance relation and every iterate are eagerly materialized:
+    # the final one-row plan must not re-derive the corpus
+    assert "Scan parquet" not in plan, plan
+
+
+def test_autocorr_single_fact_exchange(spark):
+    from hybrid_vector_search_spark.plans.relational import revenue_autocorr7
+
+    plan = _plan(revenue_autocorr7(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
