@@ -1919,6 +1919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_central_docs": pipeline.harmonic_central_docs,
         "revenue_autocorr7": relational.revenue_autocorr7,
         "embedding_pc1_variance": _memo("embedding_pc1_variance", pipeline.embedding_pc1_variance),
+        "minhash_lsh_eval": pipeline.minhash_lsh_eval,
+        "events_value_ohlc_hourly": relational.events_value_ohlc_hourly,
+        "neyman_allocation_sample": relational.neyman_allocation_sample,
         "embed_roundtrip": q_embed_roundtrip,
         "sink_roundtrip": q_sink_roundtrip,
         "char_entropy_score": pipeline.char_entropy_score,
@@ -3851,6 +3854,63 @@ SELECT n::BIGINT AS n_pairs,
 FROM s
 """
 
+_OHLC_ORACLE = """
+WITH hr AS (
+  SELECT date_trunc('hour', ts) AS h, ts, event_id, value
+  FROM events WHERE event_type = 'purchase'
+),
+ranked AS (
+  SELECT h, value,
+         row_number() OVER (PARTITION BY h ORDER BY ts ASC, event_id ASC) AS rf,
+         row_number() OVER (PARTITION BY h ORDER BY ts DESC, event_id DESC) AS rl
+  FROM hr
+)
+SELECT strftime(h, '%Y-%m-%d %H:00') AS hour,
+       max(CASE WHEN rf = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rl = 1 THEN value END) AS close,
+       count(*)::BIGINT AS n_trades,
+       sum(round(value, 6)::DECIMAL(18,6))::DOUBLE AS volume
+FROM ranked GROUP BY h ORDER BY hour
+"""
+
+
+_NEYMAN_ORACLE = """
+WITH census AS (
+  SELECT lang, count(*)::BIGINT AS n_h,
+         sum(n_chars::DECIMAL(28,0)) AS s,
+         sum(n_chars::DECIMAL(28,0) * n_chars::DECIMAL(28,0)) AS ss
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n_h,
+         n_h::DOUBLE * sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n_h::DOUBLE)
+                            / n_h::DOUBLE) AS wt
+  FROM census
+),
+t AS (SELECT lang, n_h, 100.0 * wt / sum(wt) OVER () AS target FROM w),
+f AS (
+  SELECT lang, n_h, floor(target)::BIGINT AS base,
+         target - floor(target) AS frac
+  FROM t
+),
+q AS (
+  SELECT lang,
+         base + CASE WHEN row_number() OVER (ORDER BY frac DESC, lang ASC)
+                          <= 100 - sum(base) OVER () THEN 1 ELSE 0 END AS quota
+  FROM f
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5('ney#' || doc_id::VARCHAR), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, quota FROM ranked JOIN q USING (lang)
+WHERE rk <= quota ORDER BY lang, doc_id
+"""
+
 _CHANGEPOINT_ORACLE = """
 WITH daily AS (
   SELECT l_shipdate::DATE AS d,
@@ -3986,6 +4046,8 @@ def oracle_sql() -> dict[str, str]:
         "entity_resolution_pairs": _ER_ORACLE,
         "revenue_dow_anomaly": _DOW_ANOMALY_ORACLE,
         "revenue_autocorr7": _AUTOCORR7_ORACLE,
+        "events_value_ohlc_hourly": _OHLC_ORACLE,
+        "neyman_allocation_sample": _NEYMAN_ORACLE,
         "fulltext_rm3": _RM3_ORACLE,
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),

@@ -2371,6 +2371,28 @@ FROM n{iterations} CROSS JOIN tr
 EMBEDDING_PC1 = _pc1_sql()
 
 
+
+
+# plans.pipeline.minhash_lsh_eval — candidate recall/precision of the 4x2
+# banding against the exact >=0.7 Jaccard truth (same CTE family as
+# DEDUP_MINHASH_LSH)
+MINHASH_LSH_EVAL = f"""
+WITH {TOKL},
+{SHINGLES3},
+{_minhash_ctes(bands=4, rows_per_band=2)},
+{JACCARD},
+truth AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.7),
+tp AS (SELECT t.id_a, t.id_b FROM truth t JOIN cands c USING (id_a, id_b))
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+       (SELECT count(*) FROM cands)::BIGINT AS n_candidates,
+       (SELECT count(*) FROM tp)::BIGINT AS tp,
+       round((SELECT count(*) FROM tp)::DOUBLE
+             / (SELECT count(*) FROM truth)::DOUBLE, 6) AS candidate_recall,
+       round((SELECT count(*) FROM tp)::DOUBLE
+             / (SELECT count(*) FROM cands)::DOUBLE, 6) AS candidate_precision
+"""
+
+
 PIPELINE_ORACLES: dict[str, str] = {
     "span_dedup": SPAN_DEDUP,
     "dedup_incremental": DEDUP_INCREMENTAL,
@@ -2475,4 +2497,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "ngram_containment_pairs": NGRAM_CONTAINMENT,
     "harmonic_central_docs": HARMONIC_CENTRAL_DOCS,
     "embedding_pc1_variance": EMBEDDING_PC1,
+    "minhash_lsh_eval": MINHASH_LSH_EVAL,
 }

@@ -2444,3 +2444,43 @@ def embedding_pc1_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pc1_power_iteration(emb, "vec_id", "embedding", iterations=8)
+
+
+def minhash_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-attesting sketch quality for the MinHash-LSH dedup pipeline:
+    candidate RECALL (did 4×2 banding surface every exact-Jaccard ≥ 0.7
+    pair?) and candidate PRECISION (what fraction of surfaced candidates
+    survive the exact verify — the wasted-verify workload). The verified
+    output is correct by construction (exact phase); this row is the
+    evidence the cheap phase isn't silently missing pairs — the same
+    in-plan attestation contract as the ANN recall floors and HLL bounds.
+
+    One row from three integer counts (broadcast 1-row aggregates); the
+    two ratios are single double divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, shingle_n=3
+    )
+    cands = dedup.lsh_candidates(sigs, bands=4, rows_per_band=2)
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    truth = dedup.jaccard_pairs(sh, min_jaccard=0.7).select("id_a", "id_b")
+    tp = truth.join(cands, ["id_a", "id_b"], "left_semi")
+    r_truth = truth.agg(F.count("*").alias("n_truth"))
+    r_cand = cands.agg(F.count("*").alias("n_candidates"))
+    r_tp = tp.agg(F.count("*").alias("tp"))
+    return (
+        r_truth.crossJoin(F.broadcast(r_cand))
+        .crossJoin(F.broadcast(r_tp))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "tp",
+            F.round(
+                F.col("tp").cast("double") / F.col("n_truth").cast("double"), 6
+            ).alias("candidate_recall"),
+            F.round(
+                F.col("tp").cast("double") / F.col("n_candidates").cast("double"),
+                6,
+            ).alias("candidate_precision"),
+        )
+    )

@@ -2910,3 +2910,134 @@ def revenue_autocorr7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pairs"),
         F.round(r, 6).alias("autocorr7"),
     )
+
+
+def events_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles over the purchase-value stream: open/close are
+    the first/last values by the canonical (ts, event_id) order, high/low
+    the extremes, plus count and a DECIMAL-exact volume — the time-series
+    downsampling primitive behind every candlestick/monitoring rollup.
+
+    Both rank windows and the aggregate ride ONE hour-keyed exchange
+    (row_number needs the full hour partition; the aggregate reuses it).
+    Open/close are picked by rank-1 filters — never first()/last() on an
+    unordered aggregate, which is partition-order nondeterministic."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    hr = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "ts", "event_id", "value"
+    )
+    wf = Window.partitionBy("h").orderBy(F.asc("ts"), F.asc("event_id"))
+    wl = Window.partitionBy("h").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = hr.select(
+        "h",
+        "value",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    out = ranked.groupBy("h").agg(
+        F.max(F.when(F.col("rf") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rl") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_trades"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("volume"),
+    )
+    return out.select(
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_trades",
+        "volume",
+    ).orderBy("hour")
+
+
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified draw: 100 documents allocated across
+    languages ∝ N_h·σ_h (stratum size × length standard deviation — the
+    variance-minimizing allocation for estimating mean length; Neyman
+    1934), integerized by largest-remainder, drawn per stratum by the
+    md5 hash rank the whole sampling family uses.
+
+    σ_h comes from exact integer sufficient statistics (n_chars is a
+    BIGINT), the allocation arithmetic runs on the ≤|languages| census
+    rows, and the draw is one stratum-keyed rank window — so the sample
+    is a pure deterministic function of the corpus, replayed row-for-row
+    by the oracle."""
+    total_k = 100
+    docs = load_table(spark, sf_dir, "documents")
+    census = docs.groupBy("lang").agg(
+        F.count("*").alias("n_h"),
+        F.sum(F.col("n_chars").cast("decimal(28,0)")).alias("s"),
+        F.sum(
+            F.col("n_chars").cast("decimal(28,0)")
+            * F.col("n_chars").cast("decimal(28,0)")
+        ).alias("ss"),
+    )
+    w = census.select(
+        "lang",
+        "n_h",
+        (
+            F.col("n_h").cast("double")
+            * F.sqrt(
+                (
+                    F.col("ss").cast("double")
+                    - F.col("s").cast("double")
+                    * F.col("s").cast("double")
+                    / F.col("n_h").cast("double")
+                )
+                / F.col("n_h").cast("double")
+            )
+        ).alias("wt"),
+    )
+    whole = Window.partitionBy()
+    alloc = w.select(
+        "lang",
+        "n_h",
+        (F.lit(float(total_k)) * F.col("wt") / F.sum("wt").over(whole)).alias(
+            "target"
+        ),
+    ).select(
+        "lang",
+        "n_h",
+        F.floor(F.col("target")).cast("long").alias("base"),
+        (F.col("target") - F.floor(F.col("target"))).alias("frac"),
+    )
+    alloc = alloc.select(
+        "lang",
+        "n_h",
+        "base",
+        F.row_number()
+        .over(Window.orderBy(F.desc("frac"), F.asc("lang")))
+        .alias("frac_rank"),
+        (F.lit(total_k) - F.sum("base").over(whole)).alias("n_extra"),
+    ).select(
+        "lang",
+        (
+            F.col("base")
+            + F.when(F.col("frac_rank") <= F.col("n_extra"), 1).otherwise(0)
+        ).alias("quota"),
+    )
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.concat(F.lit("ney#"), F.col("doc_id").cast("string"))),
+                F.asc("doc_id"),
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "lang")
+        .where(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang", "quota")
+        .orderBy("lang", "doc_id")
+    )

@@ -626,3 +626,30 @@ def test_autocorr_single_fact_exchange(spark):
     plan = _plan(revenue_autocorr7(spark, SF_SMALL))
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+
+
+def test_ohlc_single_hour_exchange(spark):
+    from hybrid_vector_search_spark.plans.relational import events_value_ohlc_hourly
+
+    plan = _plan(events_value_ohlc_hourly(spark, SF_SMALL))
+    # both rank windows and the aggregate ride one hour-keyed exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the purchase filter reaches the scan
+    assert "PushedFilters: [IsNotNull(event_type)" in plan, plan
+
+
+def test_neyman_quota_broadcast(spark):
+    from hybrid_vector_search_spark.plans.relational import neyman_allocation_sample
+
+    plan = _plan(neyman_allocation_sample(spark, SF_SMALL))
+    # the ~|languages|-row quota relation broadcasts onto the ranked corpus
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_minhash_eval_no_cartesian(spark):
+    from hybrid_vector_search_spark.plans.pipeline import minhash_lsh_eval
+
+    plan = _plan(minhash_lsh_eval(spark, SF_SMALL))
+    # three 1-row count aggregates compose broadcast-side
+    assert "CartesianProduct" not in plan, plan
