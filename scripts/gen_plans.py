@@ -372,6 +372,42 @@ PICKS = {
         "z-score and the |z|>3.5 cut are pure codegen projections - no second\n"
         "shuffle, no driver-side stats collection."
     ),
+    "semdedup_prune": (
+        "Semantic pruning (r9): the pair search is an equi-join on the 8-bit\n"
+        "sign bucket (inverted index, fan-out bounded per bucket - no\n"
+        "CartesianProduct anywhere); components run on the near-dup pair\n"
+        "graph only, and the label join back rides the vec_id keys."
+    ),
+    "fulltext_rm3": (
+        "RM3 expansion (r9): both passes keep the corpus-sized postings on\n"
+        "the probe side - the top-10 feedback set, the 8-term model, the\n"
+        "df and corpus stats all broadcast (BroadcastHashJoin only); the\n"
+        "whole two-pass expansion is ONE lazy plan, no driver round trip."
+    ),
+    "entity_resolution_pairs": (
+        "Record linkage (r9): two blocking passes shuffle (id, key) pairs\n"
+        "only, the candidate union is distinct-ed BEFORE the record payloads\n"
+        "join back (payloads move once per surviving pair, not per pass),\n"
+        "and the weighted compare is a map-only projection."
+    ),
+    "journey_reach_prob": (
+        "Absorbing-chain reachability (r9): the fact table reduces to the\n"
+        "localCheckpointed 25-row transition matrix ONCE - the 4-step unroll\n"
+        "shows zero parquet scans; every unroll join is broadcast-sized\n"
+        "forever, independent of event volume."
+    ),
+    "tfidf_doc_pairs": (
+        "Sparse TF-IDF cosine join (r9): the dot product IS the posting-list\n"
+        "intersection - the shuffle carries (term, id, weight) postings, the\n"
+        "df-capped kept-terms relation broadcasts, and the pair fan-out is\n"
+        "bounded per term by the max-df stop cap."
+    ),
+    "events_value_ohlc_hourly": (
+        "OHLC candles (r9): both rank windows (open/close pick) and the\n"
+        "high/low/volume aggregate ride ONE hour-keyed exchange; open/close\n"
+        "come from rank-1 filters over the canonical (ts, event_id) order,\n"
+        "never an unordered first()/last()."
+    ),
 }
 
 
