@@ -1899,12 +1899,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test_ab": relational.ks_test_ab,
         "bounce_rate_daily": relational.bounce_rate_daily,
         "image_phash_neardup": pipeline.image_phash_neardup,
-        "semdedup_prune": pipeline.semdedup_prune,
+        "semdedup_prune": _memo("semdedup_prune", pipeline.semdedup_prune),
         "embedding_mahalanobis_outliers": pipeline.embedding_mahalanobis_outliers,
         "ngram_novelty_scores": pipeline.ngram_novelty_scores,
         "revenue_changepoint": relational.revenue_changepoint,
         "journey_reach_prob": relational.journey_reach_prob,
-        "katz_central_docs": pipeline.katz_central_docs,
+        "katz_central_docs": _memo("katz_central_docs", pipeline.katz_central_docs),
         "flesch_reading_ease": pipeline.flesch_reading_ease,
         "user_active_streaks": relational.user_active_streaks,
         "customer_balance_gini": relational.customer_balance_gini,
