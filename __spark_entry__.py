@@ -1922,6 +1922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_eval": pipeline.minhash_lsh_eval,
         "events_value_ohlc_hourly": relational.events_value_ohlc_hourly,
         "neyman_allocation_sample": relational.neyman_allocation_sample,
+        "kaplan_meier_conversion": relational.kaplan_meier_conversion,
+        "graph_assortativity": relational.graph_assortativity,
+        "dedup_token_savings": pipeline.dedup_token_savings,
         "embed_roundtrip": q_embed_roundtrip,
         "sink_roundtrip": q_sink_roundtrip,
         "char_entropy_score": pipeline.char_entropy_score,
@@ -3911,6 +3914,76 @@ SELECT doc_id, lang, quota FROM ranked JOIN q USING (lang)
 WHERE rk <= quota ORDER BY lang, doc_id
 """
 
+_KM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, min(ts) AS t0, max(ts) AS tl,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+  FROM events GROUP BY user_id
+),
+spans AS (
+  SELECT CASE WHEN user_id % 5 = 0
+              THEN floor(date_diff('day', t0::DATE, tl::DATE) / 2)::INT
+              ELSE date_diff('day', t0::DATE, tp::DATE) END AS t,
+         (user_id % 5 = 0) AS censored
+  FROM per_user
+),
+risk AS (
+  SELECT t, count(*) AS n_t,
+         sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d
+  FROM spans GROUP BY t
+),
+curve AS (
+  SELECT t, d::BIGINT AS n_events,
+         (sum(n_t) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING))::BIGINT AS n_at_risk
+  FROM risk
+),
+flagged AS (
+  SELECT t, n_at_risk, n_events,
+         (CASE WHEN n_events < n_at_risk
+               THEN round(ln(1.0 - n_events::DOUBLE / n_at_risk::DOUBLE), 12)
+               ELSE 0.0 END)::DECIMAL(38,12) AS lnf,
+         CASE WHEN n_events >= n_at_risk THEN 1 ELSE 0 END AS dead
+  FROM curve
+)
+SELECT t, n_at_risk, n_events,
+       CASE WHEN max(dead) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) = 1
+            THEN 0.0
+            ELSE round(exp((sum(lnf) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW))::DOUBLE), 6) END
+         AS survival
+FROM flagged WHERE n_events > 0 ORDER BY t
+"""
+
+
+
+_ASSORT_ORACLE = """
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+und AS (SELECT pa AS u, pb AS v FROM pairs UNION ALL SELECT pb, pa FROM pairs),
+deg AS (SELECT u, count(*)::BIGINT AS x FROM und GROUP BY u),
+p2 AS (
+  SELECT a.x, b.x AS y FROM und e
+  JOIN deg a ON a.u = e.u
+  JOIN deg b ON b.u = e.v
+),
+s AS (
+  SELECT count(*)::DOUBLE AS m, sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+         sum(x * x)::DOUBLE AS sxx, sum(x * y)::DOUBLE AS sxy,
+         sum(y * y)::DOUBLE AS syy
+  FROM p2
+)
+SELECT m::BIGINT AS n_edge_ends,
+       round((m * sxy - sx * sy)
+             / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 6)
+         AS assortativity
+FROM s
+"""
+
 _CHANGEPOINT_ORACLE = """
 WITH daily AS (
   SELECT l_shipdate::DATE AS d,
@@ -4048,6 +4121,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_autocorr7": _AUTOCORR7_ORACLE,
         "events_value_ohlc_hourly": _OHLC_ORACLE,
         "neyman_allocation_sample": _NEYMAN_ORACLE,
+        "kaplan_meier_conversion": _KM_ORACLE,
+        "graph_assortativity": _ASSORT_ORACLE,
         "fulltext_rm3": _RM3_ORACLE,
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),

@@ -2393,6 +2393,54 @@ SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
 """
 
 
+
+
+# plans.pipeline.dedup_token_savings — the canonical-election closure
+# (DEDUP_CANONICAL's CTEs) composed with per-source token accounting
+DEDUP_TOKEN_SAVINGS = f"""
+WITH RECURSIVE {TOKL},
+{SHINGLES3},
+{JACCARD},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5
+  UNION
+  SELECT id_b AS a, id_a AS b FROM jac WHERE jaccard >= 0.5
+),
+reach(n, m) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+),
+comp AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n),
+clustered AS (
+  SELECT c.node, c.component, d.n_chars FROM comp c
+  JOIN documents d ON d.doc_id = c.node
+),
+canon AS (
+  SELECT component, node AS canon_id FROM (
+    SELECT component, node,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, node ASC) AS rn
+    FROM clustered) WHERE rn = 1
+),
+lab AS (SELECT cl.node, ca.canon_id FROM clustered cl JOIN canon ca USING (component)),
+kept AS (
+  SELECT d.doc_id, d.source,
+         (coalesce(l.canon_id, d.doc_id) = d.doc_id) AS is_kept,
+         len(t.ts)::BIGINT AS n_tok
+  FROM documents d
+  LEFT JOIN lab l ON l.node = d.doc_id
+  JOIN tokl t ON t.doc_id = d.doc_id
+)
+SELECT source,
+       sum(n_tok)::BIGINT AS total_tokens,
+       sum(CASE WHEN is_kept THEN n_tok ELSE 0 END)::BIGINT AS kept_tokens,
+       round(1.0 - sum(CASE WHEN is_kept THEN n_tok ELSE 0 END)::DOUBLE
+             / sum(n_tok)::DOUBLE, 6) AS savings_frac
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
 PIPELINE_ORACLES: dict[str, str] = {
     "span_dedup": SPAN_DEDUP,
     "dedup_incremental": DEDUP_INCREMENTAL,
@@ -2498,4 +2546,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "harmonic_central_docs": HARMONIC_CENTRAL_DOCS,
     "embedding_pc1_variance": EMBEDDING_PC1,
     "minhash_lsh_eval": MINHASH_LSH_EVAL,
+    "dedup_token_savings": DEDUP_TOKEN_SAVINGS,
 }

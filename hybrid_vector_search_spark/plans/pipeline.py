@@ -2484,3 +2484,46 @@ def minhash_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("candidate_precision"),
         )
     )
+
+
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-budget accounting for the dedup pass: per source, total
+    tokens vs tokens surviving canonical election (the ≥0.5-Jaccard
+    component graph, longest-doc-wins — dedup_canonical's exact pipeline),
+    and the savings fraction — the number a data lead actually asks for
+    ("what does dedup buy us, per source?").
+
+    Composes the shared closure machinery with one token-count aggregate;
+    the join back to docs rides doc_id keys, sources roll up to ≤|sources|
+    rows. Counts are integers; the fraction is one double division."""
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5)
+    labeled = dedup.canonicalize(docs, pairs, "doc_id", length_col="n_chars")
+    toks = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tok")
+    )
+    j = toks.join(labeled.select("doc_id", "is_kept"), "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("is_kept"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "kept_tokens",
+            F.round(
+                F.lit(1.0)
+                - F.col("kept_tokens").cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("savings_frac"),
+        )
+        .orderBy("source")
+    )

@@ -653,3 +653,28 @@ def test_minhash_eval_no_cartesian(spark):
     plan = _plan(minhash_lsh_eval(spark, SF_SMALL))
     # three 1-row count aggregates compose broadcast-side
     assert "CartesianProduct" not in plan, plan
+
+
+def test_km_windows_ride_tiny_spine(spark):
+    from hybrid_vector_search_spark.plans.relational import kaplan_meier_conversion
+
+    plan = _plan(kaplan_meier_conversion(spark, SF_SMALL))
+    # fact reduces to a per-user row in one exchange; every survival window
+    # runs on the <=|distinct latencies| risk table
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_assortativity_degree_broadcast(spark):
+    from hybrid_vector_search_spark.plans.relational import graph_assortativity
+
+    plan = _plan(graph_assortativity(spark, SF_SMALL))
+    # the only self-join is within l_orderkey; degree relations broadcast
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_token_savings_no_cartesian(spark):
+    from hybrid_vector_search_spark.plans.pipeline import dedup_token_savings
+
+    plan = _plan(dedup_token_savings(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
