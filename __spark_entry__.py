@@ -964,6 +964,59 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming twin of events_value_ohlc_hourly: candles are a
+    MERGEABLE aggregate (open/close carry (ts, id) witness keys), so each
+    time-ordered file folds in as one candle-sized merge and the
+    maintained state equals the batch recount for any batching — same
+    oracle as the batch query."""
+    import shutil
+    import tempfile
+
+    from hybrid_vector_search_spark.streaming.sketch import (
+        ohlc_from_state,
+        stream_ohlc,
+    )
+
+    src_dir = _staged_time_ordered_events_with_value(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="stream_ohlc_", dir=_session_tmpdir())
+    with _stream_shuffle(spark):
+        q = stream_ohlc(
+            spark, src_dir,
+            state_dir=f"{workdir}/state", checkpoint_path=f"{workdir}/ckpt",
+            max_files_per_trigger=1,
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
+    out = ohlc_from_state(spark, f"{workdir}/state")
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
+def _staged_time_ordered_events_with_value(spark: SparkSession, sf_dir: str) -> str:
+    """Same three-file time-ordered staging as _staged_time_ordered_events
+    but carrying the value column (the OHLC stream folds values)."""
+    src = _STREAM_SRC_CACHE.get(("events3v", sf_dir))
+    if src is None:
+        safe = sf_dir.strip("/").replace("/", "_")
+        src = f"{_session_tmpdir()}/stream_events3v/{safe}"
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        )
+        cuts = ev.agg(
+            F.percentile_approx("ts", F.array(F.lit(0.33), F.lit(0.66)), 10_000).alias("c")
+        ).collect()[0]["c"]
+        ev.where(F.col("ts") <= cuts[0]).coalesce(1).write.mode("overwrite").parquet(src)
+        ev.where((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])).coalesce(1).write.mode("append").parquet(src)
+        ev.where(F.col("ts") > cuts[1]).coalesce(1).write.mode("append").parquet(src)
+        _STREAM_SRC_CACHE[("events3v", sf_dir)] = src
+    return src
+
+
 def q_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming twin of events_markov_transitions: events staged
     as three TIME-ORDERED files (the append-log contract) and folded one
@@ -1925,6 +1978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier_conversion": relational.kaplan_meier_conversion,
         "graph_assortativity": relational.graph_assortativity,
         "dedup_token_savings": pipeline.dedup_token_savings,
+        "stream_ohlc_hourly": _memo("stream_ohlc_hourly", q_stream_ohlc),
+        "conversion_wilson_bounds": relational.conversion_wilson_bounds,
+        "ucb1_arm_scores": relational.ucb1_arm_scores,
         "embed_roundtrip": q_embed_roundtrip,
         "sink_roundtrip": q_sink_roundtrip,
         "char_entropy_score": pipeline.char_entropy_score,
@@ -3984,6 +4040,49 @@ SELECT m::BIGINT AS n_edge_ends,
 FROM s
 """
 
+_WILSON_ORACLE = """
+WITH daily AS (
+  SELECT ts::DATE AS d, count(*)::BIGINT AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS k
+  FROM events GROUP BY 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, n AS n_events, k AS n_purchases,
+       round(k::DOUBLE / n::DOUBLE, 6) AS rate,
+       round((k::DOUBLE / n::DOUBLE + 1.96 * 1.96 / (2.0 * n::DOUBLE))
+             / (1.0 + 1.96 * 1.96 / n::DOUBLE)
+             - 1.96 * sqrt(k::DOUBLE / n::DOUBLE * (1.0 - k::DOUBLE / n::DOUBLE)
+                           / n::DOUBLE
+                           + 1.96 * 1.96 / (4.0 * n::DOUBLE * n::DOUBLE))
+               / (1.0 + 1.96 * 1.96 / n::DOUBLE), 6) AS wilson_lo,
+       round((k::DOUBLE / n::DOUBLE + 1.96 * 1.96 / (2.0 * n::DOUBLE))
+             / (1.0 + 1.96 * 1.96 / n::DOUBLE)
+             + 1.96 * sqrt(k::DOUBLE / n::DOUBLE * (1.0 - k::DOUBLE / n::DOUBLE)
+                           / n::DOUBLE
+                           + 1.96 * 1.96 / (4.0 * n::DOUBLE * n::DOUBLE))
+               / (1.0 + 1.96 * 1.96 / n::DOUBLE), 6) AS wilson_hi
+FROM daily ORDER BY day
+"""
+
+
+_UCB1_ORACLE = """
+WITH arms AS (
+  SELECT event_type AS arm, count(*)::BIGINT AS n,
+         sum(round(value, 6)::DECIMAL(18,6)) AS s
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(n)::BIGINT AS n_total FROM arms),
+scored AS (
+  SELECT arm, n AS n_pulls,
+         round(s::DOUBLE / n::DOUBLE, 6) AS mean_reward,
+         round(s::DOUBLE / n::DOUBLE
+               + sqrt(2.0 * ln(n_total::DOUBLE) / n::DOUBLE), 6) AS ucb1
+  FROM arms CROSS JOIN tot
+)
+SELECT arm, n_pulls, mean_reward, ucb1,
+       (row_number() OVER (ORDER BY ucb1 DESC, arm ASC) = 1) AS chosen
+FROM scored ORDER BY arm
+"""
+
 _CHANGEPOINT_ORACLE = """
 WITH daily AS (
   SELECT l_shipdate::DATE AS d,
@@ -4123,6 +4222,10 @@ def oracle_sql() -> dict[str, str]:
         "neyman_allocation_sample": _NEYMAN_ORACLE,
         "kaplan_meier_conversion": _KM_ORACLE,
         "graph_assortativity": _ASSORT_ORACLE,
+        # maintained candles must equal the batch recount — same oracle
+        "stream_ohlc_hourly": _OHLC_ORACLE,
+        "conversion_wilson_bounds": _WILSON_ORACLE,
+        "ucb1_arm_scores": _UCB1_ORACLE,
         "fulltext_rm3": _RM3_ORACLE,
         "hybrid_fusion_details": _HYBRID_DETAILS_ORACLE,
         "knn_cosine": _KNN_ORACLE.format(score_expr=_COS, where="e.vec_id <> 0"),

@@ -3173,3 +3173,75 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("long").alias("n_edge_ends"),
         F.round(r, 6).alias("assortativity"),
     )
+
+
+def conversion_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase-rate with Wilson 95% score intervals (Wilson 1927) —
+    the uncertainty-aware rate a dashboard should show instead of raw k/n
+    (which ranks a 1/1 day above a 99/100 day). Lower bound is the
+    standard ranking key for small-sample rates.
+
+    Counts are integers from one day-keyed aggregate; center/half-width
+    are fixed-shape double expressions over them (z = 1.96), identical in
+    both engines, rounded once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "k"
+        ),
+    )
+    z = F.lit(1.96)
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    denom = F.lit(1.0) + z * z / n
+    center = (p + z * z / (F.lit(2.0) * n)) / denom
+    half = (
+        z
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z * z / (F.lit(4.0) * n * n))
+        / denom
+    )
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n_events"),
+        F.col("k").cast("long").alias("n_purchases"),
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    ).orderBy("day")
+
+
+def ucb1_arm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit scores per arm (Auer et al. 2002), arms = event types,
+    reward = event value: mean + sqrt(2·ln N / n) — the
+    optimism-under-uncertainty index that decides which variant an
+    adaptive allocator pulls next. `chosen` flags the argmax.
+
+    Means come from 6-dp-quantized DECIMAL value sums (order-proof); N is
+    a broadcast 1-row total; the index is one fixed double expression;
+    the argmax ranks on the ROUNDED score with the arm name as tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).alias("s"),
+    )
+    tot = arms.agg(F.sum("n").alias("n_total"))
+    j = arms.crossJoin(F.broadcast(tot))
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    ucb = mean + F.sqrt(
+        F.lit(2.0) * F.log(F.col("n_total").cast("double")) / F.col("n").cast("double")
+    )
+    scored = j.select(
+        F.col("event_type").alias("arm"),
+        F.col("n").cast("long").alias("n_pulls"),
+        F.round(mean, 6).alias("mean_reward"),
+        F.round(ucb, 6).alias("ucb1"),
+    )
+    w = Window.orderBy(F.desc("ucb1"), F.asc("arm"))
+    return scored.select(
+        "arm",
+        "n_pulls",
+        "mean_reward",
+        "ucb1",
+        (F.row_number().over(w) == 1).alias("chosen"),
+    ).orderBy("arm")

@@ -774,3 +774,109 @@ def funnel_from_state(
         .orderBy("stage_idx")
         .localCheckpoint(eager=True)
     )
+
+
+def stream_ohlc(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_path: str,
+    *,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    max_files_per_trigger: int | None = None,
+    commit_mode: str = "rename",
+):
+    """Incrementally-maintained hourly OHLC candles over the purchase
+    stream — the stateful twin of relational.events_value_ohlc_hourly.
+    Candles are a textbook MERGEABLE aggregate: open/close carry their
+    (ts, id) witness keys so the merge picks the earlier/later witness
+    exactly (never first() on arrival order), high/low/count are plain
+    extremes, volume is the same 6-dp-quantized DECIMAL sum as the batch
+    query. State is O(hours) — one candle row per bucket — and each batch
+    folds in as one candle-sized merge, so stream ≡ batch recount for ANY
+    batching with no arrival-order assumption at all (unlike the frontier
+    states, order-insensitivity is free here: min/max witnesses commute)."""
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    ckpt_id = os.path.abspath(checkpoint_path)
+
+    def _candles(rows: DataFrame) -> DataFrame:
+        hr = rows.select(
+            F.date_trunc("hour", F.col(ts_col)).alias("h"),
+            F.col(ts_col).alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(value_col).alias("v"),
+        )
+        return hr.groupBy("h").agg(
+            F.min(F.struct("t", "i", "v")).alias("o"),
+            F.max(F.struct("t", "i", "v")).alias("c"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.count("*").cast("long").alias("n_trades"),
+            F.sum(F.round(F.col("v"), 6).cast("decimal(18,6)")).alias("vol_dec"),
+        )
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        current = _resolve_current(state_dir, commit_mode)
+        if _epoch_skip(current, ckpt_id, epoch_id, state_dir):
+            return
+        sess = batch_df.sparkSession
+        b = _candles(
+            batch_df.where(F.col(type_col) == "purchase").localCheckpoint(eager=True)
+        )
+        state_path = os.path.join(current, "candles")
+        parts = [b]
+        if os.path.exists(state_path):
+            parts.append(sess.read.parquet(state_path))
+        merged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        new_state = merged.groupBy("h").agg(
+            F.min("o").alias("o"),
+            F.max("c").alias("c"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.sum("n_trades").cast("long").alias("n_trades"),
+            F.sum("vol_dec").alias("vol_dec"),
+        ).localCheckpoint(eager=True)
+        meta = {"epoch": epoch_id, "checkpoint": ckpt_id}
+
+        def write(target: str) -> None:
+            new_state.write.mode("overwrite").parquet(
+                os.path.join(target, "candles")
+            )
+
+        _commit_version(state_dir, commit_mode, meta, write)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ohlc_from_state(
+    spark: SparkSession, state_dir: str, *, commit_mode: str = "rename"
+) -> DataFrame:
+    """The maintained candles in the batch query's exact output contract."""
+    current = _resolve_current(state_dir, commit_mode)
+    st = spark.read.parquet(os.path.join(current, "candles"))
+    return (
+        st.select(
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            F.col("o")["v"].alias("open"),
+            "high",
+            "low",
+            F.col("c")["v"].alias("close"),
+            "n_trades",
+            F.col("vol_dec").cast("double").alias("volume"),
+        )
+        .orderBy("hour")
+        .localCheckpoint(eager=True)
+    )

@@ -678,3 +678,17 @@ def test_token_savings_no_cartesian(spark):
 
     plan = _plan(dedup_token_savings(spark, SF_SMALL))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_wilson_single_day_exchange(spark):
+    from hybrid_vector_search_spark.plans.relational import conversion_wilson_bounds
+
+    plan = _plan(conversion_wilson_bounds(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_ucb_totals_broadcast(spark):
+    from hybrid_vector_search_spark.plans.relational import ucb1_arm_scores
+
+    plan = _plan(ucb1_arm_scores(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan

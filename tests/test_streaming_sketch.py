@@ -604,3 +604,84 @@ def test_stream_funnel_cross_batch_journey(spark, tmp_path):
         for r in funnel_from_state(spark, str(tmp_path / "state")).collect()
     }
     assert got == {"view": 2, "click": 1, "purchase": 1}
+
+
+def test_stream_ohlc_equals_declared_batch_query(spark, tmp_path):
+    """Maintained candles ≡ relational.events_value_ohlc_hourly over the
+    time-ordered three-file split."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.plans.relational import (
+        events_value_ohlc_hourly,
+    )
+    from hybrid_vector_search_spark.sources import load_table
+    from hybrid_vector_search_spark.streaming.sketch import (
+        ohlc_from_state,
+        stream_ohlc,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    cuts = ev.agg(
+        F.percentile_approx("ts", F.array(F.lit(0.33), F.lit(0.66)), 10_000)
+        .alias("c")
+    ).collect()[0]["c"]
+    src = str(tmp_path / "src")
+    ev.where(F.col("ts") <= cuts[0]).coalesce(1).write.mode("overwrite").parquet(src)
+    ev.where((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("ts") > cuts[1]).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_ohlc(
+        spark, src, state_dir=str(tmp_path / "state"),
+        checkpoint_path=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    cols = ["hour", "open", "high", "low", "close", "n_trades", "volume"]
+    got = [tuple(r[c] for c in cols)
+           for r in ohlc_from_state(spark, str(tmp_path / "state")).collect()]
+    want = [tuple(r[c] for c in cols)
+            for r in events_value_ohlc_hourly(spark, sf_dir).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_stream_ohlc_is_batching_order_insensitive(spark, tmp_path):
+    """Candles merge by (ts, id) witnesses, so even a NON-time-ordered
+    delivery (files split by user hash, not time) folds to the same state
+    — the property the frontier-based streams cannot offer."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.plans.relational import (
+        events_value_ohlc_hourly,
+    )
+    from hybrid_vector_search_spark.sources import load_table
+    from hybrid_vector_search_spark.streaming.sketch import (
+        ohlc_from_state,
+        stream_ohlc,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.where(F.col("user_id") % 3 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    ev.where(F.col("user_id") % 3 == 1).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("user_id") % 3 == 2).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_ohlc(
+        spark, src, state_dir=str(tmp_path / "state"),
+        checkpoint_path=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    cols = ["hour", "open", "high", "low", "close", "n_trades", "volume"]
+    got = [tuple(r[c] for c in cols)
+           for r in ohlc_from_state(spark, str(tmp_path / "state")).collect()]
+    want = [tuple(r[c] for c in cols)
+            for r in events_value_ohlc_hourly(spark, sf_dir).collect()]
+    assert got == want
