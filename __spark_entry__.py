@@ -1878,72 +1878,19 @@ def q_hybrid_fusion_details(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is the driver's correctness-check priority: the driver
-    verifies a prefix window (~50). Round-9 layout retires the remaining
-    evidence debt per the r8 verdict: (1) the 14 queries added in r8 that
-    have NEVER been driver-checked (local oracle parity is green, but the
-    driver's DuckDB gate is the hard signal); (2) 36 of the 41 queries
-    whose latest green driver row is r5 — after this window no declared
-    query's driver evidence predates r6. Position 51+ stages r10: first
-    the 5 parked r5 queries (see ROTATION.md), then every r6/r7 query
-    whose code paths r9 touches (IVF determinism fix, session-builder
-    refactor, approx_topk clamp, analysis caching), then untouched r6/r7,
-    then the 50 r8-fresh queries CORRECTNESS_r08 just verified — freshest
-    evidence last. Every declared query has an oracle_sql() twin."""
+    verifies a prefix window (~50). Round-10 layout (per ROTATION.md,
+    staged in r9): positions 1-37 are the 37 queries added in r9 that have
+    NEVER been driver-checked (local oracle parity is green, but the
+    driver's DuckDB gate is the hard signal); 38-42 the five parked
+    r5-stale queries (retiring the last pre-r6 evidence); 43-50 the
+    r6/r7-verified queries whose code paths r9 touched (IVF determinism
+    fix, session-builder refactor, approx_topk clamp, streaming-source and
+    fixpoint analysis caches). Positions 51+ stage r11: the two remaining
+    r9-touched shared-closure rows first, then everything else
+    freshest-evidence-last. Every declared query has an oracle_sql()
+    twin."""
     return {
-        # --- (1) NEW in r8, never driver-checked (14)
-        "bson_roundtrip": q_bson_roundtrip,
-        "unicode_token_stats": pipeline.unicode_token_stats,
-        "quality_curriculum": pipeline.quality_curriculum,
-        "copurchase_lift": relational.copurchase_lift,
-        "attribution_first_last": relational.attribution_first_last,
-        "mmr_rerank": q_mmr_rerank,
-        "dedup_kcore": _memo("dedup_kcore", pipeline.dedup_kcore),
-        "events_retention": relational.events_retention,
-        "events_markov_transitions": relational.events_markov_transitions,
-        "session_path_topk": relational.session_path_topk,
-        "stream_markov_transitions": _memo("stream_markov_transitions", q_stream_markov),
-        "ann_ivfpq_euclid_topk": q_ann_ivfpq_euclid_topk,
-        "lineitem_correlations": relational.lineitem_correlations,
-        "nation_revenue_pareto": relational.nation_revenue_pareto,
-        # --- (2) r5-stale (36 of 41; the other 5 are staged first for r10)
-        "dedup_canonical": _memo("dedup_canonical", pipeline.dedup_canonical),
-        "hybrid_fusion_details": q_hybrid_fusion_details,
-        "user_purge_counts": pipeline.user_purge_counts,
-        "url_domain_stats": pipeline.url_domain_stats,
-        "data_quality_report": relational.data_quality_report,
-        "distinct_values": q_distinct_values,
-        "heavy_hitters_cm": q_heavy_hitters_cm,
-        "dedup_embedding_ivf": pipeline.dedup_embedding_ivf,
-        "stream_heavy_hitters": _memo("stream_heavy_hitters", q_stream_heavy_hitters),
-        "multimodal_resize_stats": pipeline.multimodal_resize_stats,
-        "seq_pack": pipeline.seq_pack,
-        "source_cap": pipeline.source_cap,
-        "nb_language_classifier": pipeline.nb_language_classifier,
-        "frame_sample": pipeline.frame_sample,
-        "skew_salted_agg": pipeline.skew_salted_agg,
-        "zorder_bucket_counts": pipeline.zorder_bucket_counts,
-        "dedup_incremental": pipeline.dedup_incremental,
-        "span_dedup": pipeline.span_dedup,
-        "lang_temperature_mix": pipeline.lang_temperature_mix,
-        "bpe_token_stats": pipeline.bpe_token_stats,
-        "stream_sessionize": _memo("stream_sessionize", q_stream_sessionize),
-        "stream_view_click_join": _memo("stream_view_click_join", q_stream_view_click_join),
-        "stream_dedup_events": _memo("stream_dedup_events", q_stream_dedup_events),
-        "events_funnel": relational.events_funnel,
-        "revenue_rollup": relational.revenue_rollup,
-        "decontaminate_bloom": pipeline.decontaminate_bloom,
-        "source_minhash_similarity": pipeline.source_minhash_similarity,
-        "winsorized_value_stats": relational.winsorized_value_stats,
-        "embedding_centroid_outliers": pipeline.embedding_centroid_outliers,
-        "sorted_neighborhood_dedup": pipeline.sorted_neighborhood_dedup,
-        "stratified_sample_exact_k": pipeline.stratified_sample_exact_k,
-        "oov_rate_stats": pipeline.oov_rate_stats,
-        "corpus_clean_funnel": pipeline.corpus_clean_funnel,
-        "events_sliding_rate": q_events_sliding_rate,
-        "embedding_drift": pipeline.embedding_drift,
-        "heavy_hitters": q_heavy_hitters,
-        # --- (3) staged for the r10 window: first the 4 NEW in r9
-        # (never driver-checked), then the 5 parked r5 queries...
+        # --- r10 window, positions 1-37: the 37 queries ADDED in r9, never driver-checked
         "rfm_segments": relational.rfm_segments,
         "time_to_convert": relational.time_to_convert,
         "wau_mau_stickiness": relational.wau_mau_stickiness,
@@ -1981,12 +1928,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ohlc_hourly": _memo("stream_ohlc_hourly", q_stream_ohlc),
         "conversion_wilson_bounds": relational.conversion_wilson_bounds,
         "ucb1_arm_scores": relational.ucb1_arm_scores,
+        # --- positions 38-42: the 5 parked r5-stale queries (retire the last r5 evidence)
         "embed_roundtrip": q_embed_roundtrip,
         "sink_roundtrip": q_sink_roundtrip,
         "char_entropy_score": pipeline.char_entropy_score,
         "embedding_sign_buckets": pipeline.embedding_sign_buckets,
         "dedup_simhash_pairs": pipeline.dedup_simhash_pairs,
-        # ...then r6/r7 queries whose code paths r9 touches
+        # --- positions 43-50: r6/r7 queries whose code paths r9 touched
         "events_sessionize": q_events_sessionize,
         "approx_topk_users": relational.approx_topk_users,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1995,9 +1943,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ivm_revenue": _memo("stream_ivm_revenue", q_stream_ivm_revenue),
         "ppr_top_docs": _memo("ppr_top_docs", pipeline.ppr_top_docs),
         "pagerank_top_docs": _memo("pagerank_top_docs", pipeline.pagerank_top_docs),
+        # --- staged for the r11 window: remaining r9-touched rows, then r9-fresh
         "dedup_canonical_shared": pipeline.dedup_canonical_shared,
         "dedup_cluster_sizes_shared": pipeline.dedup_cluster_sizes_shared,
-        # --- (4) r6-verified
+        # --- r9-verified (CORRECTNESS_r09 green), oldest-first
+        "bson_roundtrip": q_bson_roundtrip,
+        "unicode_token_stats": pipeline.unicode_token_stats,
+        "quality_curriculum": pipeline.quality_curriculum,
+        "copurchase_lift": relational.copurchase_lift,
+        "attribution_first_last": relational.attribution_first_last,
+        "mmr_rerank": q_mmr_rerank,
+        "dedup_kcore": _memo("dedup_kcore", pipeline.dedup_kcore),
+        "events_retention": relational.events_retention,
+        "events_markov_transitions": relational.events_markov_transitions,
+        "session_path_topk": relational.session_path_topk,
+        "stream_markov_transitions": _memo("stream_markov_transitions", q_stream_markov),
+        "ann_ivfpq_euclid_topk": q_ann_ivfpq_euclid_topk,
+        "lineitem_correlations": relational.lineitem_correlations,
+        "nation_revenue_pareto": relational.nation_revenue_pareto,
+        "dedup_canonical": _memo("dedup_canonical", pipeline.dedup_canonical),
+        "hybrid_fusion_details": q_hybrid_fusion_details,
+        "user_purge_counts": pipeline.user_purge_counts,
+        "url_domain_stats": pipeline.url_domain_stats,
+        "data_quality_report": relational.data_quality_report,
+        "distinct_values": q_distinct_values,
+        "heavy_hitters_cm": q_heavy_hitters_cm,
+        "dedup_embedding_ivf": pipeline.dedup_embedding_ivf,
+        "stream_heavy_hitters": _memo("stream_heavy_hitters", q_stream_heavy_hitters),
+        "multimodal_resize_stats": pipeline.multimodal_resize_stats,
+        "seq_pack": pipeline.seq_pack,
+        "source_cap": pipeline.source_cap,
+        "nb_language_classifier": pipeline.nb_language_classifier,
+        "frame_sample": pipeline.frame_sample,
+        "skew_salted_agg": pipeline.skew_salted_agg,
+        "zorder_bucket_counts": pipeline.zorder_bucket_counts,
+        "dedup_incremental": pipeline.dedup_incremental,
+        "span_dedup": pipeline.span_dedup,
+        "lang_temperature_mix": pipeline.lang_temperature_mix,
+        "bpe_token_stats": pipeline.bpe_token_stats,
+        "stream_sessionize": _memo("stream_sessionize", q_stream_sessionize),
+        "stream_view_click_join": _memo("stream_view_click_join", q_stream_view_click_join),
+        "stream_dedup_events": _memo("stream_dedup_events", q_stream_dedup_events),
+        "events_funnel": relational.events_funnel,
+        "revenue_rollup": relational.revenue_rollup,
+        "decontaminate_bloom": pipeline.decontaminate_bloom,
+        "source_minhash_similarity": pipeline.source_minhash_similarity,
+        "winsorized_value_stats": relational.winsorized_value_stats,
+        "embedding_centroid_outliers": pipeline.embedding_centroid_outliers,
+        "sorted_neighborhood_dedup": pipeline.sorted_neighborhood_dedup,
+        "stratified_sample_exact_k": pipeline.stratified_sample_exact_k,
+        "oov_rate_stats": pipeline.oov_rate_stats,
+        "corpus_clean_funnel": pipeline.corpus_clean_funnel,
+        "events_sliding_rate": q_events_sliding_rate,
+        "embedding_drift": pipeline.embedding_drift,
+        "heavy_hitters": q_heavy_hitters,
         "hybrid_rank_fusion": q_hybrid_rank_fusion,
         "cube_revenue": relational.cube_revenue,
         "revenue_calendar_fill": relational.revenue_calendar_fill,
@@ -2042,7 +2041,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_anomaly": relational.events_rate_anomaly,
         "dedup_cluster_sizes": _memo("dedup_cluster_sizes", pipeline.dedup_cluster_sizes),
         "token_fertility_by_lang": pipeline.token_fertility_by_lang,
-        # --- (6) r7-verified, freshest, so last
         "orders_profile": q_orders_profile,
         "profit_by_nation_year": relational.profit_by_nation_year,
         "excess_quantity_suppliers": relational.excess_quantity_suppliers,
@@ -2083,7 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_dot": q_knn_dot,
         "knn_euclidean": q_knn_euclidean,
         "knn_takeordered": q_knn_takeordered,
-        "knn_cosine_prefilter": q_knn_cosine_prefilter,        # --- (6) r8-fresh: the 50 queries CORRECTNESS_r08 just verified
+        "knn_cosine_prefilter": q_knn_cosine_prefilter,
         "knn_limit_clamped": q_knn_limit_clamped,
         "cli_range_bounds": q_cli_range_bounds,
         "hybrid_fusion": q_hybrid_fusion,
@@ -2133,7 +2131,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_manifest": pipeline.training_manifest,
         "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
         "phrase_match": pipeline.phrase_match,
-
     }
 
 
