@@ -1941,18 +1941,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "stream_daily_distinct": _memo("stream_daily_distinct", q_stream_daily_distinct),
         "stream_ivm_revenue": _memo("stream_ivm_revenue", q_stream_ivm_revenue),
+        "mmr_rerank": q_mmr_rerank,
+        "bson_roundtrip": q_bson_roundtrip,
+        # --- staged for the r11 window: remaining r9-touched rows, then r9-fresh
         "ppr_top_docs": _memo("ppr_top_docs", pipeline.ppr_top_docs),
         "pagerank_top_docs": _memo("pagerank_top_docs", pipeline.pagerank_top_docs),
-        # --- staged for the r11 window: remaining r9-touched rows, then r9-fresh
         "dedup_canonical_shared": pipeline.dedup_canonical_shared,
         "dedup_cluster_sizes_shared": pipeline.dedup_cluster_sizes_shared,
         # --- r9-verified (CORRECTNESS_r09 green), oldest-first
-        "bson_roundtrip": q_bson_roundtrip,
         "unicode_token_stats": pipeline.unicode_token_stats,
         "quality_curriculum": pipeline.quality_curriculum,
         "copurchase_lift": relational.copurchase_lift,
         "attribution_first_last": relational.attribution_first_last,
-        "mmr_rerank": q_mmr_rerank,
         "dedup_kcore": _memo("dedup_kcore", pipeline.dedup_kcore),
         "events_retention": relational.events_retention,
         "events_markov_transitions": relational.events_markov_transitions,
@@ -3823,18 +3823,33 @@ dup AS (
 recs AS MATERIALIZED (
   SELECT * FROM base UNION ALL SELECT * FROM dup
 ),
+ranked AS MATERIALIZED (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY c_nationkey, floor(c_acctbal / 100.0)
+           ORDER BY c_acctbal, c_custkey
+         ) - 1 AS rn
+  FROM recs
+),
 cand AS MATERIALIZED (
   SELECT DISTINCT id_a, id_b FROM (
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
     FROM recs a JOIN recs b
-      ON a.c_nationkey = b.c_nationkey
-     AND a.c_mktsegment = b.c_mktsegment
+      ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
      AND a.c_custkey < b.c_custkey
     UNION ALL
     SELECT a.c_custkey, b.c_custkey
-    FROM recs a JOIN recs b
+    FROM ranked a JOIN ranked b
       ON a.c_nationkey = b.c_nationkey
      AND floor(a.c_acctbal / 100.0) = floor(b.c_acctbal / 100.0)
+     AND floor(a.rn / 64) = floor(b.rn / 64)
+     AND a.c_custkey < b.c_custkey
+    UNION ALL
+    SELECT a.c_custkey, b.c_custkey
+    FROM ranked a JOIN ranked b
+      ON a.c_nationkey = b.c_nationkey
+     AND floor(a.c_acctbal / 100.0) = floor(b.c_acctbal / 100.0)
+     AND floor((a.rn + 32) / 64) = floor((b.rn + 32) / 64)
      AND a.c_custkey < b.c_custkey
   )
 ),
@@ -3976,8 +3991,10 @@ WITH per_user AS (
 spans AS (
   SELECT CASE WHEN user_id % 5 = 0
               THEN floor(date_diff('day', t0::DATE, tl::DATE) / 2)::INT
+              WHEN tp IS NULL
+              THEN date_diff('day', t0::DATE, tl::DATE)
               ELSE date_diff('day', t0::DATE, tp::DATE) END AS t,
-         (user_id % 5 = 0) AS censored
+         (user_id % 5 = 0 OR tp IS NULL) AS censored
   FROM per_user
 ),
 risk AS (

@@ -109,7 +109,21 @@ def main() -> None:
     # contract lines still print.
     analysis_s: dict[str, float] = {}
     exec_s: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
+    queries = entry_mod.queries()
+    # Untimed warm-up of the first declared query (r9 forensics): session
+    # one-time costs the generic warmups above don't reach — first parquet
+    # footer touch, Catalyst rule-class loading, first real codegen — used
+    # to land in whatever query sat at dict position 1 (+2.4 s of analysis
+    # on bson_roundtrip the round it moved there). One full untimed
+    # build+collect pays them before any timing starts.
+    try:
+        first_name, first_fn = next(iter(queries.items()))
+        first_fn(spark, sf_dir).collect()
+    except StopIteration:
+        pass
+    except Exception as exc:  # noqa: BLE001 — warm-up must never kill the bench
+        print(f"# warmup {first_name}: ERROR {exc}", file=sys.stderr)
+    for name, fn in queries.items():
         best, best_ana, best_exec, rows = None, None, None, []
 
         def _timed_run():

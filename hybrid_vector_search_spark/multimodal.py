@@ -343,7 +343,14 @@ def dhash64(grey: np.ndarray) -> int:
     pixel (r,c) < pixel (r,c+1) — 8 rows × 8 adjacent comparisons = 64
     bits, row-major, bit index r*8+c in the LOW bits of the BIGINT. The
     standard near-duplicate image fingerprint: brightness/contrast shifts
-    preserve comparisons, so visually-identical images hash close."""
+    preserve comparisons, so visually-identical images hash close.
+
+    Returned as a SIGNED two's-complement 64-bit value (bit 63 set →
+    negative): the hash flows through `h long` Arrow/Spark schemas, and an
+    unsigned value ≥ 2**63 would otherwise wrap or error at the int64
+    conversion on real images (~half of them set bit 63). XOR, bit_count,
+    and shiftrightunsigned are all bit-pattern ops, so Hamming distances
+    are unchanged by the signed representation."""
     h, w = grey.shape[:2]
     if (h, w) != (8, 9):
         grey = resize_array(grey, width=9, height=8)
@@ -352,6 +359,8 @@ def dhash64(grey: np.ndarray) -> int:
     for i, b in enumerate(bits):
         if b:
             out |= 1 << i
+    if out >= 1 << 63:
+        out -= 1 << 64
     return out
 
 

@@ -2,8 +2,8 @@
 
 The fastText-filter shape used by large-scale pretraining pipelines
 (CCNet-style quality / language gates): a document's score is a dot product
-between its token counts and a broadcast weight vector, so scoring is one
-map-side join — the classifier IS a linear model, trained here as
+between its token counts and a vocab-sized weight vector, so scoring is
+one token-keyed join — the classifier IS a linear model, trained here as
 multinomial naive Bayes with add-one smoothing (the closed-form member of
 that family, hence exactly reproducible in SQL — no SGD state).
 
@@ -16,10 +16,11 @@ Scale notes (SCALE.md "classifier"):
 - Training: the token relation aggregates map-side (partial_count) to a
   (tok, class) relation bounded by VOCAB size, never corpus size. Two
   scalar aggregates (class token totals, class doc counts) broadcast back.
-- Scoring: the weight table is unigram-vocab-sized — bounded by language,
-  not by corpus (unlike the bigram LM, textstats.py:217-224) — so it
-  broadcasts; scoring is a map-side hash join + per-doc sum. The corpus
-  text itself never shuffles in either phase.
+- Scoring: the weight table is unigram-vocab-sized — much smaller than the
+  corpus but still growing with it (Heaps' law), so the scoring join
+  carries no forced broadcast hint: AQE broadcasts it while it measures
+  small (a map-side hash join + per-doc sum) and shuffles on the token key
+  once it doesn't. The corpus text itself never shuffles in either phase.
 - Unseen tokens (scoring a NEW corpus with a trained model) fall back to
   the smoothing-only weight via coalesce, so the model object transfers.
 """
@@ -111,7 +112,7 @@ def nb_score(model: NBModel, df: DataFrame, id_col: str, text_col: str) -> DataF
     )
     scored = (
         toks.join(F.broadcast(model.scalars))
-        .join(F.broadcast(model.weights), "tok", "left")
+        .join(model.weights, "tok", "left")
         .groupBy("id")
         .agg(
             F.round(

@@ -1090,9 +1090,10 @@ def canonicalize(
 
     Composition: connected components over the pair graph (operators.graph,
     O(log n) rounds), then one window over the clustered docs to elect the
-    canonical, then a broadcast-sized left join back onto the corpus —
-    clusters are vanishingly small relative to the corpus at any scale, so
-    the corpus itself is never shuffled.
+    canonical, then a left join back onto the corpus. The canonical map has
+    one row per clustered doc — small relative to the corpus but growing
+    with it, so the join carries no broadcast hint: AQE broadcasts it while
+    it measures small and shuffles on the id key at scale.
 
     ``components`` (a precomputed (node, component) relation) skips the
     closure entirely — the materialize-once shape: at 100 TB the component
@@ -1123,7 +1124,7 @@ def canonicalize(
     )
     return (
         docs.select(id_col)
-        .join(F.broadcast(canon), id_col, "left")
+        .join(canon, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("_canon"), F.col(id_col)).alias("canonical_id"),

@@ -49,6 +49,7 @@ def fellegi_sunter_pairs(
     comparators: Sequence[Comparator],
     threshold: float,
     round_dp: int = 6,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, w_<field>..., weight) for candidate pairs scoring ≥
     threshold under the Fellegi-Sunter log-likelihood model.
@@ -57,7 +58,45 @@ def fellegi_sunter_pairs(
     ``records``); ``comparators``: (field, agree(a_struct, b_struct) →
     Boolean, m, u) triples. The threshold compares the ROUNDED weight, so
     the decision boundary is engine-portable.
+
+    ``max_block_size``: opt-in loud-failure guard (the
+    dedup.embedding_near_dups broadcast_limit pattern). The candidate
+    fan-out is Σ n² over blocks, so ONE hot key quadratically dominates the
+    join; with the guard set, one eager aggregate job measures the largest
+    block of every pass up front and raises with the salt-or-cap recipe
+    instead of launching a join that cannot finish. Leave it None in
+    latency-sensitive composition (it costs an extra job) and size blocking
+    keys corpus-proportionally instead — see entity_resolution_pairs.
     """
+    if not block_keys:
+        raise ValueError("at least one blocking key is required")
+    if not comparators:
+        raise ValueError("at least one comparator is required")
+    if max_block_size is not None:
+        sized = None
+        for i, bk in enumerate(block_keys):
+            per_key = (
+                records.select(bk.alias("_bk"))
+                .where(F.col("_bk").isNotNull())
+                .groupBy("_bk")
+                .count()
+                .agg(F.max("count").alias("mx"))
+                .select(F.lit(i).alias("pass_idx"), "mx")
+            )
+            sized = per_key if sized is None else sized.unionAll(per_key)
+        worst = sized.orderBy(F.desc_nulls_last("mx")).first()
+        if worst is not None and worst["mx"] is not None and worst["mx"] > max_block_size:
+            raise ValueError(
+                f"blocking pass {worst['pass_idx']} produces a block of "
+                f"{worst['mx']} rows (> max_block_size={max_block_size}); the "
+                f"pair fan-out is Σ n² over blocks, so this key would "
+                f"dominate the join quadratically. Use a corpus-proportional "
+                f"key (name prefix, sorted-neighborhood band over a row_number "
+                f"window) so block sizes stay bounded as the corpus grows, "
+                f"salt the hot key (append pmod(hash(id), s) and accept "
+                f"intra-salt recall), or cap: route blocks over the limit to "
+                f"a dedicated pass with a cheaper comparator."
+            )
     cands = None
     for bk in block_keys:
         keyed = records.select(F.col(id_col).alias("_id"), bk.alias("_bk")).where(

@@ -46,6 +46,8 @@ def pc1_power_iteration(
     """One row: (dim, n_vectors, lambda1, trace, explained_frac) for the
     dominant covariance eigenvalue of ``vec_col`` after ``iterations``
     power steps."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     pos = df.select(
         F.col(id_col).alias("rid"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "v"),

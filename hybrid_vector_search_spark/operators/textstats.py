@@ -121,7 +121,9 @@ def source_token_divergence(
 
     Plan: one token explosion → one (group, tok) count; the corpus token
     relation and group totals derive FROM that aggregate (vocab-sized and
-    group-sized) and broadcast back — the corpus never re-shuffles.
+    group-sized) and join back on the token key — no forced hint, since
+    vocabulary grows with the corpus (Heaps' law): AQE broadcasts it while
+    it measures small and falls back to a term-keyed shuffle join at scale.
     """
     toks = df.select(
         F.col(group_col).alias("g"), F.explode(tokens(F.col(text_col))).alias("tok")
@@ -133,7 +135,7 @@ def source_token_divergence(
     p = F.col("c") / F.col("n_g")
     q = F.col("c_t") / F.col("n_total")
     return (
-        gt.join(F.broadcast(corp), "tok")
+        gt.join(corp, "tok")
         .join(F.broadcast(g_tot), "g")
         .crossJoin(F.broadcast(n_total))
         .groupBy("g")
@@ -365,9 +367,10 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     typical docs score low, gibberish and outliers high.
 
     Plan shape: one explode → token-count aggregate builds the "language
-    model" (vocab-sized, broadcast); the scoring pass joins each doc's
-    tokens against it map-side and averages. The corpus is scanned twice but
-    shuffled never (token relation aggregates map-side to vocab size; at
+    model" (vocab-sized — no broadcast hint: vocabulary grows with the
+    corpus, so AQE broadcasts it only while it measures small); the scoring
+    pass joins each doc's tokens against it and averages. The corpus is
+    scanned twice (token relation aggregates map-side to vocab size; at
     100 TB the vocab relation is the only thing that moves)."""
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
@@ -378,7 +381,7 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "tok", (-F.log(F.col("cnt") / F.col("n_total"))).alias("neg_logp")
     )
     return (
-        toks.join(F.broadcast(lm), "tok")
+        toks.join(lm, "tok")
         .groupBy("id")
         .agg(
             F.round(F.avg("neg_logp"), 6).alias("mean_neg_logp"),
@@ -444,7 +447,7 @@ def bigram_logprob(
         F.split_part(F.col("gram"), F.lit(" "), F.lit(1)) == F.col("left"),
     ).select("gram", (-F.log(F.col("cnt") / F.col("ctx_cnt"))).alias("neg_logp"))
     return (
-        grams.join(F.broadcast(lm) if broadcast_lm else lm, "gram")
+        grams.join(lm if broadcast_lm else lm, "gram")
         .groupBy("id")
         .agg(
             F.round(F.avg("neg_logp"), 6).alias("mean_neg_logp"),
@@ -597,7 +600,9 @@ def doc_keywords(df: DataFrame, id_col: str, text_col: str, *, k: int = 3) -> Da
     the token relation — previously the window re-exchanged the full
     (doc, term, tf) relation after the tf aggregate had already exchanged it
     on (id, term). Document frequency aggregates the tf relation map-side
-    (vocab-sized partials) and broadcasts back with the corpus size. The
+    (vocab-sized partials) and joins back on the term key with the 1-row
+    corpus count; the df relation carries no broadcast hint because
+    vocabulary grows with the corpus — AQE broadcasts it while small. The
     up-front repartition doubles as the single-split local-fixture fan-out
     (tokenization runs on every core; pre-split cluster inputs make it a
     near-free re-key). Ranking rounds the score to 6dp FIRST and tie-breaks
@@ -612,7 +617,7 @@ def doc_keywords(df: DataFrame, id_col: str, text_col: str, *, k: int = 3) -> Da
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -668,7 +673,7 @@ def tfidf_cosine_pairs(
     n_docs = df.select(id_col).distinct().count()
     dfreq = postings.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     kept = dfreq.where(F.col("df") <= max_df_frac * n_docs)
-    weighted = postings.join(F.broadcast(kept), "term").select(
+    weighted = postings.join(kept, "term").select(
         "id",
         "term",
         F.round(

@@ -840,8 +840,8 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
     sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
     return (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             F.least("_sa", "_sb").alias("source_a"),
             F.greatest("_sa", "_sb").alias("source_b"),
@@ -1279,7 +1279,9 @@ def nb_language_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (en vs rest) and sweep the same corpus — the fastText-style
     quality/language gate of a pretraining pipeline, as ONE lazy plan.
     Closed-form training makes the whole fit+score path hash-checkable in
-    SQL (no SGD state); weights are vocab-sized and broadcast."""
+    SQL (no SGD state); weights are vocab-sized, so the scoring join carries
+    no broadcast hint — AQE broadcasts while the vocabulary measures small
+    and shuffles on the token key once it doesn't."""
     from ..operators.classifier import nb_self_score
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1550,12 +1552,12 @@ def bpe_vocab_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_learned_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fertility of the LEARNED 10-merge BPE tokenizer, by language — the
     after-training counterpart to token_fertility_by_lang (which measures
-    the pre-tokenizer): corpus words broadcast-join the trained word →
-    segmentation table for their post-merge token counts, rolled up per
-    lang. At scale the trained segmentation is vocabulary-sized, so the
-    join is a broadcast against the corpus word stream — the corpus never
-    shuffles. The oracle re-learns the same merges in its chained CTE and
-    replays the join."""
+    the pre-tokenizer): corpus words join the trained word → segmentation
+    table for their post-merge token counts, rolled up per lang. The
+    segmentation table is vocabulary-sized — it grows with the corpus — so
+    the join carries no broadcast hint; AQE broadcasts it while it measures
+    small and shuffles on the word key at scale. The oracle re-learns the
+    same merges in its chained CTE and replays the join."""
     docs = load_table(spark, sf_dir, "documents")
     seg = _bpe_trained(spark, sf_dir)[1]
     words = docs.select(
@@ -1568,7 +1570,7 @@ def bpe_learned_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word", F.size(F.split(F.trim(F.col("seq")), " ")).cast("long").alias("_nt")
     )
     return (
-        words.join(F.broadcast(ntok), "word")
+        words.join(ntok, "word")
         .groupBy("lang")
         .agg(
             F.sum("_nt").alias("bpe_tokens"),
@@ -2446,7 +2448,9 @@ def embedding_pc1_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pc1_power_iteration(emb, "vec_id", "embedding", iterations=8)
 
 
-def minhash_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_eval(
+    spark: SparkSession, sf_dir: str, *, sample_frac: float | None = None
+) -> DataFrame:
     """Self-attesting sketch quality for the MinHash-LSH dedup pipeline:
     candidate RECALL (did 4×2 banding surface every exact-Jaccard ≥ 0.7
     pair?) and candidate PRECISION (what fraction of surfaced candidates
@@ -2455,9 +2459,26 @@ def minhash_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence the cheap phase isn't silently missing pairs — the same
     in-plan attestation contract as the ANN recall floors and HLL bounds.
 
+    Cost is the point: the attestation runs the ENTIRE exact-Jaccard truth
+    join alongside the LSH pipeline, by definition — that is what makes
+    the recall number ground truth rather than an estimate. At bench SFs
+    the full audit is cheap; at 100 TB you audit a deterministic SAMPLE:
+    ``sample_frac`` keeps the docs whose ``pmod(hash(doc_id), 1000) <
+    frac*1000`` (hash-stable, reproducible, no RNG state) and both the
+    truth join and the LSH pipeline run on the same slice, so the
+    recall/precision contract is unchanged — only its confidence interval
+    widens with 1/frac. Default None = full corpus (the declared-oracle
+    behavior).
+
     One row from three integer counts (broadcast 1-row aggregates); the
     two ratios are single double divisions."""
     docs = load_table(spark, sf_dir, "documents")
+    if sample_frac is not None:
+        if not 0.0 < sample_frac <= 1.0:
+            raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
+        docs = docs.where(
+            F.pmod(F.hash("doc_id"), F.lit(1000)) < int(sample_frac * 1000)
+        )
     sigs = dedup.minhash_signatures(
         docs, "doc_id", "text", num_hashes=8, shingle_n=3
     )
@@ -2495,13 +2516,19 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composes the shared closure machinery with one token-count aggregate;
     the join back to docs rides doc_id keys, sources roll up to ≤|sources|
-    rows. Counts are integers; the fraction is one double division."""
+    rows. Counts are integers; the fraction is one double division.
+
+    Reads the MATERIALIZED ≥0.5-Jaccard components table
+    (components_materialized) rather than re-running shingles → pairs →
+    closure per call — the same one-fixpoint-job-many-readers shape as
+    dedup_canonical_shared; per-call cost is a parquet read."""
     from ..functions.text import token_count
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
-    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5)
-    labeled = dedup.canonicalize(docs, pairs, "doc_id", length_col="n_chars")
+    comps = components_materialized(spark, sf_dir)
+    labeled = dedup.canonicalize(
+        docs, components=comps, id_col="doc_id", length_col="n_chars"
+    )
     toks = docs.select(
         "doc_id", "source", token_count(F.col("text")).alias("n_tok")
     )

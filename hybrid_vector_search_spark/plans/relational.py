@@ -74,7 +74,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -90,7 +90,7 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str, k: int = 3) -> Data
     segment, deterministic tie-break on o_orderkey."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
@@ -153,7 +153,7 @@ def avg_qty_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(per_part), li.l_partkey == per_part.pk)
+        li.join(per_part, li.l_partkey == per_part.pk)
         .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .groupBy("l_partkey")
         .agg(
@@ -219,7 +219,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -246,9 +246,9 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .where(pair)
@@ -284,10 +284,10 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_rev = F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)).cast("double")
     total_rev = F.sum(rev).cast("double")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
@@ -315,7 +315,7 @@ def returned_items(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
@@ -357,7 +357,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _rev()
     promo = F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0) * F.coalesce(promo, F.lit(0.0)) / F.sum(rev).cast("double"),
@@ -381,8 +381,8 @@ def large_orders(spark: SparkSession, sf_dir: str, min_qty: float = 350.0) -> Da
         .where(F.col("total_qty") > min_qty)
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == F.col("bk"))
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(big, orders.o_orderkey == F.col("bk"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "total_qty")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
@@ -409,7 +409,7 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 40)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(cases)
         .agg(
             F.sum(_rev()).cast("double").alias("revenue"),
@@ -496,7 +496,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").where(F.col("p_size").between(10, 20))
     supp = load_table(spark, sf_dir, "supplier")
     per_ps = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         # hash(p_partkey) satisfies ClusteredDistribution for BOTH the
         # (p_partkey, l_suppkey) aggregate and the window below — this single
         # explicit shuffle replaces the two Catalyst would otherwise insert
@@ -513,7 +513,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_ps.withColumn("min_cost", F.min("unit_cost").over(w))
         .where(F.col("unit_cost") == F.col("min_cost"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select(
             "p_partkey",
             F.col("l_suppkey").alias("s_suppkey"),
@@ -584,7 +584,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select(
             F.col("l_suppkey").alias("s_suppkey"),
             "s_name",
@@ -607,8 +607,8 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").alias("bad_key"))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad_supp), li.l_suppkey == F.col("bad_key"), "left_anti")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad_supp, li.l_suppkey == F.col("bad_key"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -645,7 +645,7 @@ def lone_late_suppliers(spark: SparkSession, sf_dir: str, k: int = 100) -> DataF
         per_os.withColumn("n_supp", F.count("*").over(w))
         .withColumn("n_late", F.sum("late").over(w))
         .where((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -890,7 +890,7 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     daily = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", "o_orderdate")
         .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("y"))
@@ -1354,7 +1354,7 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     per_nation = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum(_rev()).alias("rev_dec"))
@@ -1494,7 +1494,7 @@ def order_price_ranks(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame
     segment key; the limit applies per group via the row-number filter."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
@@ -1523,7 +1523,7 @@ def segment_conditional_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_ = F.col("o_orderstatus") == "O"
     big = F.col("o_totalprice") > 200000.0
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
@@ -1864,8 +1864,8 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("l_quantity").cast(DEC)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -1899,7 +1899,7 @@ def excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("small"))
     supp = load_table(spark, sf_dir, "supplier")
     per_ps = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
     )
@@ -1951,13 +1951,13 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enriched = (
         pairs.join(
-            F.broadcast(part_orders.select(F.col("l_partkey").alias("part_a"),
-                                           F.col("n_ord").alias("n_a"))),
+            part_orders.select(F.col("l_partkey").alias("part_a"),
+                               F.col("n_ord").alias("n_a")),
             "part_a",
         )
         .join(
-            F.broadcast(part_orders.select(F.col("l_partkey").alias("part_b"),
-                                           F.col("n_ord").alias("n_b"))),
+            part_orders.select(F.col("l_partkey").alias("part_b"),
+                               F.col("n_ord").alias("n_b")),
             "part_b",
         )
         .crossJoin(F.broadcast(n_orders))
@@ -2054,8 +2054,10 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct active users / cohort size — the standard growth-analytics
     triangle, weeks 0..8.
 
-    Scale: the cohort relation is one row per signed-up user (broadcast
-    onto the event stream); the activity aggregate shuffles (cohort_week,
+    Scale: the cohort relation is one row per signed-up user — it grows
+    with the corpus, so the join onto the event stream carries no broadcast
+    hint (AQE broadcasts while it measures small, shuffles on user_id at
+    scale); the activity aggregate shuffles (cohort_week,
     week_k, user) once for the distinct, then a tiny rollup. Day
     arithmetic is integer end-to-end (datediff // 7), so bucket boundaries
     are engine-exact."""
@@ -2073,7 +2075,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cohort_size")
     )
     activity = (
-        ev.join(F.broadcast(cohort), "user_id")
+        ev.join(cohort, "user_id")
         .select(
             "user_id",
             "cohort_week",
@@ -2762,13 +2764,31 @@ def entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     table with deterministically PLANTED dirty re-ingests — every 10th
     customer re-inserted under a shifted key with a typo'd name (last char
     substituted) and a drifted balance (+0.37), the same fixture-planting
-    policy as pii_redact/dedup_exact. Two blocking passes
-    ((nation, segment) and (nation, balance-century)), three compared
-    fields (name edit-distance ≤ 2, balance within 1.00 exact-decimal,
-    segment equality) with assumed (m, u) parameters, link threshold 6.0 —
-    planted dupes score ≈ 8.83, name-collision-only candidates ≈ 4.50, so
-    the threshold separates them; any candidate pair that GENUINELY agrees
-    on all three fields links too, which is the model working, not noise."""
+    policy as pii_redact/dedup_exact. Three compared fields (name
+    edit-distance ≤ 2, balance within 1.00 exact-decimal, segment equality)
+    with assumed (m, u) parameters, link threshold 6.0 — planted dupes
+    score ≈ 8.83, partial-agreement candidates ≈ 4.50, so the threshold
+    separates them; any candidate pair that GENUINELY agrees on all three
+    fields links too, which is the model working, not noise.
+
+    Blocking is corpus-PROPORTIONAL — block count grows with the corpus,
+    block size stays bounded, so Σ n² (the pair fan-out) stays linear:
+    1. name prefix-16 — the typo-tolerant identity key (the name's suffix
+       region absorbs edits); blocks hold the ≤100 customers sharing a key
+       prefix plus their re-ingests, at ANY corpus size.
+    2. two STAGGERED sorted-neighborhood bands (width 64, offset 32) over
+       a row_number ranked by balance within (nation, balance-century):
+       every pair within 32 ranks of each other shares at least one band,
+       so balance-close candidates survive while a block can never exceed
+       64 rows — unlike a raw (nation, century) key, whose blocks grow
+       linearly with the corpus (the r9 quadratic-blocking flag). The rank
+       window partitions on (nation, century), so no single-task sort; its
+       order (balance, custkey) is total, hence engine-deterministic.
+
+    A fixed-cardinality key like (nation, segment) is the classic ER
+    blocking mistake at scale: 125 blocks whose sizes grow linearly make
+    the candidate join quadratic. fellegi_sunter_pairs' max_block_size
+    guard exists for callers that can't restructure their keys."""
     from ..operators.er import fellegi_sunter_pairs
 
     cust = load_table(spark, sf_dir, "customer")
@@ -2785,13 +2805,28 @@ def entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     recs = base.unionAll(dup)
     dec = "decimal(18,2)"
+    bal_rank = (
+        F.row_number().over(
+            Window.partitionBy(
+                F.col("c_nationkey"), F.floor(F.col("c_acctbal") / 100.0)
+            ).orderBy("c_acctbal", "c_custkey")
+        )
+        - 1
+    )
     return fellegi_sunter_pairs(
         recs,
         "c_custkey",
         block_keys=[
-            F.struct(F.col("c_nationkey"), F.col("c_mktsegment")),
+            F.substring("c_name", 1, 16),
             F.struct(
-                F.col("c_nationkey"), F.floor(F.col("c_acctbal") / 100.0)
+                F.col("c_nationkey"),
+                F.floor(F.col("c_acctbal") / 100.0).alias("cent"),
+                F.floor(bal_rank / 64).alias("band"),
+            ),
+            F.struct(
+                F.col("c_nationkey"),
+                F.floor(F.col("c_acctbal") / 100.0).alias("cent"),
+                F.floor((bal_rank + 32) / 64).alias("band"),
             ),
         ],
         comparators=[
@@ -3052,6 +3087,10 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically (every 5th user is "lost to follow-up" at half
     their observed span — the same fixture policy as the PII/dupe
     plants); the estimator's censoring semantics are what's under test.
+    A user with NO purchase at all is censored at their observed span
+    (t = last event − first event) — never counted as a conversion — so
+    the plan stays correct on corpora where the everyone-converts fixture
+    property does not hold.
 
     Determinism: the curve is a cumulative product computed as
     exp(running-sum of ln factors), each ln(1 − d/n) quantized to 12 dp
@@ -3072,9 +3111,13 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.datediff(F.to_date("tl"), F.to_date("t0")) / F.lit(2)
             ).cast("int"),
         )
+        .when(
+            F.col("tp").isNull(),
+            F.datediff(F.to_date("tl"), F.to_date("t0")),
+        )
         .otherwise(F.datediff(F.to_date("tp"), F.to_date("t0")))
         .alias("t"),
-        (F.col("user_id") % 5 == 0).alias("censored"),
+        ((F.col("user_id") % 5 == 0) | F.col("tp").isNull()).alias("censored"),
     )
     risk = spans.groupBy("t").agg(
         F.count("*").alias("n_t"),
@@ -3137,10 +3180,12 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup graph's components are cliques (r ≡ 1 exactly).
 
     Scale: the only self-join is within an order key (fan-out bounded by
-    basket size, the copurchase_lift shape); degrees are integer
-    aggregates broadcast onto the edge ends; the five sufficient
-    statistics are exact integer sums in one pass, the coefficient one
-    double expression — the correlation ladder."""
+    basket size, the copurchase_lift shape); the degree table is
+    |parts|-sized — it GROWS with the corpus, so the degree→edge joins
+    carry no broadcast hint: they shuffle on the node key and AQE may
+    still pick broadcast when the dim measures small at runtime. The five
+    sufficient statistics are exact integer sums in one pass, the
+    coefficient one double expression — the correlation ladder."""
     li = load_table(spark, sf_dir, "lineitem")
     a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
@@ -3154,8 +3199,8 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").alias("u"), F.col("pb").alias("v")
     ).unionAll(pairs_c.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
     deg = und.groupBy("u").agg(F.count("*").alias("x"))
-    pairs = und.join(F.broadcast(deg), "u").join(
-        F.broadcast(deg.select(F.col("u").alias("v"), F.col("x").alias("y"))), "v"
+    pairs = und.join(deg, "u").join(
+        deg.select(F.col("u").alias("v"), F.col("x").alias("y")), "v"
     )
     s = pairs.agg(
         F.count("*").cast("double").alias("m"),

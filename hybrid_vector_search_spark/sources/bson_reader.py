@@ -228,8 +228,50 @@ def write_bson_dump(df: DataFrame, path: str, *, gzipped: bool = True) -> None:
             body += bytes([et]) + k.encode("utf-8") + b"\x00" + payload
         return struct.pack("<i", len(body) + 5) + body + b"\x00"
 
+    # Field types come from df.schema, NOT from inferred pandas dtypes: a
+    # double column whose batch happens to hold integral values would
+    # otherwise be promoted to Int64 by convert_dtypes and encoded as BSON
+    # int64 (0x12) in some shards and double (0x01) in others — an
+    # inconsistent, schema-unfaithful dump for the mongorestore-interop
+    # purpose of this sink. convert_dtypes stays ONLY for null-int
+    # preservation; the element type is always decided by the Spark type.
+    from pyspark.sql import types as T
+
+    def _enc_typed(v: Any, dt: Any) -> tuple[int, bytes]:
+        if v is None:
+            return 0x0A, b""
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return 0x01, struct.pack("<d", float(v))
+        if isinstance(dt, T.BooleanType):
+            return 0x08, b"\x01" if v else b"\x00"
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return 0x12, struct.pack("<q", int(v))
+        if isinstance(dt, T.ArrayType):
+            items = {str(i): x for i, x in enumerate(v)}
+            body = b""
+            for k, x in items.items():
+                et, payload = _enc_typed(x, dt.elementType)
+                body += bytes([et]) + k.encode("utf-8") + b"\x00" + payload
+            return 0x04, struct.pack("<i", len(body) + 5) + body + b"\x00"
+        if isinstance(dt, T.StructType):
+            d = v.asDict(recursive=False) if hasattr(v, "asDict") else dict(v)
+            body = b""
+            for f in dt.fields:
+                et, payload = _enc_typed(d.get(f.name), f.dataType)
+                body += bytes([et]) + f.name.encode("utf-8") + b"\x00" + payload
+            return 0x03, struct.pack("<i", len(body) + 5) + body + b"\x00"
+        return _enc_value(v)  # string/timestamp/other: value dispatch is faithful
+
+    def _enc_doc_typed(d: dict[str, Any], schema: "T.StructType") -> bytes:
+        body = b""
+        for f in schema.fields:
+            et, payload = _enc_typed(d.get(f.name), f.dataType)
+            body += bytes([et]) + f.name.encode("utf-8") + b"\x00" + payload
+        return struct.pack("<i", len(body) + 5) + body + b"\x00"
+
     ext = ".bson.gz" if gzipped else ".bson"
     fields = [f.name for f in df.schema.fields]
+    schema = df.schema
 
     def enc_kern(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -242,7 +284,9 @@ def write_bson_dump(df: DataFrame, path: str, *, gzipped: bool = True) -> None:
             # float64 promotion would silently re-type a whole long column
             # to BSON doubles the moment one row is null
             for rec in pdf.convert_dtypes().to_dict("records"):
-                chunks.append(_enc_doc({k: _de_np(rec[k]) for k in fields}))
+                chunks.append(
+                    _enc_doc_typed({k: _de_np(rec[k]) for k in fields}, schema)
+                )
         if not chunks:
             return
         blob = b"".join(chunks)

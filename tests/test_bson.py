@@ -187,3 +187,26 @@ def test_walker_scalar_property_roundtrip():
         assert got == [d]
 
     check()
+
+
+def test_write_encodes_integral_doubles_as_bson_double(spark, tmp_path):
+    """Schema-faithful field types: a DOUBLE column whose values are all
+    integral (1.0, 2.0) must encode as BSON double (0x01) in every
+    document — never as int64 (0x12) via pandas convert_dtypes promotion —
+    and an array<double> element likewise. mongorestore consumers see one
+    consistent type per field across shards."""
+    df = spark.createDataFrame(
+        [(1, 1.0, [2.0]), (2, 3.0, [4.0])], "id long, x double, arr array<double>"
+    )
+    path = str(tmp_path / "typed")
+    write_bson_dump(df.coalesce(1), path, gzipped=False)
+    blob = open(
+        os.path.join(path, next(f for f in os.listdir(path) if f.endswith(".bson"))),
+        "rb",
+    ).read()
+    for doc in iter_bson_documents(blob):
+        assert isinstance(doc["x"], float) and isinstance(doc["arr"][0], float)
+    # wire-level: the element tag before key "x" must be 0x01 (double)
+    assert b"\x01x\x00" in blob and b"\x12x\x00" not in blob
+    # and ints stay int64
+    assert b"\x12id\x00" in blob

@@ -89,13 +89,23 @@ def test_unseen_tokens_take_the_smoothing_fallback(spark):
 
 
 def test_scoring_join_is_broadcast(spark):
-    """The weight relation is vocab-sized → the scoring join must be a
-    BroadcastHashJoin: the corpus token relation never shuffles on tok."""
+    """The weight relation is vocab-sized — growing with the corpus — so it
+    carries NO forced broadcast hint; on a vocabulary that measures small,
+    AQE must still pick BroadcastHashJoin at runtime for the scoring join
+    (the corpus token relation never shuffles on tok). The FINAL adaptive
+    plan is inspected after execution, since the runtime conversion is the
+    behavior under test."""
     df = spark.createDataFrame(CORPUS, ["doc_id", "text", "lang"])
     out = nb_self_score(df, "doc_id", "text", "lang", positive="en")
+    out.collect()  # materialize so AQE finalizes join strategies
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    # the adaptive plan print appends the pre-AQE "Initial Plan" section,
+    # which legitimately shows the sort-merge the runtime replaced — only
+    # the finalized section above it is the behavior under test
+    final = plan.split("Initial Plan")[0]
+    assert "isFinalPlan=true" in final, plan
+    assert "BroadcastHashJoin" in final, plan
+    assert "SortMergeJoin" not in final, plan
 
 
 def test_pred_is_score_sign(spark):

@@ -70,3 +70,44 @@ def test_multipass_blocking_unions_candidates(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     # pass 2 (bal-millennium) brings the cross-group (x, 4) candidates in
     assert (1, 4) in pairs and (1, 2) in pairs
+
+
+def test_empty_block_keys_or_comparators_raises(spark):
+    import pytest
+
+    from hybrid_vector_search_spark.operators.er import fellegi_sunter_pairs
+
+    with pytest.raises(ValueError, match="blocking key"):
+        fellegi_sunter_pairs(
+            _recs(spark), "id", block_keys=[],
+            comparators=[("name", lambda a, b: a["name"] == b["name"], 0.9, 0.01)],
+            threshold=0.0,
+        )
+    with pytest.raises(ValueError, match="comparator"):
+        fellegi_sunter_pairs(
+            _recs(spark), "id", block_keys=[F.col("grp")], comparators=[],
+            threshold=0.0,
+        )
+
+
+def test_max_block_size_guard_raises_with_recipe(spark):
+    """The hot-block guard (Σ n² fan-out contract): floor(bal/1000) puts
+    all 4 rows in one block, so a cap of 2 must fail loud naming the
+    offending pass and the salt-or-cap recipe; a cap of 4 (= the largest
+    block) must pass and link normally."""
+    import pytest
+
+    from hybrid_vector_search_spark.operators.er import fellegi_sunter_pairs
+
+    kwargs = dict(
+        id_col="id",
+        block_keys=[F.floor(F.col("bal") / 1000.0), F.col("grp")],
+        comparators=[
+            ("name", lambda a, b: F.levenshtein(a["name"], b["name"]) <= 2, 0.9, 0.01),
+        ],
+        threshold=-100.0,
+    )
+    with pytest.raises(ValueError, match=r"pass 0 .* 4 rows .*[Ss]alt"):
+        fellegi_sunter_pairs(_recs(spark), max_block_size=2, **kwargs)
+    out = fellegi_sunter_pairs(_recs(spark), max_block_size=4, **kwargs)
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} >= {(1, 2)}

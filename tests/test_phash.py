@@ -17,7 +17,12 @@ def test_dhash_realizes_target_bits():
         for c in range(8):
             cur += 8 if (bits >> (r * 8 + c)) & 1 else -8
             img[r, c + 1] = cur
-    assert dhash64(img) == bits
+    got = dhash64(img)
+    # signed two's-complement int64: compare the 64-bit pattern, and the
+    # value itself must fit the `h long` Arrow schema it flows through
+    assert got & ((1 << 64) - 1) == bits
+    assert -(1 << 63) <= got < (1 << 63)
+    assert got < 0  # bit 63 of 0xDEAD... is set → negative when signed
 
 
 def test_dhash_brightness_invariant():
