@@ -243,6 +243,79 @@ def q_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("score"), F.asc("id")).limit(10)
 
 
+_RBO_P, _RBO_DEPTH = 0.9, 25
+# truncated-RBO membership weights: an id whose worse rank is m contributes
+# w(m) = Σ_{d=m..D} p^(d-1)/d to Σ_d p^(d-1)·|A_d ∩ B_d|/d — Python-computed
+# double literals embedded IDENTICALLY in the Spark plan and the oracle SQL
+_RBO_W = {
+    m: sum(_RBO_P ** (d - 1) / d for d in range(m, _RBO_DEPTH + 1))
+    for m in range(1, _RBO_DEPTH + 1)
+}
+
+
+def q_hybrid_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-agreement diagnostic between the two hybrid branches: truncated
+    rank-biased overlap (Webber et al. 2010, p=0.9, depth 25) plus top-k
+    Jaccard between the vector top-25 and the BM25 top-25 for the standing
+    query. This is the number a fusion-weight tuner looks at FIRST: high
+    agreement means fusion weights barely matter, low agreement means the
+    10:1 sigmoid weighting (reference backend/api.py $scoreFusion) is doing
+    real arbitration. RBO's per-id weight depends only on the id's WORSE
+    rank, so the whole statistic is one join + a 25-entry literal lookup +
+    an exact quantized sum — no per-depth relation, and the oracle replays
+    the identical double literals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector_df(spark, sf_dir)
+    from pyspark.sql import Window
+
+    vec = knn_op.knn_join(q, emb, k=_RBO_DEPTH, metric="cosine").select(
+        F.col("vec_id").alias("id"), "score"
+    )
+    ra = vec.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("id")))
+        .alias("ra"),
+    )
+    txt = bm25_op.bm25_scores(_text_stats(spark, sf_dir), FT_QUERY.split())
+    rb = (
+        txt.orderBy(F.desc("score"), F.asc("id"))
+        .limit(_RBO_DEPTH)
+        .select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("id")))
+            .alias("rb"),
+        )
+    )
+    wmap = F.create_map(
+        *[x for m in range(1, _RBO_DEPTH + 1) for x in (F.lit(m), F.lit(_RBO_W[m]))]
+    )
+    joined = ra.join(rb, "id").select(
+        wmap[F.greatest(F.col("ra"), F.col("rb"))].alias("w")
+    )
+    na_rel = ra.agg(F.count("*").alias("na"))
+    nb_rel = rb.agg(F.count("*").alias("nb"))
+    agg = joined.agg(
+        F.count("*").alias("n_common"),
+        F.coalesce(
+            F.sum(F.round(F.col("w"), 12).cast("decimal(28,14)")),
+            F.lit(0).cast("decimal(28,14)"),
+        ).alias("wsum"),
+    )
+    return agg.crossJoin(F.broadcast(na_rel)).crossJoin(F.broadcast(nb_rel)).select(
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+            6,
+        ).alias("jaccard_at_k"),
+        F.round(
+            F.lit(1.0 - _RBO_P) * F.col("wsum").cast("double"), 6
+        ).alias("rbo"),
+    )
+
+
 def q_knn_bulk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk similarity search (knn_join): top-3 cosine neighbours for EVERY
     query in a 10-vector batch — broadcast queries, per-query window top-k
@@ -1948,6 +2021,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_top_docs": _memo("pagerank_top_docs", pipeline.pagerank_top_docs),
         "dedup_canonical_shared": pipeline.dedup_canonical_shared,
         "dedup_cluster_sizes_shared": pipeline.dedup_cluster_sizes_shared,
+        # --- NEW in r10 (never driver-checked; staged for the r11 window)
+        "wav_window_stats": pipeline.wav_window_stats,
+        "source_token_js": pipeline.source_token_js,
+        "ab_test_mann_whitney": relational.ab_test_mann_whitney,
+        "revenue_theil_sen": relational.revenue_theil_sen,
+        "segment_nation_chi2": relational.segment_nation_chi2,
+        "lineitem_benford": relational.lineitem_benford,
+        "audio_fp_neardup": pipeline.audio_fp_neardup,
+        "hybrid_rank_overlap": q_hybrid_rank_overlap,
+        "t_closeness_audit": pipeline.t_closeness_audit,
         # --- r9-verified (CORRECTNESS_r09 green), oldest-first
         "unicode_token_stats": pipeline.unicode_token_stats,
         "quality_curriculum": pipeline.quality_curriculum,
@@ -3982,6 +4065,198 @@ SELECT doc_id, lang, quota FROM ranked JOIN q USING (lang)
 WHERE rk <= quota ORDER BY lang, doc_id
 """
 
+_MANN_WHITNEY_ORACLE = """
+WITH spine AS (
+  SELECT value, count(*) AS n,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a
+  FROM events WHERE event_type = 'purchase' GROUP BY value
+),
+ranked AS (
+  SELECT n, n_a,
+         (sum(n) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - n)::DOUBLE
+           + (n + 1)::DOUBLE / 2.0 AS avg_rank
+  FROM spine
+),
+agg AS (
+  SELECT sum(n) AS n_total, sum(n_a) AS na,
+         sum(n_a::DOUBLE * avg_rank) AS r_a,
+         sum(n * n * n - n) AS tie3
+  FROM ranked
+),
+z AS (
+  SELECT n_total, na, tie3,
+         r_a - na::DOUBLE * (na::DOUBLE + 1.0) / 2.0 AS u_a,
+         (r_a - na::DOUBLE * (na::DOUBLE + 1.0) / 2.0
+          - na::DOUBLE * (n_total - na)::DOUBLE / 2.0)
+         / sqrt(na::DOUBLE * (n_total - na)::DOUBLE / 12.0
+                * ((n_total::DOUBLE + 1.0)
+                   - tie3::DOUBLE / (n_total::DOUBLE * (n_total::DOUBLE - 1.0))))
+           AS zv
+  FROM agg
+)
+SELECT na::BIGINT AS n_a, (n_total - na)::BIGINT AS n_b,
+       round(u_a, 6) AS u_a, round(zv, 6) AS z_score,
+       abs(round(zv, 6)) > 1.96 AS reject_95
+FROM z
+"""
+
+
+_THEIL_SEN_ORACLE = """
+WITH daily AS (
+  SELECT l_shipdate::DATE AS d,
+         sum(l_extendedprice::DECIMAL(18,4)
+             * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1998-01-01' AND l_shipdate < DATE '1998-07-01'
+  GROUP BY 1
+),
+spine AS MATERIALIZED (
+  SELECT date_diff('day', DATE '1998-01-01', d) AS t, rev_dec::DOUBLE AS rev
+  FROM daily
+),
+slopes AS (
+  SELECT (b.rev - a.rev) / (b.t - a.t)::DOUBLE AS slope
+  FROM spine a JOIN spine b ON a.t < b.t
+),
+ranked AS (
+  SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+         count(*) OVER () AS n_pairs
+  FROM slopes
+)
+SELECT (SELECT count(*) FROM spine)::BIGINT AS n_days,
+       any_value(n_pairs)::BIGINT AS n_pairs,
+       round(avg(slope), 6) AS ts_slope
+FROM ranked
+WHERE rn = (n_pairs + 1) // 2 OR rn = n_pairs // 2 + 1
+"""
+
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS o FROM customer GROUP BY 1, 2
+),
+row_t AS (SELECT c_mktsegment, sum(o) AS rt FROM cells GROUP BY 1),
+col_t AS (SELECT c_nationkey, sum(o) AS ct FROM cells GROUP BY 1),
+tot AS (
+  SELECT sum(o) AS n, count(DISTINCT c_mktsegment) AS r,
+         count(DISTINCT c_nationkey) AS c
+  FROM cells
+),
+terms AS (
+  SELECT o::DOUBLE AS od, rt::DOUBLE * ct::DOUBLE / n::DOUBLE AS e, n, r, c
+  FROM cells JOIN row_t USING (c_mktsegment) JOIN col_t USING (c_nationkey)
+  CROSS JOIN tot
+),
+s AS (
+  SELECT sum(round((od - e) * (od - e) / e, 9)::DECIMAL(28,12)) AS chi2_dec,
+         any_value(n) AS n, any_value(r) AS r, any_value(c) AS c
+  FROM terms
+)
+SELECT n::BIGINT AS n, ((r - 1) * (c - 1))::BIGINT AS dof,
+       round(chi2_dec::DOUBLE, 6) AS chi2,
+       round(sqrt(chi2_dec::DOUBLE / (n::DOUBLE * (least(r, c) - 1)::DOUBLE)), 6)
+         AS cramers_v
+FROM s
+"""
+
+
+# expected shares are the SAME Python-computed double literals the Spark
+# plan embeds (math.log10(1 + 1/d)), so both engines compare identical bits
+_BENFORD_ORACLE = """
+WITH obs AS (
+  SELECT (CASE WHEN l_extendedprice >= 100000 THEN floor(l_extendedprice / 100000)
+               WHEN l_extendedprice >= 10000 THEN floor(l_extendedprice / 10000)
+               WHEN l_extendedprice >= 1000 THEN floor(l_extendedprice / 1000)
+               WHEN l_extendedprice >= 100 THEN floor(l_extendedprice / 100)
+               WHEN l_extendedprice >= 10 THEN floor(l_extendedprice / 10)
+               ELSE floor(l_extendedprice) END)::INT AS digit,
+         count(*) AS n
+  FROM lineitem GROUP BY 1
+),
+spine AS (SELECT unnest(range(1, 10))::INT AS digit),
+tot AS (SELECT sum(n) AS n_total FROM obs),
+filled AS (
+  SELECT s.digit, coalesce(o.n, 0) AS n, n_total,
+         (CASE s.digit WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124 WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642 WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322 WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129 WHEN 9 THEN 0.04575749056067514 END) AS exp_frac_raw
+  FROM spine s LEFT JOIN obs o ON s.digit = o.digit CROSS JOIN tot
+),
+chi AS (
+  SELECT sum(round((n::DOUBLE - exp_frac_raw * n_total::DOUBLE)
+                   * (n::DOUBLE - exp_frac_raw * n_total::DOUBLE)
+                   / (exp_frac_raw * n_total::DOUBLE), 9)::DECIMAL(28,12)
+            )::DOUBLE AS chi2
+  FROM filled
+)
+SELECT digit, n::BIGINT AS n,
+       round(n::DOUBLE / n_total::DOUBLE, 6) AS obs_frac,
+       round(exp_frac_raw, 6) AS exp_frac,
+       round(chi2, 6) AS chi2
+FROM filled CROSS JOIN chi ORDER BY digit
+"""
+
+
+_RANK_OVERLAP_ORACLE = f"""
+WITH {_BM25_SCORES},
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT e.vec_id AS id, round({_COS}, 6) AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, id ASC LIMIT 25
+),
+ra AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS ra FROM vec),
+tb AS (SELECT doc_id AS id, score FROM bm25 ORDER BY score DESC, id ASC LIMIT 25),
+rb AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rb FROM tb),
+j AS (
+  SELECT (CASE greatest(ra, rb) WHEN 1 THEN 2.536761153529386 WHEN 2 THEN 1.5367611535293855 WHEN 3 THEN 1.0867611535293862 WHEN 4 THEN 0.8167611535293862 WHEN 5 THEN 0.6345111535293861 WHEN 6 THEN 0.5032911535293859 WHEN 7 THEN 0.4048761535293859 WHEN 8 THEN 0.32895601067224306 WHEN 9 THEN 0.26916889817224304 WHEN 10 THEN 0.22133920817224306 WHEN 11 THEN 0.18259715927224304 WHEN 12 THEN 0.15089911926315214 WHEN 13 THEN 0.1247482362556521 WHEN 14 THEN 0.10302288729557516 WHEN 15 THEN 0.08486670280751088 WHEN 16 THEN 0.06961550783753687 WHEN 17 THEN 0.05674731208162131 WHEN 18 THEN 0.045847193323669294 WHEN 19 THEN 0.03658209237941009 WHEN 20 THEN 0.028682374732199596 WHEN 21 THEN 0.021928116143834636 WHEN 22 THEN 0.01613875163952181 WHEN 23 THEN 0.011165161224453064 WHEN 24 THEN 0.006883548606263447 WHEN 25 THEN 0.0031906577230749024 END) AS w
+  FROM ra JOIN rb USING (id)
+),
+agg AS (
+  SELECT count(*) AS n_common,
+         coalesce(sum(round(w, 12)::DECIMAL(28,14)), 0::DECIMAL(28,14)) AS wsum
+  FROM j
+),
+sizes AS (SELECT (SELECT count(*) FROM ra) AS na, (SELECT count(*) FROM rb) AS nb)
+SELECT n_common::BIGINT AS n_common,
+       round(n_common::DOUBLE / (na + nb - n_common)::DOUBLE, 6) AS jaccard_at_k,
+       round({1.0 - 0.9!r} * wsum::DOUBLE, 6) AS rbo
+FROM agg CROSS JOIN sizes
+"""
+
+
+# pipeline.t_closeness_audit: per-group TV distance from the global
+# balance-band distribution; present-cell |p-q| terms quantize->DECIMAL-sum,
+# the absent-band mass telescopes to 1 - sum(q_present) (same trick, same
+# rounding, as the Spark plan), one double division by 2, round 6.
+_T_CLOSE_ORACLE = """
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, floor(c_acctbal / 2000)::BIGINT AS _s,
+         count(*) AS o
+  FROM customer GROUP BY 1, 2, 3
+),
+g_tot AS (
+  SELECT c_nationkey, c_mktsegment, sum(o) AS n_g FROM cells GROUP BY 1, 2
+),
+gmarg AS (SELECT _s, sum(o) AS c_s FROM cells GROUP BY 1),
+n_tot AS (SELECT sum(c_s) AS n_total FROM gmarg),
+dist AS (
+  SELECT c_nationkey, c_mktsegment, any_value(n_g) AS group_size,
+         round((sum(round(abs(o::DOUBLE / n_g::DOUBLE
+                              - c_s::DOUBLE / n_total::DOUBLE), 9)::DECIMAL(28,12))::DOUBLE
+                + (1.0 - sum(round(c_s::DOUBLE / n_total::DOUBLE, 9)::DECIMAL(28,12))::DOUBLE)
+               ) / 2.0, 6) AS tv_distance
+  FROM cells
+  JOIN gmarg USING (_s)
+  JOIN g_tot USING (c_nationkey, c_mktsegment)
+  CROSS JOIN n_tot
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment, group_size::BIGINT AS group_size, tv_distance
+FROM dist WHERE tv_distance > 0.35
+ORDER BY tv_distance DESC, c_nationkey, c_mktsegment
+"""
+
+
 _KM_ORACLE = """
 WITH per_user AS (
   SELECT user_id, min(ts) AS t0, max(ts) AS tl,
@@ -4235,6 +4510,15 @@ def oracle_sql() -> dict[str, str]:
         "events_value_ohlc_hourly": _OHLC_ORACLE,
         "neyman_allocation_sample": _NEYMAN_ORACLE,
         "kaplan_meier_conversion": _KM_ORACLE,
+        "ab_test_mann_whitney": _MANN_WHITNEY_ORACLE,
+        "revenue_theil_sen": _THEIL_SEN_ORACLE,
+        "segment_nation_chi2": _CHI2_ORACLE,
+        "lineitem_benford": _BENFORD_ORACLE,
+        # the audio fingerprint lane plants the PNG lane's id geometry in
+        # loudness, so the expected pair set is the same doc_id arithmetic
+        "audio_fp_neardup": _PHASH_NEARDUP_ORACLE,
+        "hybrid_rank_overlap": _RANK_OVERLAP_ORACLE,
+        "t_closeness_audit": _T_CLOSE_ORACLE,
         "graph_assortativity": _ASSORT_ORACLE,
         # maintained candles must equal the batch recount — same oracle
         "stream_ohlc_hourly": _OHLC_ORACLE,

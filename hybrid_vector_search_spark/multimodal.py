@@ -289,14 +289,19 @@ def audio_windows(df: DataFrame, *, win_ms: int = 25, hop_ms: int = 10) -> DataF
     win_ms · sample_rate / 1000 from the clip's metadata.
 
     The schedule, fan-out shape, and Arrow plumbing are real and
-    oracle-checkable; the PCM itself is the deterministic md5-chain fake
-    (a real build swaps `soundfile`/`av` decode into the same kernel — the
-    codec-lane policy of decode_image). Window bytes are u8 'samples'
-    sliced from the fake PCM at the window's sample offsets, and rms_u8 is
-    their root-mean-square — pinned in tests, excluded from the driver
-    query (not SQL-expressible), exactly like frame_sample's frame bytes.
-    Fan-out happens INSIDE the kernel: clip bytes are decoded once per
-    clip, never duplicated per window upstream."""
+    oracle-checkable. The PCM comes from a per-clip format dispatch (the
+    decode_media policy): ``format='wav'`` decodes REAL RIFF/PCM bytes with
+    the stdlib codec (wav_codec) and takes rate/duration from the DECODED
+    header — meta is not consulted, so the schedule attests the decode;
+    other formats use the deterministic md5-chain fake with meta-declared
+    rate/duration (a real build swaps `soundfile`/`av` into the same slot —
+    the codec-lane policy of decode_image). Window bytes are samples sliced
+    at the window's offsets (u8 for the fake, the first channel's int16 for
+    wav) and rms_u8 is their root-mean-square (named for the fake lane's
+    dtype; for wav it is the int16 RMS) — pinned in tests, and for the
+    planted square-wave corpus SQL-replayable (|sample| is constant, so
+    RMS = amplitude exactly). Fan-out happens INSIDE the kernel: clip bytes
+    are decoded once per clip, never duplicated per window upstream."""
     if win_ms <= 0 or hop_ms <= 0:
         raise ValueError("win_ms and hop_ms must be positive")
 
@@ -310,14 +315,23 @@ def audio_windows(df: DataFrame, *, win_ms: int = 25, hop_ms: int = 10) -> DataF
                 pdf["media_id"], pdf["content"], pdf["meta"]
             ):
                 m = dict(meta) if meta is not None else {}
-                duration = int(m.get("duration_ms") or 0)
-                rate = int(m.get("sample_rate") or 0)
-                if rate <= 0 or duration < win_ms:
+                if (m.get("format") or "").lower() == "wav":
+                    from .wav_codec import decode_wav
+
+                    arr, rate = decode_wav(bytes(content))
+                    pcm = arr[:, 0]  # framing runs on the first channel
+                    duration = len(pcm) * 1000 // rate
+                else:
+                    duration = int(m.get("duration_ms") or 0)
+                    rate = int(m.get("sample_rate") or 0)
+                    if rate <= 0:
+                        continue
+                    pcm = np.frombuffer(
+                        _md5_expand(bytes(content), duration * rate // 1000),
+                        dtype=np.uint8,
+                    )
+                if duration < win_ms:
                     continue
-                n_total = duration * rate // 1000
-                pcm = np.frombuffer(
-                    _md5_expand(bytes(content), n_total), dtype=np.uint8
-                )
                 win_n = win_ms * rate // 1000
                 for idx, start in enumerate(range(0, duration - win_ms + 1, hop_ms)):
                     s0 = start * rate // 1000
@@ -333,6 +347,143 @@ def audio_windows(df: DataFrame, *, win_ms: int = 25, hop_ms: int = 10) -> DataF
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(kernel, AUDIO_WINDOW_SCHEMA)
+
+
+WAV_RATE = 8_000  # synthetic corpus sample rate (Hz)
+
+
+def synthetic_wav_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-WAV audio corpus (stdlib RIFF/PCM codec), one
+    mono 16-bit clip per doc: a ±A square wave whose every parameter is
+    pure id arithmetic, so a SQL oracle replays the decoded facts —
+
+        amplitude  A = 1000 + (doc_id % 7) · 500
+        half-cycle P = 4 + doc_id % 5 samples
+        duration_ms  = 200 + n_chars % 800   (at 8 kHz → duration·8 samples)
+
+    sample[i] = +A if (i // P) even else −A. |sample| ≡ A, so the RMS of
+    ANY window is EXACTLY A regardless of alignment — the real-bytes fact
+    that pins sample fidelity through encode → decode → window → RMS,
+    while the window schedule (computed from the DECODED header, never
+    meta) pins header fidelity. The audio sibling of synthetic_png_corpus:
+    everything downstream is real codec work; the planting just makes the
+    expected numbers id arithmetic."""
+    from .wav_codec import encode_wav
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, contents, metas = [], [], [], []
+            for i, nch in zip(pdf[id_col], pdf["n_chars"]):
+                i = int(i)
+                amp = 1000 + (i % 7) * 500
+                half = 4 + i % 5
+                duration_ms = 200 + int(nch) % 800
+                n = duration_ms * WAV_RATE // 1000
+                idx = np.arange(n, dtype=np.int64)
+                samples = np.where((idx // half) % 2 == 0, amp, -amp).astype(
+                    np.int16
+                )
+                ids.append(i)
+                kinds.append("audio")
+                contents.append(encode_wav(samples, WAV_RATE))
+                metas.append((None, None, WAV_RATE, duration_ms, "wav"))
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "content": contents, "meta": metas}
+            )
+
+    return docs.select(id_col, "n_chars").mapInPandas(kern, MEDIA_SCHEMA)
+
+
+_AUDIO_FP_BLOCK = 200  # 25 ms at 8 kHz
+_AUDIO_FP_SHAPE = (8, 9)  # 8 segments × 9 blocks → 64 difference bits
+
+
+def synthetic_wav_fp_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-WAV corpus with the SAME planted near-dup
+    geometry as synthetic_png_corpus, carried in LOUDNESS instead of
+    brightness: each clip is 72 consecutive 25 ms blocks (8 segments × 9),
+    every block a ±A square wave whose amplitude A walks from 2000 in
+    ±200 steps so that the 8×9 block-RMS matrix realizes the target
+    64-bit pattern under dhash64's adjacent comparisons — the walk resets
+    per segment exactly like the PNG's per-row brightness walk, keeping
+    A ∈ [400, 3600]. Group identity and nested flips are the PNG lane's
+    id arithmetic verbatim, so the SAME oracle replays expected pairs and
+    Hamming distances from doc_id alone."""
+    from .wav_codec import encode_wav
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, contents, metas = [], [], [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                g, v = divmod(i, _PHASH_GROUP_SIZE)
+                if g >= 1 << 14:
+                    raise ValueError(
+                        "synthetic_wav_fp_corpus shares synthetic_png_corpus's "
+                        "4×14-bit group layout (≤16383 groups)"
+                    )
+                bits = 0
+                for k in range(4):
+                    bits |= (g & 0x3FFF) << (14 * k)
+                for p in _PHASH_FLIP_POSITIONS[:v]:
+                    bits ^= 1 << p
+                rows, cols = _AUDIO_FP_SHAPE
+                amps = np.empty(rows * cols, dtype=np.int64)
+                for r in range(rows):
+                    cur = 2000
+                    amps[r * cols] = cur
+                    for c in range(cols - 1):
+                        cur += 200 if (bits >> (r * 8 + c)) & 1 else -200
+                        amps[r * cols + c + 1] = cur
+                amp_per_sample = np.repeat(amps, _AUDIO_FP_BLOCK)
+                idx = np.arange(len(amp_per_sample))
+                samples = np.where(
+                    (idx // 4) % 2 == 0, amp_per_sample, -amp_per_sample
+                ).astype(np.int16)
+                dur_ms = len(samples) * 1000 // WAV_RATE
+                ids.append(i)
+                kinds.append("audio")
+                contents.append(encode_wav(samples, WAV_RATE))
+                metas.append((None, None, WAV_RATE, dur_ms, "wav"))
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "content": contents, "meta": metas}
+            )
+
+    return docs.select(id_col).mapInPandas(kern, MEDIA_SCHEMA)
+
+
+def audio_fingerprint_neardup_pairs(
+    media: DataFrame, *, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Acoustic near-duplicate pairs: decode WAV → 8×9 block-RMS matrix →
+    dhash64 over loudness deltas (the audio fingerprint: bit = "did this
+    25 ms get louder than the last") → the shared banded Hamming join.
+    The Shazam-family idea reduced to its engine-checkable core: a
+    landmark fingerprint robust to global gain (RMS RATIOS drive the
+    comparisons, and a volume change scales all blocks together), computed
+    executor-side so content bytes never shuffle — only (media_id, 8-byte
+    fingerprint) moves, identical to the image lane."""
+
+    def fp_kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .wav_codec import decode_wav
+
+        rows, cols = _AUDIO_FP_SHAPE
+        need = rows * cols * _AUDIO_FP_BLOCK
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr, _rate = decode_wav(bytes(content))
+                pcm = arr[:, 0].astype(np.float64)
+                if len(pcm) < need:
+                    continue  # too short to fingerprint — no landmark grid
+                blocks = pcm[:need].reshape(rows * cols, _AUDIO_FP_BLOCK)
+                rms = np.sqrt(np.mean(blocks * blocks, axis=1)).reshape(rows, cols)
+                ids.append(int(mid))
+                hashes.append(dhash64(rms))
+            yield pd.DataFrame({"media_id": ids, "h": hashes})
+
+    hashed = media.mapInPandas(fp_kern, "media_id long, h long")
+    return banded_hamming_pairs(hashed, max_hamming=max_hamming, bands=bands)
 
 
 # ------------------------------------------------------- perceptual hashing
@@ -449,6 +600,22 @@ def image_neardup_pairs(
             yield pd.DataFrame({"media_id": ids, "h": hashes})
 
     hashed = media.mapInPandas(hash_kern, "media_id long, h long")
+    return banded_hamming_pairs(hashed, max_hamming=max_hamming, bands=bands)
+
+
+def banded_hamming_pairs(
+    hashed: DataFrame, *, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming ≤ max_hamming over a
+    (media_id, h) 64-bit fingerprint relation — the banded-LSH join shared
+    by every perceptual-hash lane (image dHash, audio block-RMS dHash).
+    Banding is the SimHash pigeonhole: ≤ max_hamming differing bits can
+    touch at most max_hamming of ``bands`` disjoint bands, so whenever
+    max_hamming < bands every qualifying pair shares ≥1 exact band key;
+    the band join is an inverted index (fan-out = per-band-bucket pairs,
+    never n²) and survivors pay one cheap bit_count(xor) verify."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
     width = 64 // bands
     mask = (1 << width) - 1
     banded = hashed.select(

@@ -114,3 +114,67 @@ def l_diversity_violations(
         .where(F.col("distinct_sensitive") < l)
         .orderBy("distinct_sensitive", "group_size", *quasi_cols)
     )
+
+
+def t_closeness_violations(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col,
+    *,
+    t: float,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Quasi-identifier groups whose SENSITIVE-attribute distribution sits
+    farther than ``t`` (total-variation distance) from the table-wide one
+    (Li, Li & Venkatasubramanian 2007) — the attack l-diversity misses: a
+    group can show l distinct sensitive values yet still leak ("every
+    balance in this cell is in the top band" is a disclosure even when the
+    bands differ). TV = ½·Σ|p_group − p_global| over the sensitive domain,
+    the categorical special case of the paper's EMD.
+
+    ``sensitive_col`` may be any Column expression (e.g. a banded
+    balance), so numeric secrets audit through their release bands.
+
+    Plan: ONE exact (quasi, sensitive) aggregate over the table; group
+    totals, global marginals, and the grand total all derive from that
+    cell relation (grouping-sized, never row-sized). Only cells PRESENT in
+    a group appear, so the absent-value mass Σ_q|0 − q| telescopes to
+    Σ q_absent = 1 − Σ_present q — one more aggregate over the same rows
+    (the source_token_js trick). Distances quantize per cell to 9 dp and
+    sum as exact DECIMAL, so the report replays in SQL at any
+    partitioning. Exact by design, like the k/l audits: a sketch could
+    smooth away exactly the skewed cell the audit exists to catch."""
+    cells = df.groupBy(*quasi_cols, F.col(sensitive_col).alias("_s") if isinstance(sensitive_col, str) else sensitive_col.alias("_s")).agg(
+        F.count("*").alias("o")
+    )
+    g_tot = cells.groupBy(*quasi_cols).agg(F.sum("o").alias("n_g"))
+    glob = cells.groupBy("_s").agg(F.sum("o").alias("c_s"))
+    n_tot = glob.agg(F.sum("c_s").alias("n_total"))
+    p = F.col("o").cast("double") / F.col("n_g").cast("double")
+    q = F.col("c_s").cast("double") / F.col("n_total").cast("double")
+    dist = (
+        cells.join(glob, "_s")
+        .join(g_tot, quasi_cols)
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy(*quasi_cols)
+        .agg(
+            F.any_value("n_g").alias("group_size"),
+            F.round(
+                (
+                    F.sum(F.round(F.abs(p - q), 9).cast("decimal(28,12)"))
+                    .cast("double")
+                    + (
+                        F.lit(1.0)
+                        - F.sum(F.round(q, 9).cast("decimal(28,12)")).cast("double")
+                    )
+                )
+                / F.lit(2.0),
+                round_dp,
+            ).alias("tv_distance"),
+        )
+    )
+    return (
+        dist.where(F.col("tv_distance") > t)
+        .select(*quasi_cols, F.col("group_size").cast("long"), "tv_distance")
+        .orderBy(F.desc("tv_distance"), *quasi_cols)
+    )

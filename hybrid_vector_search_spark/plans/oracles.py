@@ -154,6 +154,37 @@ ORDER BY source
 """
 
 
+# textstats.source_token_js: group vs rest-of-corpus Jensen-Shannon with
+# the absent-token Q-side mass telescoped to ln2·(1 − Σ q_t) — exact count
+# ratios, double log-sum, 6-dp rounding (the KL recipe)
+SOURCE_TOKEN_JS = f"""
+WITH {TOKL},
+toks AS (
+  SELECT d.source AS g, u.tok FROM (
+    SELECT doc_id, unnest(ts) AS tok FROM tokl
+  ) u JOIN documents d USING (doc_id)
+),
+gt AS (SELECT g, tok, count(*) AS c FROM toks GROUP BY g, tok),
+g_tot AS (SELECT g, sum(c) AS n_g FROM gt GROUP BY g),
+corp AS (SELECT tok, sum(c) AS c_t FROM gt GROUP BY tok),
+n_total AS (SELECT sum(c_t) AS n_total FROM corp),
+terms AS (
+  SELECT g, n_g,
+         (c::DOUBLE / n_g) AS p,
+         ((c_t - c)::DOUBLE / (n_total - n_g)) AS q,
+         ((c::DOUBLE / n_g) + ((c_t - c)::DOUBLE / (n_total - n_g))) / 2.0 AS m,
+         c_t > c AS has_rest
+  FROM gt JOIN corp USING (tok) JOIN g_tot USING (g) CROSS JOIN n_total
+)
+SELECT g AS source,
+       any_value(n_g)::BIGINT AS n_tokens,
+       round(0.5 * sum(p * ln(p / m))
+             + 0.5 * (sum(CASE WHEN has_rest THEN q * ln(q / m) ELSE 0.0 END)
+                      + ln(2.0) * (1.0 - sum(q))), 6) AS js_divergence
+FROM terms GROUP BY g ORDER BY source
+"""
+
+
 # pipeline.embedding_drift: same decimal-exact centroid + sequential-fold
 # cosine recipe as EMBEDDING_CENTROID_OUTLIERS, split on vec_id parity
 EMBEDDING_DRIFT = """
@@ -1887,6 +1918,31 @@ FROM w GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# wav_window_stats: the planted square-wave WAV corpus — schedule facts
+# from the decoded header (8 kHz, 25 ms windows = 200 samples) and the
+# alignment-free RMS (|sample| ≡ amplitude, so window RMS = amplitude
+# exactly); everything is doc_id/n_chars arithmetic by construction
+WAV_WINDOW_STATS = """
+WITH clips AS (
+  SELECT doc_id,
+         (200 + n_chars % 800)::INT AS dur,
+         (1000 + (doc_id % 7) * 500)::DOUBLE AS amp
+  FROM documents
+),
+w AS (
+  SELECT doc_id, amp, unnest(range(0, dur - 25 + 1, 10)) AS start_ms
+  FROM clips WHERE dur >= 25
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_windows,
+       max(start_ms)::INT AS last_start_ms,
+       (count(*) * 200)::BIGINT AS total_samples,
+       round(min(amp), 6) AS rms_lo,
+       round(max(amp), 6) AS rms_hi
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 
 
 # operators.snapshots.scd2_merge over the snapshot_diff fixture pair
@@ -2455,6 +2511,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "bigram_pmi": BIGRAM_PMI,
     "events_robust_outliers": EVENTS_ROBUST_OUTLIERS,
     "audio_window_stats": AUDIO_WINDOW_STATS,
+    "wav_window_stats": WAV_WINDOW_STATS,
     "snapshot_scd2": SNAPSHOT_SCD2,
     "frame_sample": FRAME_SAMPLE,
     "skew_salted_agg": SKEW_SALTED_AGG,
@@ -2491,6 +2548,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "embedding_centroid_outliers": EMBEDDING_CENTROID_OUTLIERS,
     "embedding_drift": EMBEDDING_DRIFT,
     "source_token_kl": SOURCE_TOKEN_KL,
+    "source_token_js": SOURCE_TOKEN_JS,
     "sorted_neighborhood_dedup": SORTED_NEIGHBORHOOD,
     "stratified_sample_exact_k": STRATIFIED_EXACT_K,
     "url_domain_stats": URL_DOMAIN_STATS,

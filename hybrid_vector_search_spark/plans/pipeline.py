@@ -403,6 +403,20 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence from the rest of the corpus
+    (textstats.source_token_js) — the symmetric, bounded companion to
+    source_token_kl: KL flags how a source reads against the corpus LM,
+    JS ranks sources on mutual distinguishability and stays finite under
+    disjoint vocabulary, which is what a mixture-rebalancing pass sorts
+    by."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = textstats.source_token_js(docs, "source", "text")
+    return out.select(
+        F.col("g").alias("source"), "n_tokens", "js_divergence"
+    ).orderBy("source")
+
+
 def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-drift monitor in embedding space: split the corpus into a
     reference snapshot (even vec_ids — standing in for "last month's data")
@@ -972,6 +986,26 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return l_diversity_violations(
         cust, ["c_nationkey", "c_mktsegment"], "bal_band", l=4
+    )
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators.pii.t_closeness_violations): (nation,
+    segment) groups whose balance-band distribution sits > 0.35
+    total-variation from the table-wide one — the skewed-distribution
+    leak that passes BOTH the k and l audits (a group can hide 12 people
+    across 4 bands and still be conspicuously top-heavy). Completes the
+    release-safety ladder k → l → t over the same quasi-identifiers and
+    release bands."""
+    from ..operators.pii import t_closeness_violations
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    )
+    return t_closeness_violations(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", t=0.35
     )
 
 
@@ -1807,6 +1841,38 @@ def audio_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wav_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-bytes audio lane: one planted ±A square-wave WAV per doc
+    (multimodal.synthetic_wav_corpus — stdlib RIFF/PCM codec, no
+    dependencies), decoded and framed executor-side through the SAME
+    audio_windows operator path as audio_window_stats. The schedule
+    columns (n_windows, last_start_ms, total_samples) come from the
+    DECODED header — rate and sample count read out of the RIFF bytes,
+    never from metadata — and rms_lo/rms_hi pin sample fidelity: every
+    |sample| equals the planted amplitude, so the RMS of every 25 ms
+    window is EXACTLY A = 1000 + (doc_id % 7)·500, alignment-free and
+    hence SQL-replayable (the PNG lane's planted-geometry contract,
+    ported to audio). A decode that misreads the header length, sample
+    width, or byte order shifts every one of these numbers."""
+    from .. import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    media = multimodal.synthetic_wav_corpus(docs.repartition(par))
+    wins = multimodal.audio_windows(media, win_ms=AUDIO_WIN_MS, hop_ms=AUDIO_HOP_MS)
+    return (
+        wins.groupBy(F.col("media_id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.max("start_ms").alias("last_start_ms"),
+            F.sum("n_samples").alias("total_samples"),
+            F.round(F.min("rms_u8"), 6).alias("rms_lo"),
+            F.round(F.max("rms_u8"), 6).alias("rms_hi"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 SCD history (operators/snapshots.scd2_merge) over the same
     synthetic next-crawl pair as snapshot_diff — per key, fingerprint
@@ -2020,6 +2086,23 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthetic_png_corpus(docs)
     return multimodal.image_neardup_pairs(media)
+
+
+def audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-duplicates over a REAL-WAV corpus: one 1.8 s planted
+    square-wave clip per doc (multimodal.synthetic_wav_fp_corpus — stdlib
+    RIFF codec), fingerprinted executor-side as dhash64 over the 8×9
+    block-RMS loudness matrix and joined through the shared banded-Hamming
+    inverted index. The amplitude walks plant the SAME group/flip geometry
+    as the PNG lane — groups of 6 ids, nested 0..5-bit perturbations — so
+    the identical oracle replays pairs and exact Hamming distances from
+    doc_id arithmetic while Spark does full decode → fingerprint → band
+    join work on real audio bytes."""
+    from .. import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_wav_fp_corpus(docs)
+    return multimodal.audio_fingerprint_neardup_pairs(media)
 
 
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:

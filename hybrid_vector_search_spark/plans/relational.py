@@ -3290,3 +3290,249 @@ def ucb1_arm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ucb1",
         (F.row_number().over(w) == 1).alias("chosen"),
     ).orderBy("arm")
+
+
+def ab_test_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test on purchase values, variant = user
+    parity — the NONPARAMETRIC A/B companion to ab_test_lift (t-style
+    means) and ks_test_ab (full-distribution distance): U ranks medians
+    without normality assumptions, which is what heavy-tailed revenue
+    values actually violate. One row: group sizes, U for variant A, the
+    tie-corrected normal-approximation z, and the 95% decision.
+
+    Determinism ladder: ranks never materialize per row — the VALUE SPINE
+    (distinct value, per-variant counts) carries cumulative counts, so the
+    average rank of a tie group is exact rational arithmetic
+    (cum + (n+1)/2), R_A = Σ n_A·avg_rank is exact in double (halves), and
+    the tie correction Σ(t³−t) is an exact integer sum. z is one fixed
+    double expression over those exacts, rounded 6.
+
+    Scale: one aggregate reduces the fact table to the distinct-value
+    spine; the rank window runs on the spine, not the corpus. The window
+    is unpartitioned BY CONSTRUCTION (a global rank is the statistic) —
+    at 100 TB the spine is still |distinct values| ≪ corpus, and a
+    range-partitioned sort with offset merge replaces the single-task
+    window before the spine itself is executor-sized."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    spine = ev.groupBy("value").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("user_id") % 2 == 0).cast("long")).alias("n_a"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = spine.select(
+        "value",
+        "n",
+        "n_a",
+        (
+            (F.sum("n").over(w) - F.col("n")).cast("double")
+            + (F.col("n") + 1).cast("double") / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    agg = ranked.agg(
+        F.sum("n").alias("n_total"),
+        F.sum("n_a").alias("na"),
+        F.sum(F.col("n_a").cast("double") * F.col("avg_rank")).alias("r_a"),
+        F.sum(F.col("n") * F.col("n") * F.col("n") - F.col("n")).alias("tie3"),
+    )
+    na = F.col("na").cast("double")
+    nb = (F.col("n_total") - F.col("na")).cast("double")
+    n = F.col("n_total").cast("double")
+    u_a = F.col("r_a") - na * (na + F.lit(1.0)) / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    sigma = F.sqrt(
+        na * nb / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("tie3").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    z = (u_a - mu) / sigma
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        (F.col("n_total") - F.col("na")).cast("long").alias("n_b"),
+        F.round(u_a, 6).alias("u_a"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(F.round(z, 6)) > F.lit(1.96)).alias("reject_95"),
+    )
+
+
+def revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue over 1998 H1: the median of
+    all pairwise day-to-day slopes — the estimator that shrugs off the
+    outlier days that wreck the OLS trend line (forecast_revenue's
+    machinery), with a 29.3% breakdown point (Sen 1968). One row:
+    n_days, n_pairs, the slope (revenue units per day, 6 dp).
+
+    Exactness: daily revenue is an exact DECIMAL sum cast once to double;
+    each pairwise slope is one double subtraction/division — identical in
+    any engine — and the MEDIAN of an even/odd multiset is the average of
+    the middle order statistics, which is tie-order-free by construction
+    (equal slopes are interchangeable at the middle positions).
+
+    Scale: the pair fan-out is over the DAILY SPINE (≤183 rows → ≤17k
+    pairs), never the fact table: one fact-table aggregate, then a spine
+    self-join whose quadratic cost is calendar-bounded, not
+    corpus-bounded. The median window runs on the pair relation."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01"))
+    )
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("rev_dec")
+    )
+    spine = daily.select(
+        F.datediff(F.col("d"), F.lit("1998-01-01")).alias("t"),
+        F.col("rev_dec").cast("double").alias("rev"),
+    )
+    a = spine.select(F.col("t").alias("ti"), F.col("rev").alias("ri"))
+    b = spine.select(F.col("t").alias("tj"), F.col("rev").alias("rj"))
+    slopes = (
+        a.join(b, F.col("ti") < F.col("tj"))
+        .select(
+            (
+                (F.col("rj") - F.col("ri"))
+                / (F.col("tj") - F.col("ti")).cast("double")
+            ).alias("slope")
+        )
+    )
+    wn = Window.orderBy("slope")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(wn).alias("rn"),
+        F.count("*").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n_pairs"),
+    )
+    mid = ranked.where(
+        (F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+        | (F.col("rn") == F.floor(F.col("n_pairs") / 2) + 1)
+    )
+    n_days = spine.count()
+    return mid.agg(
+        F.lit(n_days).cast("long").alias("n_days"),
+        F.any_value("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.avg("slope"), 6).alias("ts_slope"),
+    )
+
+
+def segment_nation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test + Cramér's V for the customer
+    (mktsegment × nation) contingency table — "is segment mix uniform
+    across geographies?", the categorical-association audit a skew-aware
+    partitioner or a stratified sampler consults first. One row:
+    n, dof, chi2, cramers_v (≈0 on this corpus's independent draws, which
+    is the verified null).
+
+    Determinism ladder: observed/marginal counts are exact integers;
+    each cell's (o−e)²/e is one double expression quantized to 9 dp and
+    summed as exact DECIMAL over the ≤125-cell relation (order-proof),
+    then chi2 and V are single double expressions rounded 6.
+
+    Scale: one fact aggregate to the (segment, nation) cell relation;
+    marginals derive from the cells (grouping-sized); everything after the
+    first aggregate is dimension-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("o")
+    )
+    row_t = cells.groupBy("c_mktsegment").agg(F.sum("o").alias("rt"))
+    col_t = cells.groupBy("c_nationkey").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("c_mktsegment").alias("r"),
+        F.countDistinct("c_nationkey").alias("c"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast("double")
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    chi2_dec = (
+        cells.join(row_t, "c_mktsegment")
+        .join(col_t, "c_nationkey")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.round(term, 9).cast("decimal(28,12)")).alias("chi2_dec"),
+            F.any_value("n").alias("n"),
+            F.any_value("r").alias("r"),
+            F.any_value("c").alias("c"),
+        )
+    )
+    chi2 = F.col("chi2_dec").cast("double")
+    mindim = F.least(F.col("r"), F.col("c")) - 1
+    return chi2_dec.select(
+        F.col("n").cast("long").alias("n"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (F.col("n").cast("double") * mindim.cast("double"))), 6
+        ).alias("cramers_v"),
+    )
+
+
+_BENFORD_EXPECTED = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def lineitem_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of l_extendedprice — the classic
+    fabricated-numbers screen (Benford 1938; auditors' digit test): count
+    leading digits 1..9, compare to log10(1+1/d), report per-digit
+    observed/expected shares and the corpus-level chi-square. TPC-H prices
+    are qty × part price, a product of near-uniforms, so they lean toward
+    Benford without matching exactly — the chi2 magnitude IS the
+    fingerprint the oracle pins.
+
+    Leading digit is a CASE ladder of exact integer floors over the
+    price's known [1, 10^6) range — no log10-of-double boundary risk, no
+    string formatting. Expected shares are Python-computed double literals
+    embedded IDENTICALLY in both engines. Per-digit chi2 terms are
+    quantized to 9 dp and DECIMAL-summed (order-proof), the correlation
+    ladder."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    digit = (
+        F.when(p >= 100000, F.floor(p / 100000))
+        .when(p >= 10000, F.floor(p / 10000))
+        .when(p >= 1000, F.floor(p / 1000))
+        .when(p >= 100, F.floor(p / 100))
+        .when(p >= 10, F.floor(p / 10))
+        .otherwise(F.floor(p))
+    )
+    obs = li.select(digit.cast("int").alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    exp_col = F.create_map(
+        *[x for d, v in sorted(_BENFORD_EXPECTED.items()) for x in (F.lit(d), F.lit(v))]
+    )[F.col("digit")]
+    tot = obs.agg(F.sum("n").alias("n_total"))
+    filled = (
+        spine.join(obs, "digit", "left")
+        .select("digit", F.coalesce("n", F.lit(0)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            "n_total",
+            exp_col.alias("exp_frac_raw"),
+        )
+    )
+    e = F.col("exp_frac_raw") * F.col("n_total").cast("double")
+    term = (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e
+    chi2 = filled.agg(
+        F.sum(F.round(term, 9).cast("decimal(28,12)")).cast("double").alias("chi2")
+    )
+    return (
+        filled.crossJoin(F.broadcast(chi2))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("n_total").cast("double"), 6).alias(
+                "obs_frac"
+            ),
+            F.round(F.col("exp_frac_raw"), 6).alias("exp_frac"),
+            F.round(F.col("chi2"), 6).alias("chi2"),
+        )
+        .orderBy("digit")
+    )

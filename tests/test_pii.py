@@ -64,3 +64,18 @@ def test_redaction_is_jvm_only(spark):
     plan = redact_pii(df, "id", "text")._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, plan
+
+
+def test_t_closeness_flags_divergent_group_only(spark):
+    """Group `a` splits 50/50 across bands while the table runs 87.5/12.5,
+    so TV(a) = (|0.5-0.875| + |0.5-0.125|)/2 = 0.375 > t; group `b` matches
+    the majority band (TV = 0.125) and passes. The absent-band mass path is
+    exercised by `b` (band 1 never appears in it)."""
+    from hybrid_vector_search_spark.operators.pii import t_closeness_violations
+
+    rows = [("a", 0), ("a", 0), ("a", 1), ("a", 1)] + [("b", 0)] * 12
+    df = spark.createDataFrame(rows, "grp string, band long")
+    out = t_closeness_violations(df, ["grp"], "band", t=0.3).collect()
+    assert [(r["grp"], r["group_size"], r["tv_distance"]) for r in out] == [
+        ("a", 4, 0.375)
+    ]
