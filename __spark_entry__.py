@@ -1976,7 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_mahalanobis_outliers": pipeline.embedding_mahalanobis_outliers,
         "ngram_novelty_scores": pipeline.ngram_novelty_scores,
         "revenue_changepoint": relational.revenue_changepoint,
-        "journey_reach_prob": relational.journey_reach_prob,
+        "journey_reach_prob": _memo("journey_reach_prob", relational.journey_reach_prob),
         "katz_central_docs": _memo("katz_central_docs", pipeline.katz_central_docs),
         "flesch_reading_ease": pipeline.flesch_reading_ease,
         "user_active_streaks": relational.user_active_streaks,
@@ -1989,7 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution_pairs": relational.entity_resolution_pairs,
         "ngram_containment_pairs": pipeline.ngram_containment_pairs,
         "revenue_dow_anomaly": relational.revenue_dow_anomaly,
-        "harmonic_central_docs": pipeline.harmonic_central_docs,
+        "harmonic_central_docs": _memo("harmonic_central_docs", pipeline.harmonic_central_docs),
         "revenue_autocorr7": relational.revenue_autocorr7,
         "embedding_pc1_variance": _memo("embedding_pc1_variance", pipeline.embedding_pc1_variance),
         "minhash_lsh_eval": pipeline.minhash_lsh_eval,

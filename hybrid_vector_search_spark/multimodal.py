@@ -613,9 +613,17 @@ def banded_hamming_pairs(
     touch at most max_hamming of ``bands`` disjoint bands, so whenever
     max_hamming < bands every qualifying pair shares ≥1 exact band key;
     the band join is an inverted index (fan-out = per-band-bucket pairs,
-    never n²) and survivors pay one cheap bit_count(xor) verify."""
+    never n²) and survivors pay one cheap bit_count(xor) verify.
+
+    The fingerprint relation is localCheckpointed (one eager job) before
+    the self-join: its two sides project different aliases, so without the
+    cut each would re-run the full decode→hash kernel over the media bytes
+    — the checkpoint trades one tiny (id, int64) materialization for a
+    whole second pass over the corpus. On a cluster the same role is
+    played by writing the fingerprint table once and joining readers."""
     from pyspark.sql import functions as F  # local alias for clarity
 
+    hashed = hashed.localCheckpoint(eager=True)
     width = 64 // bands
     mask = (1 << width) - 1
     banded = hashed.select(

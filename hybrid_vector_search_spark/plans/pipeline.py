@@ -2084,7 +2084,8 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.synthetic_png_corpus(docs)
+    par = spark.sparkContext.defaultParallelism
+    media = multimodal.synthetic_png_corpus(docs.repartition(par))
     return multimodal.image_neardup_pairs(media)
 
 
@@ -2101,7 +2102,12 @@ def audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.synthetic_wav_fp_corpus(docs)
+    par = spark.sparkContext.defaultParallelism
+    # single-split local fixture; pre-split on a cluster. The banded join's
+    # two sides each re-evaluate the encode→decode→fingerprint lineage, so
+    # the kernel runs ~2× per clip — parallelizing the corpus build is what
+    # keeps that honest recomputation off the critical path.
+    media = multimodal.synthetic_wav_fp_corpus(docs.repartition(par))
     return multimodal.audio_fingerprint_neardup_pairs(media)
 
 

@@ -508,6 +508,48 @@ deriving nodes/edges from it (same fix applied to min-label
 one plan). Solo 6.15 s → 3.61 s, remaining wall = the one irreducible
 pair-build + 2 rounds × fixed per-round job overhead that amortizes on a
 real cluster.
+
+## Bench notes (r10)
+
+**The broadcast-hint sweep cost ~0.7 s of exec on one query and nothing
+anywhere else.** Removing forced `F.broadcast` from corpus-proportional
+operands (TPC-H dims, vocab LMs, cohort/canonical maps, degree tables)
+left 244 of 245 queries at level — at sf0.1 the static planner still
+picks BroadcastHashJoin from parquet size stats, so most plans are
+byte-identical. The one mover is `graph_assortativity` (exec 1.94 →
+2.65 s): its degree relation is an AGGREGATE, so without the hint the
+static plan is sort-merge and AQE converts at runtime after materializing
+the build side — that one-extra-shuffle-write is the price of not OOMing
+1000 executors broadcasting a |parts|-sized table at 100 TB, and it is
+accepted deliberately (r9 verdict ask #3).
+
+**r9 verdict ask #5 (analysis shaving) delivered where it was real:**
+`dedup_token_savings` 2.67 → 0.49 s total (now reads the materialized
+components table instead of re-running the closure per call);
+`mmr_rerank` 1.85 → 1.12 s (the bounded candidate head localCheckpoints
+once instead of re-executing the KNN for both driver collects);
+`bson_roundtrip` 3.13 → 1.96 s (the new untimed dict-head warm-up in
+bench.py absorbed the session start-up it was mis-charged with at
+position 1 — ask #4). `harmonic_central_docs` and `journey_reach_prob`
+moved to `_memo` (parquet-backed materialize-once), taking their ~1.3 s /
+0.7 s per-call fixpoint builds out of the steady-state path. Remaining
+multi-second analysis rows are irreducible by construction:
+`bson_roundtrip` (the dump WRITE is the query — one Hadoop-FS shard
+funnel per build), `sink_roundtrip` (same: a real write),
+`heavy_hitters_cm`/`hybrid_fusion_details` (sketch/JSON plan assembly,
+sub-second).
+
+**The perceptual-hash lanes recompute their synthetic corpus per join
+side — fixed.** `banded_hamming_pairs`' two sides project different
+aliases after the band exchange, so neither Spark exchange reuse nor
+subexpression elimination dedupes the upstream decode→hash kernel; with
+the 500-clip WAV corpus that meant `audio_fp_neardup` paid the full
+encode+decode+fingerprint pass TWICE on one task (6.0 s exec). Fixes:
+the corpus builds are repartitioned across cores (the single-split
+local-fixture fan-out every media kernel uses), and the (id, int64)
+fingerprint relation localCheckpoints before the self-join — one tiny
+eager materialization instead of a second corpus pass. audio 6.0 → 2.0 s
+total (exec 0.85 s), image 1.5 → 1.4 s total (exec 0.61 s).
 """
 
 
