@@ -867,6 +867,54 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report
 
 
+_SQ_CACHE: dict[str, object] = {}
+
+
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-attesting scalar-quantized ANN (operators/sq.py): every vector
+    stored as dim uint8 codes (4× smaller scan than float32, no training
+    sample, no seed — the bounds are exact corpus min/max per dimension),
+    queries served by asymmetric cosine against the decoded domain in one
+    vectorized Arrow kernel. Per query vector, the exact top-k facts
+    (oracle-verified value-for-value) plus the in-plan claims that SQ8
+    recovered >= 60% of each exact set with mean recall >= 80% — the
+    tightest floor of the four ANN families, because 8-bit affine
+    quantization barely moves cosine neighborhoods (the reason it is the
+    first compression step a 100 TB corpus takes). The packed BINARY codes
+    aren't SQL-expressible; the recall contract is (operators/ann_eval.py;
+    reference numCandidates dial, backend/api.py:120). Encode/decode
+    round-trip and recall floors stay pinned in tests/test_sq.py."""
+    from hybrid_vector_search_spark.operators import sq as sq_op
+
+    cached_report = _ANN_REPORT_CACHE.get(("sq8", sf_dir))
+    if cached_report is not None:
+        return cached_report
+    emb, qdf, qvecs = _ann_eval_queries(spark, sf_dir)
+    cached = _SQ_CACHE.get(sf_dir)
+    if cached is None:
+        # same one-sf_dir cache policy as _PQ_CACHE
+        for stale_key in [k for k in _SQ_CACHE if k != sf_dir]:
+            _, stale_df = _SQ_CACHE.pop(stale_key)
+            stale_df.unpersist()
+        params = sq_op.train_sq(emb, "embedding")
+        enc = sq_op.encode_sq(
+            emb, params, id_col="vec_id", vector_col="embedding"
+        ).cache()
+        enc.count()
+        cached = (params, enc)
+        _SQ_CACHE[sf_dir] = cached
+    params, enc = cached
+    approx = sq_op.sq_search_batch(enc, params, qvecs, _ANN_EVAL_K).select(
+        "query_id", "vec_id"
+    )
+    # measured recall: per-query min 0.8, mean 0.94-1.0 at sf0.001/sf0.01 —
+    # floors set with margin below
+    report = _ann_recall_report(sf_dir, emb, qdf, approx, floor=0.6, mean_floor=0.8)
+    _ANN_REPORT_CACHE[("sq8", sf_dir)] = report
+    return report
+
+
+
 # ------------------------------------------------------- streaming (batch parity)
 
 
@@ -1066,6 +1114,90 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             if q.isActive:
                 q.stop()
     out = ohlc_from_state(spark, f"{workdir}/state")
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
+def q_stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of value_histogram: the stream cannot know the final
+    [min, max] bounds, so the maintained state is the (2-dp value, count)
+    relation — counts merge by sum, bounds are derivable from the keys, so
+    ANY batching reproduces the batch histogram EXACTLY at read time
+    (streaming/sketch.stream_histogram; parity additionally pinned in
+    tests/test_streaming_sketch.py). Same oracle as the batch query."""
+    import shutil
+    import tempfile
+
+    from hybrid_vector_search_spark.streaming.sketch import (
+        histogram_from_state,
+        stream_histogram,
+    )
+
+    src = _STREAM_SRC_CACHE.get(("histvals", sf_dir))
+    if src is None:
+        safe = sf_dir.strip("/").replace("/", "_")
+        src = f"{_session_tmpdir()}/stream_histvals/{safe}"
+        load_table(spark, sf_dir, "events").select("value").repartition(
+            4
+        ).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[("histvals", sf_dir)] = src
+    workdir = tempfile.mkdtemp(prefix="stream_hist_", dir=_session_tmpdir())
+    with _stream_shuffle(spark):
+        q = stream_histogram(
+            spark, src, "value",
+            state_dir=f"{workdir}/state", checkpoint_path=f"{workdir}/ckpt",
+            max_files_per_trigger=2, commit_mode="manifest",
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
+    out = histogram_from_state(
+        spark, f"{workdir}/state", commit_mode="manifest"
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
+def q_stream_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of event_type_entropy_daily: entropy is not
+    mergeable, but its sufficient statistics — the (day, type, n) counts —
+    are, so the stream folds counts exactly under any batching and the
+    serve computes the identical −p·log2 p DECIMAL ladder over the tiny
+    state (streaming/sketch.stream_type_mix). Same oracle as the batch
+    query; parity additionally pinned in tests/test_streaming_sketch.py."""
+    import shutil
+    import tempfile
+
+    from hybrid_vector_search_spark.streaming.sketch import (
+        stream_type_mix,
+        type_mix_entropy_from_state,
+    )
+
+    src = _STREAM_SRC_CACHE.get(("tsetype", sf_dir))
+    if src is None:
+        safe = sf_dir.strip("/").replace("/", "_")
+        src = f"{_session_tmpdir()}/stream_tsetype/{safe}"
+        load_table(spark, sf_dir, "events").select("ts", "event_type").repartition(
+            4
+        ).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[("tsetype", sf_dir)] = src
+    workdir = tempfile.mkdtemp(prefix="stream_entropy_", dir=_session_tmpdir())
+    with _stream_shuffle(spark):
+        q = stream_type_mix(
+            spark, src, "ts", "event_type",
+            state_dir=f"{workdir}/state", checkpoint_path=f"{workdir}/ckpt",
+            max_files_per_trigger=2, commit_mode="manifest",
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
+    out = type_mix_entropy_from_state(
+        spark, f"{workdir}/state", commit_mode="manifest"
+    )
     shutil.rmtree(workdir, ignore_errors=True)
     return out
 
@@ -2031,6 +2163,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_neardup": pipeline.audio_fp_neardup,
         "hybrid_rank_overlap": q_hybrid_rank_overlap,
         "t_closeness_audit": pipeline.t_closeness_audit,
+        "event_type_entropy_daily": relational.event_type_entropy_daily,
+        "spearman_qty_discount": relational.spearman_qty_discount,
+        "hard_negative_mining": pipeline.hard_negative_mining,
+        "ann_dim_truncation_eval": pipeline.ann_dim_truncation_eval,
+        "hits_hub_authority": _memo("hits_hub_authority", pipeline.hits_hub_authority),
+        "stream_value_histogram": _memo("stream_value_histogram", q_stream_value_histogram),
+        "ann_sq8_topk": q_ann_sq8_topk,
+        "ab_test_bh_adjust": relational.ab_test_bh_adjust,
+        "stream_event_entropy": _memo("stream_event_entropy", q_stream_event_entropy),
+        "grouping_sets_revenue": relational.grouping_sets_revenue,
         # --- r9-verified (CORRECTNESS_r09 green), oldest-first
         "unicode_token_stats": pipeline.unicode_token_stats,
         "quality_curriculum": pipeline.quality_curriculum,
@@ -4456,6 +4598,219 @@ FROM {prev} ORDER BY from_state
 
 
 
+# relational.event_type_entropy_daily: per-day Shannon entropy of the
+# event-type mix; -p*log2(p) terms quantized to 9dp and DECIMAL-summed
+_EVENT_ENTROPY_ORACLE = """
+WITH per AS (
+  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+wt AS (SELECT day, n, sum(n) OVER (PARTITION BY day) AS n_day FROM per)
+SELECT day,
+       max(n_day)::BIGINT AS n_events,
+       count(*)::BIGINT AS n_types,
+       round(sum(round(-(n::DOUBLE / n_day::DOUBLE)
+                       * log2(n::DOUBLE / n_day::DOUBLE), 9)::DECIMAL(28,12)
+                )::DOUBLE, 6) AS entropy_bits
+FROM wt GROUP BY day ORDER BY day
+"""
+
+# relational.spearman_qty_discount: midranks on the distinct-value spines
+# (exact .0/.5 values, DECIMAL(12,1)), then the Pearson sufficient-statistics
+# ladder over the ranks
+_SPEARMAN_ORACLE = """
+WITH cq AS (SELECT l_quantity AS v, count(*) AS cnt FROM lineitem GROUP BY 1),
+rq AS (
+  SELECT v,
+         (coalesce(sum(cnt) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + (cnt + 1) / 2.0)::DECIMAL(12,1) AS rx
+  FROM cq
+),
+cd AS (SELECT l_discount AS v, count(*) AS cnt FROM lineitem GROUP BY 1),
+rd AS (
+  SELECT v,
+         (coalesce(sum(cnt) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + (cnt + 1) / 2.0)::DECIMAL(12,1) AS ry
+  FROM cd
+),
+j AS (
+  SELECT rx, ry FROM lineitem l
+  JOIN rq ON l.l_quantity = rq.v
+  JOIN rd ON l.l_discount = rd.v
+),
+s AS (
+  SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+         sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+  FROM j
+)
+SELECT n::BIGINT AS n_rows,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+             6) AS spearman_rho
+FROM s
+"""
+
+# pipeline.hard_negative_mining: exact cross-label top-1 cosine per anchor —
+# fully deterministic, so the oracle verifies the mined pair itself
+_HARD_NEG_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS qvec
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.anchor_id, q.anchor_label, e.vec_id AS neg_id, e.label AS neg_label,
+         round({_COS}, 6) AS score,
+         row_number() OVER (
+           PARTITION BY q.anchor_id
+           ORDER BY round({_COS}, 6) DESC, e.vec_id ASC
+         ) AS rk
+  FROM embeddings e, q
+  WHERE e.label <> q.anchor_label
+)
+SELECT anchor_id, anchor_label, neg_id, neg_label, score
+FROM scored WHERE rk = 1 ORDER BY anchor_id
+"""
+
+# pipeline.ann_dim_truncation_eval: BOTH the full-dim and 16-dim-prefix
+# top-10 are deterministic, so the recall VALUE is oracle-pinned (stronger
+# than the trained indexes' recall_ok attestation)
+_COS16 = (
+    "(1.0 + list_dot_product(e.embedding[1:16]::DOUBLE[], q.qv16::DOUBLE[])"
+    " / (sqrt(list_dot_product(e.embedding[1:16]::DOUBLE[],"
+    " e.embedding[1:16]::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qv16::DOUBLE[], q.qv16::DOUBLE[])))) / 2.0"
+)
+_DIM_TRUNC_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, embedding[1:16] AS qv16
+  FROM embeddings WHERE vec_id < 5
+),
+full_rk AS (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round({_COS}, 6) DESC, e.vec_id ASC
+         ) AS rk
+  FROM embeddings e, q
+),
+full_top AS (SELECT query_id, vec_id FROM full_rk WHERE rk <= 10),
+tr_rk AS (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round({_COS16}, 6) DESC, e.vec_id ASC
+         ) AS rk
+  FROM embeddings e, q
+),
+tr_top AS (SELECT query_id, vec_id FROM tr_rk WHERE rk <= 10),
+j AS (
+  SELECT f.query_id, CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM full_top f
+  LEFT JOIN tr_top t ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+)
+SELECT query_id,
+       10::BIGINT AS k,
+       count(*)::BIGINT AS n_exact,
+       sum(hit)::BIGINT AS n_recovered,
+       round(sum(hit)::DOUBLE / 10.0, 6) AS recall_16
+FROM j GROUP BY query_id ORDER BY query_id
+"""
+
+
+
+
+# relational.ab_test_bh_adjust: Welch z per nation vs rest from one
+# sufficient-statistics pass, Abramowitz-Stegun 26.2.17 normal tail,
+# Benjamini-Hochberg step-up over the 25-row spine (p quantized to 9dp
+# BEFORE ranking so both engines rank identical keys)
+_BH_ADJUST_ORACLE = """
+WITH per AS (
+  SELECT c_nationkey, count(*) AS n,
+         sum(o_totalprice::DECIMAL(18,2)) AS sx,
+         sum(o_totalprice::DECIMAL(18,2) * o_totalprice::DECIMAL(18,2)) AS sxx
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey
+),
+tot AS (
+  SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sxx) AS tsxx, count(*) AS m FROM per
+),
+zc AS (
+  SELECT nt.n_name AS nation, per.n::BIGINT AS n_orders, tot.m AS m,
+         (per.sx::DOUBLE / per.n::DOUBLE
+          - (tot.tsx - per.sx)::DOUBLE / (tot.tn - per.n)::DOUBLE)
+         / sqrt(((per.sxx::DOUBLE
+                  - per.sx::DOUBLE * per.sx::DOUBLE / per.n::DOUBLE)
+                 / (per.n::DOUBLE - 1.0)) / per.n::DOUBLE
+                + (((tot.tsxx - per.sxx)::DOUBLE
+                    - (tot.tsx - per.sx)::DOUBLE * (tot.tsx - per.sx)::DOUBLE
+                      / (tot.tn - per.n)::DOUBLE)
+                   / ((tot.tn - per.n)::DOUBLE - 1.0))
+                  / (tot.tn - per.n)::DOUBLE) AS zval
+  FROM per CROSS JOIN tot JOIN nation nt ON per.c_nationkey = nt.n_nationkey
+),
+pt AS (
+  SELECT *, abs(zval) AS az,
+         1.0 / (1.0 + 0.2316419 * abs(zval)) AS t
+  FROM zc
+),
+pp AS (
+  SELECT nation, n_orders, m, zval,
+         least(2.0 * (exp(-az * az / 2.0) / 2.5066282746310002)
+               * (t * (0.319381530 + t * (-0.356563782
+                  + t * (1.781477937 + t * (-1.821255978
+                  + t * 1.330274429))))), 1.0) AS p
+  FROM pt
+),
+sc AS (
+  SELECT nation, n_orders, round(zval, 6) AS z, round(p, 9) AS p9, m FROM pp
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY p9 ASC, nation ASC) AS rk FROM sc
+),
+adj AS (SELECT *, p9 * m::DOUBLE / rk::DOUBLE AS adj_raw FROM rk),
+bh AS (
+  SELECT *, least(min(adj_raw) OVER (ORDER BY p9 DESC, nation DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) AS p_bh
+  FROM adj
+)
+SELECT nation, n_orders, z, round(p9, 6) AS p_value, round(p_bh, 6) AS p_bh,
+       p_bh <= 0.05 AS significant
+FROM bh ORDER BY nation
+"""
+
+
+# relational.grouping_sets_revenue: heterogeneous sets in one pass; set id
+# from the null pattern, never engine grouping_id bitmask conventions
+_GROUPING_SETS_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag, l_linestatus, year(l_shipdate)::INT AS ship_year,
+         count(*) AS cnt,
+         sum(l_extendedprice::DECIMAL(18,2)
+             * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS rev_dec
+  FROM lineitem GROUP BY 1, 2, 3
+),
+gs AS (
+  SELECT l_returnflag, l_linestatus, ship_year,
+         sum(cnt)::BIGINT AS n_lines,
+         round(sum(rev_dec), 2)::DECIMAL(18,2)::DOUBLE AS revenue
+  FROM base
+  GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
+)
+SELECT CASE WHEN l_returnflag IS NULL AND ship_year IS NULL THEN 2
+            WHEN l_returnflag IS NOT NULL THEN 0 ELSE 1 END AS set_id,
+       coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       coalesce(ship_year, -1)::INT AS ship_year,
+       n_lines, revenue
+FROM gs
+ORDER BY set_id, l_returnflag, l_linestatus, ship_year
+"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters": _HEAVY_HITTERS_ORACLE,
@@ -4519,6 +4874,19 @@ def oracle_sql() -> dict[str, str]:
         "audio_fp_neardup": _PHASH_NEARDUP_ORACLE,
         "hybrid_rank_overlap": _RANK_OVERLAP_ORACLE,
         "t_closeness_audit": _T_CLOSE_ORACLE,
+        "event_type_entropy_daily": _EVENT_ENTROPY_ORACLE,
+        "spearman_qty_discount": _SPEARMAN_ORACLE,
+        "hard_negative_mining": _HARD_NEG_ORACLE,
+        "ann_dim_truncation_eval": _DIM_TRUNC_ORACLE,
+        # the maintained (value, count) state rebuilt into the final buckets
+        # must equal the batch histogram — same oracle as the batch query
+        "stream_value_histogram": _HISTOGRAM_ORACLE,
+        "ann_sq8_topk": _ANN_RECALL_ORACLE,
+        "ab_test_bh_adjust": _BH_ADJUST_ORACLE,
+        # mergeable (day, type, n) state + the batch entropy ladder at serve
+        # time — same oracle as the batch query
+        "stream_event_entropy": _EVENT_ENTROPY_ORACLE,
+        "grouping_sets_revenue": _GROUPING_SETS_ORACLE,
         "graph_assortativity": _ASSORT_ORACLE,
         # maintained candles must equal the batch recount — same oracle
         "stream_ohlc_hourly": _OHLC_ORACLE,

@@ -559,3 +559,81 @@ def harmonic_centrality(
         .groupBy("node")
         .agg(F.sum("t").cast("double").alias("harmonic"))
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 5,
+    dp: int = 12,
+) -> DataFrame:
+    """(node, hub, authority) after ``iterations`` of HITS (Kleinberg 1999):
+    a ← Aᵀh then h ← Aa, each vector max-normalized per half-step. The
+    hub/authority split PageRank and Katz lack: a node that POINTS AT the
+    good stuff scores as a hub even with zero inbound links — the curation
+    signal link-graph quality scoring uses alongside raw authority.
+
+    Engine-exact arithmetic, the Katz ladder twice per iteration: each
+    edge contribution is the neighbor's current score (already a
+    ``dp``-decimal value) accumulated as DECIMAL(38,dp) — associative and
+    partition-order-proof; the max-normalization divides by the exact
+    DECIMAL max in ONE double division rounded to ``dp`` decimals. The
+    whole fixpoint therefore replays bit-for-bit as 2·iterations chained
+    CTEs. Nodes with no inbound (outbound) edges keep authority (hub) 0.
+
+    Scale per half-step: one node-keyed join of the edge list with the
+    (node, score) relation and one groupBy partial-sum — identical shape
+    to katz_centrality, so pre-bucketing the edge list by node id makes
+    both joins shuffle-free; the max is a 1-row broadcast. Plans are cut
+    with eager localCheckpoints so the loop never grows the lineage."""
+    dec = f"decimal(38,{dp})"
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    h = nodes.select("node", F.lit(1).cast(dec).alias("h")).localCheckpoint(
+        eager=True
+    )
+
+    def _propagate(scores: DataFrame, score_col: str, edge_from: str,
+                   edge_to: str, out_col: str) -> DataFrame:
+        raw = (
+            e.join(scores.withColumnRenamed("node", edge_from), edge_from)
+            .select(F.col(edge_to).alias("node"), F.col(score_col).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        mx = raw.agg(F.max("s").alias("mx"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("s"), F.lit(0).cast(dec)).cast("double")
+                    / F.col("mx").cast("double"),
+                    dp,
+                )
+                .cast(dec)
+                .alias(out_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    a = None
+    for _ in range(iterations):
+        a = _propagate(h.select("node", "h"), "h", "u", "v", "a")
+        h = _propagate(a.select("node", "a"), "a", "v", "u", "h")
+    out = nodes.join(a, "node", "left").join(h, "node", "left").select(
+        "node",
+        F.coalesce(F.col("h"), F.lit(0).cast(dec)).cast("double").alias("hub"),
+        F.coalesce(F.col("a"), F.lit(0).cast(dec)).cast("double").alias("authority"),
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out

@@ -2162,6 +2162,64 @@ LIMIT 20
 KATZ_CENTRAL_DOCS = _katz_sql()
 
 
+# operators.graph.hits_scores over the same link fixture
+# (pipeline.hits_hub_authority): a <- A'h, h <- Aa, each half-step
+# max-normalized — contributions DECIMAL(38,12)-summed, the ONE double
+# division per node rounded to 12dp, so 5 iterations unroll as 10 CTEs
+def _hits_sql(iterations: int = 5, dp: int = 12) -> str:
+    dec = f"DECIMAL(38,{dp})"
+    head = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+edges AS MATERIALIZED (
+  SELECT doc_id AS u, (doc_id * 31 + 7) % nn.n AS v FROM documents, nn
+  UNION ALL
+  SELECT doc_id AS u, (doc_id * doc_id + 1) % nn.n AS v FROM documents, nn
+),
+nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+h0 AS MATERIALIZED (SELECT node, 1::{dec} AS h FROM nodes)"""
+    its = []
+    # every intermediate is MATERIALIZED: DuckDB inlines plain CTEs, so a
+    # non-materialized chain re-expands the whole prefix at each reference
+    # (exponential); the max lives in its own 1-row CTE for the same reason
+    for i in range(1, iterations + 1):
+        its.append(f""",
+sa{i} AS MATERIALIZED (
+  SELECT e.v AS node, sum(r.h) AS s
+  FROM edges e JOIN h{i - 1} r ON e.u = r.node GROUP BY e.v
+),
+ma{i} AS MATERIALIZED (SELECT max(s) AS mx FROM sa{i}),
+a{i} AS MATERIALIZED (
+  SELECT d.node,
+         round(coalesce(s.s, 0)::DOUBLE / m.mx::DOUBLE, {dp})::{dec} AS a
+  FROM nodes d LEFT JOIN sa{i} s ON d.node = s.node CROSS JOIN ma{i} m
+),
+sh{i} AS MATERIALIZED (
+  SELECT e.u AS node, sum(r.a) AS s
+  FROM edges e JOIN a{i} r ON e.v = r.node GROUP BY e.u
+),
+mh{i} AS MATERIALIZED (SELECT max(s) AS mx FROM sh{i}),
+h{i} AS MATERIALIZED (
+  SELECT d.node,
+         round(coalesce(s.s, 0)::DOUBLE / m.mx::DOUBLE, {dp})::{dec} AS h
+  FROM nodes d LEFT JOIN sh{i} s ON d.node = s.node CROSS JOIN mh{i} m
+)"""
+        )
+    tail = f"""
+SELECT n.node AS doc_id,
+       round(h.h::DOUBLE, 10) AS hub,
+       round(a.a::DOUBLE, 10) AS authority
+FROM nodes n
+JOIN a{iterations} a ON a.node = n.node
+JOIN h{iterations} h ON h.node = n.node
+ORDER BY authority DESC, doc_id ASC
+LIMIT 20
+"""
+    return head + "".join(its) + tail
+
+
+HITS_HUB_AUTHORITY = _hits_sql()
+
+
 
 
 # plans.pipeline.flesch_reading_ease — identical regex proxies both engines
@@ -2596,6 +2654,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "embedding_mahalanobis_outliers": EMBEDDING_MAHALANOBIS,
     "ngram_novelty_scores": NGRAM_NOVELTY,
     "katz_central_docs": KATZ_CENTRAL_DOCS,
+    "hits_hub_authority": HITS_HUB_AUTHORITY,
     "flesch_reading_ease": FLESCH_READING_EASE,
     "token_zipf_fit": TOKEN_ZIPF_FIT,
     "source_keyness_g2": SOURCE_KEYNESS_G2,

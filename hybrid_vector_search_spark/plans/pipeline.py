@@ -2643,3 +2643,154 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the single most-similar corpus vector carrying a DIFFERENT
+    label — the near-miss that teaches an embedding model its decision
+    boundary (the in-batch-negatives upgrade every retrieval recipe uses;
+    cf. DPR, Karpukhin 2020). Exact cosine with the Atlas rescale, so the
+    oracle verifies the mined pair value-for-value, not just shape.
+
+    Plan: anchors (a fixed tiny query set) broadcast against the corpus —
+    the knn_join shape: score JVM-side in one codegen stage, filter
+    label mismatch BEFORE the top-k (pre-filter inside ANN, reference
+    backend/api.py filter semantics), then a queries×1 window pick. The
+    corpus scans once regardless of anchor count; at 100 TB the scan is
+    the cost and the mined pairs are queries-sized."""
+    from ..functions.vector import atlas_score
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("qvec"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .where(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(atlas_score(F.col("embedding"), F.col("qvec"), "cosine"), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("score"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+        .orderBy("anchor_id")
+    )
+
+
+def ann_dim_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit (Kusupati 2022): how
+    much of the exact full-dimension top-k does a search over only the
+    FIRST 16 of 64 dimensions recover? Truncated-prefix search is the
+    cheapest ANN accelerator there is — 4× less memory bandwidth, no
+    training, no index — and unlike IVF/LSH/PQ it is fully deterministic,
+    so the oracle replays BOTH sides and pins the recall VALUE itself
+    (stronger than the recall_ok attestation the trained indexes get).
+
+    Plan: two knn_join-shaped broadcast scans (full-dim and sliced), a
+    queries×k membership join, one tiny aggregate. Slicing happens in the
+    scan projection — at scale the truncated pass reads a quarter of the
+    vector bytes (with a columnar layout storing prefix dims separately,
+    literally a quarter of the I/O)."""
+    from ..functions.vector import atlas_score
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 10
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec_full"),
+        F.slice(F.col("embedding"), 1, 16).alias("qvec_16"),
+    )
+
+    def topk(vec_col: str, qvec_col: str, corpus_vec) -> DataFrame:
+        scored = emb.crossJoin(F.broadcast(queries)).select(
+            "query_id",
+            "vec_id",
+            F.round(atlas_score(corpus_vec, F.col(qvec_col), "cosine"), 6).alias(
+                "score"
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", "vec_id")
+        )
+
+    full = topk("embedding", "qvec_full", F.col("embedding"))
+    # rename BOTH key columns on the truncated side: the two top-k relations
+    # share lineage (same emb x queries scan), so distinct names keep the
+    # self-join's attributes unambiguous
+    trunc = topk("embedding", "qvec_16", F.slice(F.col("embedding"), 1, 16)).select(
+        F.col("query_id").alias("t_qid"),
+        F.col("vec_id").alias("t_id"),
+        F.lit(1).alias("hit"),
+    )
+    joined = full.join(
+        trunc,
+        (F.col("query_id") == F.col("t_qid")) & (F.col("vec_id") == F.col("t_id")),
+        "left",
+    ).select(F.col("query_id").alias("qid"), F.coalesce("hit", F.lit(0)).alias("hit"))
+    return (
+        joined.groupBy("qid")
+        .agg(
+            F.lit(k).cast("long").alias("k"),
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum("hit").cast("long").alias("n_recovered"),
+            F.round(F.sum("hit").cast("double") / F.lit(float(k)), 6).alias(
+                "recall_16"
+            ),
+        )
+        .withColumnRenamed("qid", "query_id")
+        .orderBy("query_id")
+    )
+
+
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/graph.hits_scores, 5 iterations)
+    over the same deterministic synthetic link graph as pagerank_top_docs /
+    katz_central_docs — the mutual-reinforcement pair PageRank collapses
+    into one number: a doc that links to authoritative docs is a hub even
+    with zero inbound links (the curation signal). Top-20 by authority;
+    the DECIMAL(38,12) ladder with per-half-step max-normalization makes
+    the fixpoint bit-replayable as 10 chained CTEs."""
+    from ..operators.graph import hits_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    ids = docs.select("doc_id")
+    # the second edge family is QUADRATIC, not the pagerank fixture's second
+    # linear map: two linear maps give a perfectly 2-regular in-degree (every
+    # authority ties at the normalized max — HITS degenerates); quadratic
+    # residues concentrate (in-degree 1..21 at sf0.001), giving the
+    # mutual-reinforcement structure the operator exists to rank
+    edges = ids.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % n).alias("dst"),
+    ).unionAll(
+        ids.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * F.col("doc_id") + 1) % n).alias("dst"),
+        )
+    )
+    out = hits_scores(edges, iterations=5)
+    return (
+        out.select(
+            F.col("node").alias("doc_id"),
+            F.round("hub", 10).alias("hub"),
+            F.round("authority", 10).alias("authority"),
+        )
+        .orderBy(F.desc("authority"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -3536,3 +3536,251 @@ def lineitem_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def event_type_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of the event-type mix per day — the drift
+    monitor a training-data pipeline runs over its ingest streams: a day
+    whose type distribution collapses (entropy drop) or flattens (entropy
+    spike) signals an upstream collector change long before any per-type
+    count threshold fires.
+
+    Plan: one (day, event_type) aggregate (map-side partial combine), then
+    the per-day total via a day-partitioned window over the tiny
+    days×types relation — no second pass over events. Each type's
+    −p·log2(p) term is quantized to 9 dp and DECIMAL-summed per day
+    (order-proof, the lineitem_correlations ladder), so the oracle replays
+    the entropy bit-for-bit regardless of partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("event_type")
+    ).agg(F.count("*").alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("day"))
+    p = F.col("n").cast("double") / F.col("n_day").cast("double")
+    term = -p * F.log2(p)
+    return (
+        per.withColumn("n_day", tot)
+        .groupBy("day")
+        .agg(
+            F.max("n_day").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.round(term, 9).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("entropy_raw"),
+        )
+        .select(
+            "day",
+            "n_events",
+            "n_types",
+            F.round("entropy_raw", 6).alias("entropy_bits"),
+        )
+        .orderBy("day")
+    )
+
+
+def spearman_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between l_quantity and l_discount —
+    the monotone-association screen (Spearman 1904) that catches
+    relationships Pearson's linear r misses (and is immune to the heavy
+    price tails that dominate lineitem_correlations).
+
+    Scale shape: NO global sort and NO corpus-wide window. Both columns
+    have bounded distinct-value spines (quantity: ≤50 integers, discount:
+    ≤11 ticks — domain facts that hold at any corpus size), so average
+    ranks are computed on the spine (groupBy(value) → counts → cumulative
+    window over the tiny spine) and broadcast-joined back; midrank for a
+    tie group of size n starting after c rows is c + (n+1)/2, exact in
+    DECIMAL(28,1). Pearson over the midranks then uses the DECIMAL
+    sufficient-statistics ladder (n, Σx, Σy, Σxy, Σx², Σy²) — one map-only
+    aggregate, one final double expression, bit-identical across engines
+    and partitionings."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def midranks(col: str) -> DataFrame:
+        counts = li.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return counts.select(
+            "v",
+            (
+                F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("decimal(12,1)")
+                + (F.col("cnt").cast("decimal(12,1)") + F.lit(1).cast("decimal(12,1)"))
+                / F.lit(2).cast("decimal(12,1)")
+            ).cast("decimal(12,1)").alias("r"),
+        )
+
+    rx = midranks("l_quantity").withColumnRenamed("r", "rx")
+    ry = midranks("l_discount").withColumnRenamed("r", "ry")
+    ranked = (
+        li.select("l_quantity", "l_discount")
+        .join(F.broadcast(rx), li.l_quantity == rx.v)
+        .drop("v")
+        .join(F.broadcast(ry), li.l_discount == ry.v)
+        .drop("v")
+    )
+    stats = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    rho = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return stats.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(rho, 6).alias("spearman_rho"),
+    )
+
+
+def ab_test_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Welch z-test of order value vs the rest of the corpus,
+    with Benjamini-Hochberg step-up adjustment (Benjamini & Hochberg 1995)
+    across the 25 simultaneous tests — the multiple-comparisons control an
+    experimentation platform owes any per-segment screen (ab_test_lift's
+    single-test z is anticonservative the moment you run it per segment).
+
+    One fact pass: per-nation (n, Σx, Σx²) in DECIMAL (exact, map-side
+    combined); the complement group's statistics come from the global
+    totals by subtraction, so "nation vs rest" needs no second scan. All
+    downstream arithmetic (Welch z from the sufficient stats, the
+    Abramowitz-Stegun 26.2.17 normal-tail polynomial for the p-value, the
+    BH reverse running-min) runs on the 25-row nation spine — window
+    functions over a dimension-sized relation, broadcast-sized forever.
+    p-values are quantized to 9 dp BEFORE ranking so both engines rank the
+    identical keys; ties break by nation name."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("sx"),
+            F.sum(
+                F.col("o_totalprice").cast(DEC) * F.col("o_totalprice").cast(DEC)
+            ).alias("sxx"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"), F.sum("sx").alias("tsx"), F.sum("sxx").alias("tsxx")
+    )
+    m_tests = per.agg(F.count("*").alias("m"))
+    na, nb = F.col("n").cast("double"), (F.col("tn") - F.col("n")).cast("double")
+    sxa, sxb = F.col("sx").cast("double"), (F.col("tsx") - F.col("sx")).cast("double")
+    sxxa = F.col("sxx").cast("double")
+    sxxb = (F.col("tsxx") - F.col("sxx")).cast("double")
+    ma, mb = sxa / na, sxb / nb
+    va = (sxxa - sxa * sxa / na) / (na - F.lit(1.0))
+    vb = (sxxb - sxb * sxb / nb) / (nb - F.lit(1.0))
+    z = (ma - mb) / F.sqrt(va / na + vb / nb)
+    az = F.abs(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    pdf = F.exp(-az * az / F.lit(2.0)) / F.lit(2.5066282746310002)
+    poly = t * (
+        F.lit(0.319381530)
+        + t
+        * (
+            F.lit(-0.356563782)
+            + t
+            * (F.lit(1.781477937) + t * (F.lit(-1.821255978) + t * F.lit(1.330274429)))
+        )
+    )
+    p = F.least(F.lit(2.0) * pdf * poly, F.lit(1.0))
+    scored = (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(m_tests))
+        .join(F.broadcast(nation), per.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").cast("long").alias("n_orders"),
+            F.round(z, 6).alias("z"),
+            F.round(p, 9).alias("p9"),
+            F.col("m"),
+        )
+    )
+    w_rank = Window.orderBy(F.asc("p9"), F.asc("nation"))
+    w_revmin = Window.orderBy(F.desc("p9"), F.desc("nation")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = scored.select(
+        "nation",
+        "n_orders",
+        "z",
+        "p9",
+        (
+            F.col("p9") * F.col("m").cast("double")
+            / F.row_number().over(w_rank).cast("double")
+        ).alias("adj_raw"),
+    )
+    return (
+        ranked.withColumn("p_bh", F.least(F.min("adj_raw").over(w_revmin), F.lit(1.0)))
+        .select(
+            "nation",
+            "n_orders",
+            "z",
+            F.round("p9", 6).alias("p_value"),
+            F.round("p_bh", 6).alias("p_bh"),
+            (F.col("p_bh") <= F.lit(0.05)).alias("significant"),
+        )
+        .orderBy("nation")
+    )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous GROUPING SETS — ((returnflag, linestatus),
+    (ship_year), ()) — the member of the multi-aggregation family CUBE
+    and ROLLUP can't express: the sets share no hierarchy (a flag×status
+    breakdown, an orthogonal yearly trend, and the grand total) yet land
+    in ONE pass instead of three unioned scans.
+
+    Same two-phase shape as cube_revenue: a plain groupBy on the union of
+    all grouping columns first (map-side partial combine; fact rows cross
+    the wire once, to a flag×status×year ≈ 50-row relation), then
+    groupingSets over that tiny aggregate — Expand multiplies rows by the
+    number of sets AFTER the reduction, not before. DECIMAL re-aggregation
+    keeps the rewrite exact. The set id derives from the null pattern (the
+    real columns are never null in this data), not grouping_id(), so both
+    engines label levels without relying on matching bitmask conventions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    base = li.groupBy(
+        "l_returnflag", "l_linestatus", F.year("l_shipdate").alias("ship_year")
+    ).agg(F.count("*").alias("cnt"), F.sum(disc_price).alias("rev_dec"))
+    gs = base.groupingSets(
+        [
+            [F.col("l_returnflag"), F.col("l_linestatus")],
+            [F.col("ship_year")],
+            [],
+        ],
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.col("ship_year"),
+    ).agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        F.round(F.sum("rev_dec"), 2)
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("revenue"),
+    )
+    set_id = (
+        F.when(
+            F.col("l_returnflag").isNull() & F.col("ship_year").isNull(), F.lit(2)
+        )
+        .when(F.col("l_returnflag").isNotNull(), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    return gs.select(
+        set_id.alias("set_id"),
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+        F.coalesce(F.col("ship_year"), F.lit(-1)).cast("int").alias("ship_year"),
+        "n_lines",
+        "revenue",
+    ).orderBy("set_id", "l_returnflag", "l_linestatus", "ship_year")

@@ -880,3 +880,221 @@ def ohlc_from_state(
         .orderBy("hour")
         .localCheckpoint(eager=True)
     )
+
+
+VALUES = "values"
+
+
+def stream_histogram(
+    spark: SparkSession,
+    source_dir: str,
+    value_col: str,
+    state_dir: str,
+    checkpoint_path: str,
+    *,
+    key_dp: int = 2,
+    max_files_per_trigger: int | None = None,
+    commit_mode: str = "rename",
+):
+    """Maintain a mergeable exact value-frequency state over a file stream
+    (availableNow); returns the query. The batch twin is
+    plans.relational.value_histogram: the stream cannot know the global
+    [min, max] bounds up front (they move as data arrives), so the state
+    is NOT the 20 final buckets — it is the (value, count) relation keyed
+    by the value quantized to ``key_dp`` decimals (exact for 2-dp money
+    values: the DECIMAL cast round-trips the double bit-for-bit). Counts
+    merge by sum (associative + commutative), and min/max are derivable
+    from the keys themselves, so ANY batching yields the same state and
+    :func:`histogram_from_state` rebinds the final data-derived buckets at
+    read time — stream ≡ batch exactly, not approximately.
+
+    State is O(|distinct quantized values|) — bounded by the value domain
+    (price-like 2-dp columns: domain_width × 10^key_dp keys), independent
+    of stream length. For genuinely unbounded domains at 100 TB, lower
+    ``key_dp`` (coarser keys, still mergeable) — the histogram then bins
+    coarsened values, the standard streaming-histogram trade
+    (Ben-Haim & Tom-Tov 2010); with key_dp high enough to separate the
+    batch bucket boundaries the result stays exact.
+
+    Same at-least-once epoch guard and rename/manifest commit contract as
+    :func:`stream_heavy_hitters` (shared helpers)."""
+    dec = f"decimal(18,{key_dp})"
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    ckpt_id = os.path.abspath(checkpoint_path)
+
+    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        current = _resolve_current(state_dir, commit_mode)
+        if _epoch_skip(current, ckpt_id, epoch_id, state_dir):
+            return
+        sess = batch_df.sparkSession
+        partial = batch_df.groupBy(
+            F.col(value_col).cast(dec).alias("v")
+        ).agg(F.count("*").alias("n"))
+        state_path = os.path.join(current, VALUES)
+        if os.path.exists(state_path):
+            partial = partial.unionByName(sess.read.parquet(state_path))
+        merged = (
+            partial.groupBy("v")
+            .agg(F.sum("n").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        meta = {"epoch": epoch_id, "checkpoint": ckpt_id}
+
+        def write(target: str) -> None:
+            merged.write.mode("overwrite").parquet(os.path.join(target, VALUES))
+
+        _commit_version(state_dir, commit_mode, meta, write)
+
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def histogram_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    buckets: int = 20,
+    commit_mode: str = "rename",
+) -> DataFrame:
+    """(bucket, n) — the batch value_histogram read off the maintained
+    state: bounds = exact min/max of the state keys (equal to the raw
+    stream's min/max when key_dp preserves the values), then width_bucket
+    over the state's (value, count) rows weighted by count. Touches only
+    the tiny state relation; the final histogram is identical to running
+    the batch query over the full replayed stream."""
+    current = _resolve_current(state_dir, commit_mode)
+    st = spark.read.parquet(os.path.join(current, VALUES))
+    bounds = st.agg(
+        F.min(F.col("v").cast("double")).alias("lo"),
+        F.max(F.col("v").cast("double")).alias("hi"),
+    )
+    return (
+        st.join(F.broadcast(bounds))
+        .select(
+            F.width_bucket(
+                F.col("v").cast("double"), F.col("lo"), F.col("hi"), F.lit(buckets)
+            ).alias("bucket"),
+            "n",
+        )
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+        .orderBy("bucket")
+        .localCheckpoint(eager=True)
+    )
+
+
+TYPE_COUNTS = "type_counts"
+
+
+def stream_type_mix(
+    spark: SparkSession,
+    source_dir: str,
+    ts_col: str,
+    type_col: str,
+    state_dir: str,
+    checkpoint_path: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    commit_mode: str = "rename",
+):
+    """Maintain the per-(day, type) count relation over a file stream
+    (availableNow); returns the query. The batch twin is
+    plans.relational.event_type_entropy_daily: entropy is NOT mergeable,
+    but its sufficient statistics — the (day, type, n) counts — merge by
+    sum, so the state folds exactly under any batching and
+    :func:`type_mix_entropy_from_state` computes the entropy ladder over
+    the tiny days×types state at read time. Stream ≡ batch exactly (the
+    stream_histogram principle: persist the mergeable sufficient
+    statistics, defer the non-mergeable final expression to serve time).
+
+    State is O(days × |type alphabet|) rows — the alphabet is small by
+    construction and late events fold into their (day, type) cell without
+    a watermark (sum is order-free). Same at-least-once epoch guard and
+    rename/manifest commit contract as the other folds here."""
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    ckpt_id = os.path.abspath(checkpoint_path)
+
+    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        current = _resolve_current(state_dir, commit_mode)
+        if _epoch_skip(current, ckpt_id, epoch_id, state_dir):
+            return
+        sess = batch_df.sparkSession
+        partial = batch_df.groupBy(
+            F.date_format(ts_col, "yyyy-MM-dd").alias("day"),
+            F.col(type_col).alias("etype"),
+        ).agg(F.count("*").alias("n"))
+        state_path = os.path.join(current, TYPE_COUNTS)
+        if os.path.exists(state_path):
+            partial = partial.unionByName(sess.read.parquet(state_path))
+        merged = (
+            partial.groupBy("day", "etype")
+            .agg(F.sum("n").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        meta = {"epoch": epoch_id, "checkpoint": ckpt_id}
+
+        def write(target: str) -> None:
+            merged.write.mode("overwrite").parquet(
+                os.path.join(target, TYPE_COUNTS)
+            )
+
+        _commit_version(state_dir, commit_mode, meta, write)
+
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def type_mix_entropy_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    commit_mode: str = "rename",
+) -> DataFrame:
+    """(day, n_events, n_types, entropy_bits) — the batch
+    event_type_entropy_daily expression evaluated over the maintained
+    (day, type, n) state: same −p·log2 p 9-dp quantize → DECIMAL-sum
+    ladder, so the serve equals the batch query bit-for-bit."""
+    from pyspark.sql import Window
+
+    current = _resolve_current(state_dir, commit_mode)
+    per = spark.read.parquet(os.path.join(current, TYPE_COUNTS))
+    tot = F.sum("n").over(Window.partitionBy("day"))
+    p = F.col("n").cast("double") / F.col("n_day").cast("double")
+    term = -p * F.log2(p)
+    return (
+        per.withColumn("n_day", tot)
+        .groupBy("day")
+        .agg(
+            F.max("n_day").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.round(term, 9).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("entropy_raw"),
+        )
+        .select(
+            "day",
+            "n_events",
+            "n_types",
+            F.round("entropy_raw", 6).alias("entropy_bits"),
+        )
+        .orderBy("day")
+        .localCheckpoint(eager=True)
+    )

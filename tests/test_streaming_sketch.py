@@ -685,3 +685,128 @@ def test_stream_ohlc_is_batching_order_insensitive(spark, tmp_path):
     want = [tuple(r[c] for c in cols)
             for r in events_value_ohlc_hourly(spark, sf_dir).collect()]
     assert got == want
+
+
+def test_stream_histogram_equals_declared_batch_query(spark, tmp_path):
+    """The maintained (2-dp value, count) state rebuilt into data-derived
+    buckets must equal relational.value_histogram over the real sf0.001
+    events split across three micro-batches — exactly, not approximately:
+    counts merge by sum and bounds come from the state keys."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.plans.relational import value_histogram
+    from hybrid_vector_search_spark.sources import load_table
+    from hybrid_vector_search_spark.streaming.sketch import (
+        histogram_from_state,
+        stream_histogram,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    src = str(tmp_path / "src")
+    ev.where(F.col("event_id") % 3 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    ev.where(F.col("event_id") % 3 == 1).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("event_id") % 3 == 2).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_histogram(
+        spark, src, "value", state_dir=str(tmp_path / "state"),
+        checkpoint_path=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    got = [
+        (r["bucket"], r["n"])
+        for r in histogram_from_state(spark, str(tmp_path / "state")).collect()
+    ]
+    want = [
+        (r["bucket"], r["n"]) for r in value_histogram(spark, sf_dir).collect()
+    ]
+    assert got == want and len(got) >= 2
+
+
+def test_stream_histogram_batching_invariance(spark, tmp_path):
+    """One-file delivery and three-file delivery produce identical state
+    relations (merge is associative + commutative), hence identical
+    histograms."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.sources import load_table
+    from hybrid_vector_search_spark.streaming.sketch import (
+        histogram_from_state,
+        stream_histogram,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    outs = []
+    for tag, nparts in (("one", 1), ("three", 3)):
+        src = str(tmp_path / f"src_{tag}")
+        if nparts == 1:
+            ev.coalesce(1).write.mode("overwrite").parquet(src)
+        else:
+            for m in range(nparts):
+                ev.where(F.col("event_id") % nparts == m).coalesce(1).write.mode(
+                    "append" if m else "overwrite"
+                ).parquet(src)
+        q = stream_histogram(
+            spark, src, "value", state_dir=str(tmp_path / f"state_{tag}"),
+            checkpoint_path=str(tmp_path / f"ckpt_{tag}"), max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+        outs.append(
+            [
+                (r["bucket"], r["n"])
+                for r in histogram_from_state(
+                    spark, str(tmp_path / f"state_{tag}")
+                ).collect()
+            ]
+        )
+    assert outs[0] == outs[1]
+
+
+def test_stream_type_mix_equals_declared_batch_query(spark, tmp_path):
+    """The maintained (day, type, n) counts served through the entropy
+    ladder must equal relational.event_type_entropy_daily over the real
+    sf0.001 events split across three micro-batches — bit-for-bit: the
+    sufficient statistics merge exactly and the serve-time expression is
+    the batch expression."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.plans.relational import (
+        event_type_entropy_daily,
+    )
+    from hybrid_vector_search_spark.sources import load_table
+    from hybrid_vector_search_spark.streaming.sketch import (
+        stream_type_mix,
+        type_mix_entropy_from_state,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    src = str(tmp_path / "src")
+    for m in range(3):
+        ev.where(F.col("event_id") % 3 == m).coalesce(1).write.mode(
+            "append" if m else "overwrite"
+        ).parquet(src)
+
+    q = stream_type_mix(
+        spark, src, "ts", "event_type", state_dir=str(tmp_path / "state"),
+        checkpoint_path=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    got = [
+        (r["day"], r["n_events"], r["n_types"], r["entropy_bits"])
+        for r in type_mix_entropy_from_state(
+            spark, str(tmp_path / "state")
+        ).collect()
+    ]
+    want = [
+        (r["day"], r["n_events"], r["n_types"], r["entropy_bits"])
+        for r in event_type_entropy_daily(spark, sf_dir).collect()
+    ]
+    assert got == want and len(got) >= 10
