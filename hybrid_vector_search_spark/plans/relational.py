@@ -3784,3 +3784,45 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         "revenue",
     ).orderBy("set_id", "l_returnflag", "l_linestatus", "ship_year")
+
+
+def revenue_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aware RANGE window frame: trailing-7-CALENDAR-DAY revenue
+    over a SPARSE daily series (high-quantity lineitems only) — the frame
+    family revenue_moving_avg's ROWS BETWEEN cannot express: with gaps in
+    the series, "last 7 rows" silently reaches weeks back while "last 7
+    days" holds its window, which is why every time-series rollup over
+    irregular data needs RANGE frames. days_in_frame < 7 rows make the
+    distinction visible (and oracle-pinned) wherever the series has gaps.
+
+    The range key is an integer day number (datediff from a fixed epoch) —
+    identical arithmetic in both engines, no timestamp-unit ambiguity. The
+    global-ordered window runs on the ≤365-row daily aggregate, never the
+    fact table; daily revenue is DECIMAL-exact through the frame sum with
+    one final double division."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_quantity") >= 48)
+    )
+    daily = li.groupBy(F.to_date("l_shipdate").alias("ship_day")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("rev_dec")
+    )
+    keyed = daily.withColumn(
+        "day_num", F.datediff(F.col("ship_day"), F.lit("1995-01-01"))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return (
+        keyed.select(
+            F.date_format("ship_day", "yyyy-MM-dd").alias("ship_day"),
+            F.col("rev_dec").cast("double").alias("daily_revenue"),
+            F.round(
+                F.sum("rev_dec").over(w).cast("double") / F.count("*").over(w), 6
+            ).alias("range_avg_7d"),
+            F.count("*").over(w).cast("long").alias("days_in_frame"),
+        )
+        .orderBy("ship_day")
+    )

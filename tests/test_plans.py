@@ -692,3 +692,67 @@ def test_ucb_totals_broadcast(spark):
 
     plan = _plan(ucb1_arm_scores(spark, SF_SMALL))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hard_negative_mining_broadcasts_anchors(spark):
+    """The anchor set broadcasts (BroadcastNestedLoopJoin over the corpus
+    scan); the corpus is never shuffled for scoring — only the pruned
+    (anchor, candidate, score) rows reach the window exchange."""
+    from hybrid_vector_search_spark.plans.pipeline import hard_negative_mining
+
+    plan = _plan(hard_negative_mining(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_spearman_spine_ranks_broadcast(spark):
+    """Both midrank spines join back broadcast — the fact table is scanned
+    once per column family and never range-partitioned (no global sort at
+    any corpus size)."""
+    from hybrid_vector_search_spark.plans.relational import spearman_qty_discount
+
+    plan = _plan(spearman_qty_discount(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_bh_adjust_single_fact_exchange(spark):
+    """ONE sufficient-statistics pass over the orders×customer join feeds
+    every downstream test: exactly one exchange carries fact-table volume
+    (the o_custkey join); everything after runs on the 25-row nation
+    spine."""
+    from hybrid_vector_search_spark.plans.relational import ab_test_bh_adjust
+
+    plan = _plan(ab_test_bh_adjust(spark, SF_SMALL))
+    # fact-volume exchanges: the orders/customer equi-join sides. All other
+    # exchanges must be SinglePartition (spine windows) or broadcast.
+    import re
+
+    hash_parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    fact_keys = [h for h in hash_parts if "custkey" in h or "nationkey" in h]
+    assert len(fact_keys) <= 3, (fact_keys, plan)
+
+
+def test_sq8_encode_plan_is_narrow_map(spark):
+    """encode_sq is a narrow Arrow map over the scan — no exchange between
+    the parquet read and the MapInPandas (codes are produced where the
+    vectors live; at 100 TB nothing shuffles for encoding)."""
+    from hybrid_vector_search_spark.operators.sq import encode_sq, train_sq
+    from hybrid_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    params = train_sq(emb, "embedding")
+    plan = _plan(encode_sq(emb, params, id_col="vec_id", vector_col="embedding"))
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, f"encode must not shuffle:\n{plan}"
+
+
+def test_entropy_daily_two_exchanges_only(spark):
+    """event_type_entropy_daily: the fact table crosses the wire once (the
+    (day, type) partial-combined aggregate); the day window and final
+    aggregate run on the days×types relation."""
+    from hybrid_vector_search_spark.plans.relational import (
+        event_type_entropy_daily,
+    )
+
+    plan = _plan(event_type_entropy_daily(spark, SF_SMALL))
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
