@@ -408,6 +408,31 @@ PICKS = {
         "come from rank-1 filters over the canonical (ts, event_id) order,\n"
         "never an unordered first()/last()."
     ),
+    "hard_negative_mining": (
+        "Contrastive hard-negative mining (r10): the anchor set broadcasts\n"
+        "(BroadcastNestedLoopJoin over one corpus scan), the label-mismatch\n"
+        "filter prunes BEFORE the per-anchor window pick, and only the\n"
+        "(anchor, candidate, score) rows reach the exchange - vectors never\n"
+        "shuffle, the corpus scans once regardless of anchor count."
+    ),
+    "spearman_qty_discount": (
+        "Spearman rank correlation (r10): NO global sort at any corpus size -\n"
+        "midranks live on the bounded distinct-value spines (tiny single-\n"
+        "partition windows), broadcast back onto the fact scan, and the\n"
+        "DECIMAL sufficient-statistics ladder reduces in one map-side-\n"
+        "combined aggregate."
+    ),
+    "grouping_sets_revenue": (
+        "Heterogeneous GROUPING SETS (r10): the two-phase shape - Expand\n"
+        "multiplies the ~50-row pre-aggregate by the number of sets, never\n"
+        "the fact table; fact rows cross the wire exactly once."
+    ),
+    "ab_test_bh_adjust": (
+        "Welch z + Benjamini-Hochberg (r10): one sufficient-statistics pass\n"
+        "over the orders-customer join; the complement group comes from the\n"
+        "global totals by subtraction (no second scan), and every window\n"
+        "(rank, reverse running-min) runs on the 25-row nation spine."
+    ),
 }
 
 
