@@ -1202,6 +1202,49 @@ def q_stream_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_COMPACT_SRC_CACHE: dict[str, str] = {}
+
+
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction driver-checked end-to-end (sources/sinks.py
+    compact): the documents table staged as 64 tiny files (the streaming-
+    append pathology), compacted to ceil(n/2000) files, read back and
+    aggregated. The oracle aggregates the source directly AND computes the
+    expected output file count from count(*) — so the check pins both that
+    compaction loses/alters nothing and that the rewritten layout actually
+    hit its target file count (n_files_out comes from input_file_name()
+    over the compacted directory, a physical-layout fact)."""
+    from hybrid_vector_search_spark.sources.sinks import compact
+
+    src = _COMPACT_SRC_CACHE.get(sf_dir)
+    safe = sf_dir.strip("/").replace("/", "_")
+    if src is None:
+        src = f"{_session_tmpdir()}/compact/{safe}/tiny"
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        ).repartition(64).write.mode("overwrite").parquet(src)
+        _COMPACT_SRC_CACHE[sf_dir] = src
+    dst = f"{_session_tmpdir()}/compact/{safe}/out"
+    compact(spark, src, dst, target_rows_per_file=2000)
+    rb = spark.read.parquet(dst)
+    # project input_file_name() BEFORE aggregating (Spark 4 rejects
+    # nondeterministic expressions inside aggregate arguments)
+    files = (
+        rb.select(F.input_file_name().alias("f"))
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_files_out"))
+    )
+    return (
+        rb.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(files))
+        .orderBy("lang")
+    )
+
+
 def _staged_time_ordered_events_with_value(spark: SparkSession, sf_dir: str) -> str:
     """Same three-file time-ordered staging as _staged_time_ordered_events
     but carrying the value column (the OHLC stream folds values)."""
@@ -2194,6 +2237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_event_entropy": _memo("stream_event_entropy", q_stream_event_entropy),
         "grouping_sets_revenue": relational.grouping_sets_revenue,
         "revenue_range_frame_7d": relational.revenue_range_frame_7d,
+        "image_channel_stats": pipeline.image_channel_stats,
+        "compaction_roundtrip": q_compaction_roundtrip,
         # --- r9-verified (CORRECTNESS_r09 green), oldest-first
         "unicode_token_stats": pipeline.unicode_token_stats,
         "quality_curriculum": pipeline.quality_curriculum,
@@ -4860,6 +4905,55 @@ ORDER BY ship_day
 
 
 
+# pipeline.image_channel_stats: the planted brightness walks make every
+# decoded-pixel statistic pure id arithmetic — row r starts at 128 and
+# steps ±8 by bit (r*8+c) of the planted hash; flip masks are additions
+# because bits 56-60 of the repeated group id are zero pre-flip
+_IMAGE_STATS_ORACLE = """
+WITH ids AS (
+  SELECT doc_id, doc_id // 6 AS g, doc_id % 6 AS v FROM documents
+),
+bits AS (
+  SELECT doc_id,
+         ((g & 16383) | ((g & 16383) << 14) | ((g & 16383) << 28)
+          | ((g & 16383) << 42))
+         + (CASE v WHEN 0 THEN 0
+                   WHEN 1 THEN 72057594037927936
+                   WHEN 2 THEN 216172782113783808
+                   WHEN 3 THEN 504403158265495552
+                   WHEN 4 THEN 1080863910568919040
+                   WHEN 5 THEN 2233785415175766016 END) AS b
+  FROM ids
+),
+rg AS (SELECT unnest(range(0, 8)) AS r),
+cg AS (SELECT unnest(range(0, 9)) AS c),
+pix AS (
+  SELECT doc_id,
+         CASE WHEN c = 0 THEN 128
+              ELSE 128 + 8 * (2 * bit_count((b >> (r * 8))
+                              & ((1::BIGINT << c) - 1)) - c)
+         END AS px
+  FROM bits, rg, cg
+)
+SELECT doc_id, 72::BIGINT AS n_px, sum(px)::BIGINT AS sum_brightness,
+       min(px)::INT AS min_px, max(px)::INT AS max_px,
+       round(sum(px)::DOUBLE / 72.0, 6) AS mean_brightness
+FROM pix GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+
+# q_compaction_roundtrip: values from the source, the expected compacted
+# file count from count(*) — layout facts under oracle equality
+_COMPACTION_ORACLE = """
+WITH t AS (SELECT ceil(count(*) / 2000.0)::BIGINT AS n_files_out FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       (SELECT n_files_out FROM t) AS n_files_out
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters": _HEAVY_HITTERS_ORACLE,
@@ -4937,6 +5031,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_event_entropy": _EVENT_ENTROPY_ORACLE,
         "grouping_sets_revenue": _GROUPING_SETS_ORACLE,
         "revenue_range_frame_7d": _RANGE_FRAME_ORACLE,
+        "image_channel_stats": _IMAGE_STATS_ORACLE,
+        "compaction_roundtrip": _COMPACTION_ORACLE,
         "graph_assortativity": _ASSORT_ORACLE,
         # maintained candles must equal the batch recount — same oracle
         "stream_ohlc_hourly": _OHLC_ORACLE,

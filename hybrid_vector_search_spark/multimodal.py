@@ -664,3 +664,45 @@ def banded_hamming_pairs(
         .where(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+
+
+def image_brightness_stats(media: DataFrame) -> DataFrame:
+    """(media_id, n_px, sum_brightness, min_px, max_px) from the DECODED
+    pixels of each image — the per-asset exposure/contrast profile an
+    image-curation pipeline computes right after ingest (dark/blown-out
+    frame screens, normalization stats for training transforms).
+
+    Every number comes out of the real codec path: n_px is the decoded
+    dimension product (pinning width×height against the container
+    metadata), the sums/extrema are over decoded bytes. Scale shape is the
+    dHash lane's: decode runs in the scan partition inside one Arrow map,
+    content bytes never shuffle — only the 5-int stat rows move."""
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, npx, sums, mns, mxs = [], [], [], [], []
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                m = dict(meta) if meta is not None else {}
+                img = decode_media(bytes(content), m)
+                grey = img[:, :, 0] if img.ndim == 3 else img
+                ids.append(int(mid))
+                npx.append(int(grey.size))
+                sums.append(int(grey.astype(np.int64).sum()))
+                mns.append(int(grey.min()))
+                mxs.append(int(grey.max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_px": npx,
+                    "sum_brightness": sums,
+                    "min_px": mns,
+                    "max_px": mxs,
+                }
+            )
+
+    return media.mapInPandas(
+        kern,
+        "media_id long, n_px long, sum_brightness long, min_px int, max_px int",
+    )

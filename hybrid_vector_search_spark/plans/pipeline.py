@@ -2794,3 +2794,32 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+def image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brightness statistics over the REAL-PNG corpus: every image is
+    decoded executor-side (stdlib codec) and its pixel sum/extrema and
+    decoded dimensions reported — the third real-bytes lane query after
+    the dHash pair join and the WAV window RMS. The planted brightness
+    walks make every statistic pure id arithmetic (row r starts at 128
+    and steps ±8 by the bit pattern), so the DuckDB oracle replays sums,
+    minima and maxima per image from doc_id alone while Spark does full
+    PNG decode work — byte-level decoder faults (filter math, bit depth)
+    surface as value mismatches on every row."""
+    from .. import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    media = multimodal.synthetic_png_corpus(docs.repartition(par))
+    stats = multimodal.image_brightness_stats(media)
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        "n_px",
+        "sum_brightness",
+        "min_px",
+        "max_px",
+        F.round(
+            F.col("sum_brightness").cast("double") / F.col("n_px").cast("double"),
+            6,
+        ).alias("mean_brightness"),
+    ).orderBy("doc_id")

@@ -28,16 +28,23 @@ def test_no_cartesian_or_rowwise_python_in_any_declared_plan(spark):
     import __spark_entry__ as entry_mod
 
     violations: dict[str, list[str]] = {}
-    for name, fn in entry_mod.queries().items():
-        if name.startswith("stream_"):
-            continue
-        df = fn(spark, SF_SMALL)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        bad = []
-        if "CartesianProduct" in plan:
-            bad.append("CartesianProduct")
-        if "BatchEvalPython" in plan:
-            bad.append("BatchEvalPython (row-at-a-time Python UDF)")
-        if bad:
-            violations[name] = bad
+    try:
+        for name, fn in entry_mod.queries().items():
+            if name.startswith("stream_"):
+                continue
+            df = fn(spark, SF_SMALL)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            bad = []
+            if "CartesianProduct" in plan:
+                bad.append("CartesianProduct")
+            if "BatchEvalPython" in plan:
+                bad.append("BatchEvalPython (row-at-a-time Python UDF)")
+            if bad:
+                violations[name] = bad
+    finally:
+        # the driver queries cache shared relations (ANN corpus, layouts);
+        # leaving them cached makes Catalyst substitute InMemoryRelation
+        # for matching scans in LATER tests, which silently defeats the
+        # parquet pushdown those tests assert on — sweep, then clean up
+        spark.catalog.clearCache()
     assert not violations, f"plan lint violations: {violations}"
