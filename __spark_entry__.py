@@ -2239,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_range_frame_7d": relational.revenue_range_frame_7d,
         "image_channel_stats": pipeline.image_channel_stats,
         "compaction_roundtrip": q_compaction_roundtrip,
+        "kmeans_price_segments": _memo("kmeans_price_segments", relational.kmeans_price_segments),
         # --- r9-verified (CORRECTNESS_r09 green), oldest-first
         "unicode_token_stats": pipeline.unicode_token_stats,
         "quality_curriculum": pipeline.quality_curriculum,
@@ -4954,6 +4955,64 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 
+# relational.kmeans_price_segments: Lloyd's fixpoint unrolled as chained
+# CTEs — assignment CASE identical to the Spark expression (ties to the
+# lower cluster id), DECIMAL cluster sums, ONE rounded double division per
+# centroid per iteration, empty clusters keep their previous centroid
+def _kmeans_sql(k: int = 4, iterations: int = 4) -> str:
+    inits = [50000.0, 150000.0, 250000.0, 350000.0][:k]
+
+    def case(prefix: str) -> str:
+        whens = []
+        for i in range(k - 1):
+            conds = " AND ".join(
+                f"abs(p - {prefix}.c{i}) <= abs(p - {prefix}.c{j})"
+                for j in range(i + 1, k)
+            )
+            whens.append(f"WHEN {conds} THEN {i}")
+        return "CASE " + " ".join(whens) + f" ELSE {k - 1} END"
+
+    init_cols = ", ".join(f"{c!r}::DOUBLE AS c{i}" for i, c in enumerate(inits))
+    parts = [f"""
+WITH prices AS MATERIALIZED (
+  SELECT o_totalprice::DECIMAL(18,2) AS pd,
+         o_totalprice::DECIMAL(18,2)::DOUBLE AS p
+  FROM orders
+),
+cc0 AS MATERIALIZED (SELECT {init_cols})"""]
+    for t in range(1, iterations + 1):
+        upd = ", ".join(
+            f"coalesce(max(CASE WHEN cl = {i} THEN"
+            f" round(s::DOUBLE / n::DOUBLE, 6) END), any_value(t.c{i})) AS c{i}"
+            for i in range(k)
+        )
+        parts.append(f""",
+ag{t} AS MATERIALIZED (
+  SELECT {case('t')} AS cl, sum(pd) AS s, count(*) AS n
+  FROM prices, cc{t - 1} t GROUP BY 1
+),
+cc{t} AS MATERIALIZED (SELECT {upd} FROM ag{t} CROSS JOIN cc{t - 1} t)"""
+        )
+    cent = " ".join(f"WHEN cl = {i} THEN t.c{i}" for i in range(k))
+    parts.append(f""",
+fin AS (
+  SELECT {case('t')} AS cl, sum(pd) AS s, count(*) AS n
+  FROM prices, cc{iterations} t GROUP BY 1
+)
+SELECT cl::INT AS cluster_id,
+       round((CASE {cent} END), 6) AS centroid,
+       n::BIGINT AS n_orders,
+       round(s::DOUBLE / n::DOUBLE, 6) AS mean_price
+FROM fin CROSS JOIN cc{iterations} t
+ORDER BY cluster_id
+""")
+    return "".join(parts)
+
+
+_KMEANS_SEGMENTS_ORACLE = _kmeans_sql()
+
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters": _HEAVY_HITTERS_ORACLE,
@@ -5033,6 +5092,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_range_frame_7d": _RANGE_FRAME_ORACLE,
         "image_channel_stats": _IMAGE_STATS_ORACLE,
         "compaction_roundtrip": _COMPACTION_ORACLE,
+        "kmeans_price_segments": _KMEANS_SEGMENTS_ORACLE,
         "graph_assortativity": _ASSORT_ORACLE,
         # maintained candles must equal the batch recount — same oracle
         "stream_ohlc_hourly": _OHLC_ORACLE,

@@ -3826,3 +3826,69 @@ def revenue_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_day")
     )
+
+
+def kmeans_price_segments(
+    spark: SparkSession, sf_dir: str, *, k: int = 4, iterations: int = 4
+) -> DataFrame:
+    """Distributed Lloyd's K-means over order value (k=4 price segments,
+    fixed literal inits, 4 iterations) — the iterative-algorithm shape
+    every Spark deployment runs (IVF coarse quantizers, churn segments):
+    centroids are a k-row relation BROADCAST each round, assignment is a
+    CASE argmin evaluated inside the scan's codegen stage, the update is
+    one map-side-combined aggregate — one pass over the facts per
+    iteration, nothing but k (sum, count) rows ever reaches the driver
+    (the centroid-sized collect the PQ/IVF builders also make).
+
+    Fully engine-exact, unlike library KMeans: inits are shared literals,
+    per-cluster sums are DECIMAL (associative), each new centroid is ONE
+    double division rounded to 6 dp, ties assign to the lower cluster id —
+    so the whole fixpoint replays as chained CTEs and the oracle pins the
+    final centroids, sizes and means value-for-value."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast(DEC).alias("pd")
+    )
+    cents = [50000.0, 150000.0, 250000.0, 350000.0][:k]
+
+    def assign_col(cs: list[float]):
+        p = F.col("pd").cast("double")
+        dists = [F.abs(p - F.lit(c)) for c in cs]
+        expr = F.lit(len(cs) - 1)
+        for i in range(len(cs) - 2, -1, -1):
+            cond = dists[i] <= dists[i + 1]
+            for j in range(i + 2, len(cs)):
+                cond = cond & (dists[i] <= dists[j])
+            expr = F.when(cond, F.lit(i)).otherwise(expr)
+        return expr.alias("cl")
+
+    for _ in range(iterations):
+        # round INSIDE Spark (HALF_UP, matching SQL round) — Python's
+        # round() is banker's and would diverge at exact .5 boundaries
+        stats = (
+            orders.select("pd", assign_col(cents))
+            .groupBy("cl")
+            .agg(
+                F.round(
+                    F.sum("pd").cast("double") / F.count("*").cast("double"), 6
+                ).alias("c")
+            )
+            .collect()
+        )
+        by_cl = {r["cl"]: float(r["c"]) for r in stats}
+        cents = [by_cl.get(i, cents[i]) for i in range(k)]
+    final = (
+        orders.select("pd", assign_col(cents))
+        .groupBy("cl")
+        .agg(F.sum("pd").alias("s"), F.count("*").alias("n"))
+    )
+    cent_col = F.create_map(
+        *[x for i, c in enumerate(cents) for x in (F.lit(i), F.lit(c))]
+    )[F.col("cl")]
+    return final.select(
+        F.col("cl").cast("int").alias("cluster_id"),
+        F.round(cent_col, 6).alias("centroid"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(F.col("s").cast("double") / F.col("n").cast("double"), 6).alias(
+            "mean_price"
+        ),
+    ).orderBy("cluster_id")
