@@ -1202,6 +1202,47 @@ def q_stream_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_JSONL_SRC_CACHE: dict[str, str] = {}
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7's JSONL interchange slot driver-checked (sources/formats.py):
+    the documents table exported as line-delimited JSON (text content with
+    arbitrary punctuation/quotes crossing the JSON string escaper), read
+    back with the EXPLICIT schema (no inference pass — at 100 TB inference
+    is a full extra scan), aggregated. The oracle aggregates the source
+    directly — equality proves the JSON escape → parse path loses and
+    alters nothing, including full text content (sum of lengths, distinct
+    ids). Same staging discipline as the BSON lane: the export runs once
+    per sf_dir; the parse-side decode runs under oracle equality on every
+    call."""
+    from hybrid_vector_search_spark.sources.formats import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    src = _JSONL_SRC_CACHE.get(sf_dir)
+    if src is None:
+        safe = sf_dir.strip("/").replace("/", "_")
+        src = f"{_session_tmpdir()}/jsonl/{safe}"
+        write_jsonl(docs.repartition(8), src)
+        _JSONL_SRC_CACHE[sf_dir] = src
+    rb = read_jsonl(
+        spark, src,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return (
+        rb.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("doc_id").alias("n_ids"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 _COMPACT_SRC_CACHE: dict[str, str] = {}
 
 
@@ -2240,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_channel_stats": pipeline.image_channel_stats,
         "compaction_roundtrip": q_compaction_roundtrip,
         "kmeans_price_segments": _memo("kmeans_price_segments", relational.kmeans_price_segments),
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         # --- r9-verified (CORRECTNESS_r09 green), oldest-first
         "unicode_token_stats": pipeline.unicode_token_stats,
         "quality_curriculum": pipeline.quality_curriculum,
@@ -5093,6 +5135,9 @@ def oracle_sql() -> dict[str, str]:
         "image_channel_stats": _IMAGE_STATS_ORACLE,
         "compaction_roundtrip": _COMPACTION_ORACLE,
         "kmeans_price_segments": _KMEANS_SEGMENTS_ORACLE,
+        # the JSONL escape->parse path must lose nothing — same shape (and
+        # oracle) as the BSON interchange check
+        "jsonl_roundtrip": _BSON_ROUNDTRIP_ORACLE,
         "graph_assortativity": _ASSORT_ORACLE,
         # maintained candles must equal the batch recount — same oracle
         "stream_ohlc_hourly": _OHLC_ORACLE,

@@ -756,3 +756,41 @@ def test_entropy_daily_two_exchanges_only(spark):
 
     plan = _plan(event_type_entropy_daily(spark, SF_SMALL))
     assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """Runtime-filter pushdown: when a selective dimension filters a
+    shuffle join, Spark injects a Bloom filter built from the creation
+    side and applies `might_contain` on the fact side BEFORE the shuffle —
+    rows that cannot join never leave their scan partition. At 100 TB the
+    default size thresholds (creation <= 10 MB after filtering,
+    application >= 10 GB scan) trigger this automatically; the thresholds
+    are relaxed here only because sf0.001-0.01 fact scans are far below
+    10 GB. Pins that the engine's session config keeps the optimization
+    available (spark.sql.optimizer.runtime.bloomFilter.enabled)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ) == "true"
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
