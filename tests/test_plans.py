@@ -794,3 +794,58 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_grouping_sets_expands_after_reduction(spark):
+    """grouping_sets_revenue: Expand multiplies the ~50-row pre-aggregate,
+    never the fact table — the fact-keyed exchange carries the
+    (flag, status, year) partial aggregate, and Expand sits ABOVE it."""
+    from hybrid_vector_search_spark.plans.relational import grouping_sets_revenue
+
+    plan = _plan(grouping_sets_revenue(spark, SF_SMALL))
+    assert "Expand" in plan, plan
+    # Expand must appear before (above) the fact scan but after the first
+    # HashAggregate pair: the scan-side partial aggregate shows up below it
+    expand_pos = plan.index("Expand")
+    scan_pos = plan.index("FileScan")
+    assert expand_pos < scan_pos, plan  # tree prints top-down: Expand above scan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_range_frame_single_fact_exchange(spark):
+    """revenue_range_frame_7d: one hash exchange (the daily aggregate);
+    the RANGE window and terminal sort run on the ≤365-row series."""
+    from hybrid_vector_search_spark.plans.relational import revenue_range_frame_7d
+
+    plan = _plan(revenue_range_frame_7d(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_image_stats_narrow_decode(spark):
+    """image_channel_stats: the decode kernel is a narrow Arrow map over
+    the generated media — no exchange carries content bytes (the only
+    exchange below the final sort is the id repartition feeding corpus
+    generation, which moves doc_ids, not media)."""
+    from hybrid_vector_search_spark.plans.pipeline import image_channel_stats
+
+    plan = _plan(image_channel_stats(spark, SF_SMALL))
+    assert plan.count("MapInPandas") >= 2, plan  # corpus gen + stats kernel
+    gen = plan.index("MapInPandas")
+    # the stats kernel (first MapInPandas printed, topmost) must not have
+    # an exchange between it and the corpus-generation map below it
+    second = plan.index("MapInPandas", gen + 1)
+    assert "Exchange" not in plan[gen:second], plan
+
+
+def test_kmeans_partial_aggregate_per_iteration(spark):
+    """kmeans_price_segments' final assignment plan: the per-cluster
+    aggregate is map-side combined (partial sums travel, not rows) and
+    the assignment CASE stays inside whole-stage codegen."""
+    from hybrid_vector_search_spark.plans.relational import kmeans_price_segments
+
+    plan = _plan(kmeans_price_segments(spark, SF_SMALL, iterations=1))
+    # partial_sum/partial_count below the exchange = map-side combine;
+    # (AQE prints pre-final plans without WholeStageCodegen markers, so
+    # codegen presence is asserted via the absence of any Python eval)
+    assert "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
