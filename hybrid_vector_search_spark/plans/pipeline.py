@@ -2656,10 +2656,15 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: anchors (a fixed tiny query set) broadcast against the corpus —
     the knn_join shape: score JVM-side in one codegen stage, filter
     label mismatch BEFORE the top-k (pre-filter inside ANN, reference
-    backend/api.py filter semantics), then a queries×1 window pick. The
+    backend/api.py filter semantics), then a **partition-local top-1
+    prune** (topk_per_group — local sort, no exchange, streaming
+    first-1-per-anchor Arrow pass) before the anchors×1 window pick, so
+    the window re-ranks at most |corpus_partitions|·|anchors| rows instead
+    of funnelling the full scored relation into |anchors| reducers. The
     corpus scans once regardless of anchor count; at 100 TB the scan is
     the cost and the mined pairs are queries-sized."""
     from ..functions.vector import atlas_score
+    from ..operators.knn import topk_per_group
 
     emb = load_table(spark, sf_dir, "embeddings")
     anchors = emb.where(F.col("vec_id") < 10).select(
@@ -2680,13 +2685,9 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.partitionBy("anchor_id").orderBy(F.desc("score"), F.asc("neg_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .drop("rk")
-        .orderBy("anchor_id")
-    )
+    return topk_per_group(
+        scored, 1, group_col="anchor_id", score_col="score", id_col="neg_id"
+    ).orderBy("anchor_id")
 
 
 def ann_dim_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

