@@ -2187,77 +2187,24 @@ def q_hybrid_fusion_details(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is the driver's correctness-check priority: the driver
-    verifies a prefix window (~50). Round-10 layout (per ROTATION.md,
-    staged in r9): positions 1-37 are the 37 queries added in r9 that have
-    NEVER been driver-checked (local oracle parity is green, but the
-    driver's DuckDB gate is the hard signal); 38-42 the five parked
-    r5-stale queries (retiring the last pre-r6 evidence); 43-50 the
-    r6/r7-verified queries whose code paths r9 touched (IVF determinism
-    fix, session-builder refactor, approx_topk clamp, streaming-source and
-    fixpoint analysis caches). Positions 51+ stage r11: the two remaining
-    r9-touched shared-closure rows first, then everything else
+    verifies a prefix window (~50). Round-11 layout (per ROTATION.md,
+    staged in r10): positions 1-4 the r9-touched rows displaced from the
+    r10 window; 5-28 the 24 queries added in r10 that have NEVER been
+    driver-checked (local oracle parity is green at two SFs, but the
+    driver's DuckDB gate is the hard signal) — `hard_negative_mining`
+    among them also carries r11's pruned-top-k plan fix; 29-50 the 22
+    stalest standing rows (driver evidence from r6). Positions 51+ stage
+    r12: the remaining 22 r6-evidence rows first, then r7 and newer,
     freshest-evidence-last. Every declared query has an oracle_sql()
     twin."""
     return {
-        # --- r10 window, positions 1-37: the 37 queries ADDED in r9, never driver-checked
-        "rfm_segments": relational.rfm_segments,
-        "time_to_convert": relational.time_to_convert,
-        "wau_mau_stickiness": relational.wau_mau_stickiness,
-        "link_prediction_scores": pipeline.link_prediction_scores,
-        "ab_test_lift": relational.ab_test_lift,
-        "ks_test_ab": relational.ks_test_ab,
-        "bounce_rate_daily": relational.bounce_rate_daily,
-        "image_phash_neardup": pipeline.image_phash_neardup,
-        "semdedup_prune": _memo("semdedup_prune", pipeline.semdedup_prune),
-        "embedding_mahalanobis_outliers": pipeline.embedding_mahalanobis_outliers,
-        "ngram_novelty_scores": pipeline.ngram_novelty_scores,
-        "revenue_changepoint": relational.revenue_changepoint,
-        "journey_reach_prob": _memo("journey_reach_prob", relational.journey_reach_prob),
-        "katz_central_docs": _memo("katz_central_docs", pipeline.katz_central_docs),
-        "flesch_reading_ease": pipeline.flesch_reading_ease,
-        "user_active_streaks": relational.user_active_streaks,
-        "customer_balance_gini": relational.customer_balance_gini,
-        "fulltext_rm3": q_fulltext_rm3,
-        "token_zipf_fit": pipeline.token_zipf_fit,
-        "source_keyness_g2": pipeline.source_keyness_g2,
-        "tfidf_doc_pairs": pipeline.tfidf_doc_pairs,
-        "stream_funnel_counts": _memo("stream_funnel_counts", q_stream_funnel),
-        "entity_resolution_pairs": relational.entity_resolution_pairs,
-        "ngram_containment_pairs": pipeline.ngram_containment_pairs,
-        "revenue_dow_anomaly": relational.revenue_dow_anomaly,
-        "harmonic_central_docs": _memo("harmonic_central_docs", pipeline.harmonic_central_docs),
-        "revenue_autocorr7": relational.revenue_autocorr7,
-        "embedding_pc1_variance": _memo("embedding_pc1_variance", pipeline.embedding_pc1_variance),
-        "minhash_lsh_eval": pipeline.minhash_lsh_eval,
-        "events_value_ohlc_hourly": relational.events_value_ohlc_hourly,
-        "neyman_allocation_sample": relational.neyman_allocation_sample,
-        "kaplan_meier_conversion": relational.kaplan_meier_conversion,
-        "graph_assortativity": relational.graph_assortativity,
-        "dedup_token_savings": pipeline.dedup_token_savings,
-        "stream_ohlc_hourly": _memo("stream_ohlc_hourly", q_stream_ohlc),
-        "conversion_wilson_bounds": relational.conversion_wilson_bounds,
-        "ucb1_arm_scores": relational.ucb1_arm_scores,
-        # --- positions 38-42: the 5 parked r5-stale queries (retire the last r5 evidence)
-        "embed_roundtrip": q_embed_roundtrip,
-        "sink_roundtrip": q_sink_roundtrip,
-        "char_entropy_score": pipeline.char_entropy_score,
-        "embedding_sign_buckets": pipeline.embedding_sign_buckets,
-        "dedup_simhash_pairs": pipeline.dedup_simhash_pairs,
-        # --- positions 43-50: r6/r7 queries whose code paths r9 touched
-        "events_sessionize": q_events_sessionize,
-        "approx_topk_users": relational.approx_topk_users,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "stream_daily_distinct": _memo("stream_daily_distinct", q_stream_daily_distinct),
-        "stream_ivm_revenue": _memo("stream_ivm_revenue", q_stream_ivm_revenue),
-        "mmr_rerank": q_mmr_rerank,
-        "bson_roundtrip": q_bson_roundtrip,
-        # --- staged for the r11 window: remaining r9-touched rows, then r9-fresh
+        # --- r11 window, positions 1-4: r9-touched rows displaced from the r10 window
         "ppr_top_docs": _memo("ppr_top_docs", pipeline.ppr_top_docs),
         "pagerank_top_docs": _memo("pagerank_top_docs", pipeline.pagerank_top_docs),
         "dedup_canonical_shared": pipeline.dedup_canonical_shared,
         "dedup_cluster_sizes_shared": pipeline.dedup_cluster_sizes_shared,
-        # --- NEW in r10 (never driver-checked; staged for the r11 window)
+        # --- positions 5-28: the 24 queries ADDED in r10, never driver-checked
+        # (hard_negative_mining also carries the r11 pruned-top-k plan fix)
         "wav_window_stats": pipeline.wav_window_stats,
         "source_token_js": pipeline.source_token_js,
         "ab_test_mann_whitney": relational.ab_test_mann_whitney,
@@ -2282,55 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_roundtrip": q_compaction_roundtrip,
         "kmeans_price_segments": _memo("kmeans_price_segments", relational.kmeans_price_segments),
         "jsonl_roundtrip": q_jsonl_roundtrip,
-        # --- r9-verified (CORRECTNESS_r09 green), oldest-first
-        "unicode_token_stats": pipeline.unicode_token_stats,
-        "quality_curriculum": pipeline.quality_curriculum,
-        "copurchase_lift": relational.copurchase_lift,
-        "attribution_first_last": relational.attribution_first_last,
-        "dedup_kcore": _memo("dedup_kcore", pipeline.dedup_kcore),
-        "events_retention": relational.events_retention,
-        "events_markov_transitions": relational.events_markov_transitions,
-        "session_path_topk": relational.session_path_topk,
-        "stream_markov_transitions": _memo("stream_markov_transitions", q_stream_markov),
-        "ann_ivfpq_euclid_topk": q_ann_ivfpq_euclid_topk,
-        "lineitem_correlations": relational.lineitem_correlations,
-        "nation_revenue_pareto": relational.nation_revenue_pareto,
-        "dedup_canonical": _memo("dedup_canonical", pipeline.dedup_canonical),
-        "hybrid_fusion_details": q_hybrid_fusion_details,
-        "user_purge_counts": pipeline.user_purge_counts,
-        "url_domain_stats": pipeline.url_domain_stats,
-        "data_quality_report": relational.data_quality_report,
-        "distinct_values": q_distinct_values,
-        "heavy_hitters_cm": q_heavy_hitters_cm,
-        "dedup_embedding_ivf": pipeline.dedup_embedding_ivf,
-        "stream_heavy_hitters": _memo("stream_heavy_hitters", q_stream_heavy_hitters),
-        "multimodal_resize_stats": pipeline.multimodal_resize_stats,
-        "seq_pack": pipeline.seq_pack,
-        "source_cap": pipeline.source_cap,
-        "nb_language_classifier": pipeline.nb_language_classifier,
-        "frame_sample": pipeline.frame_sample,
-        "skew_salted_agg": pipeline.skew_salted_agg,
-        "zorder_bucket_counts": pipeline.zorder_bucket_counts,
-        "dedup_incremental": pipeline.dedup_incremental,
-        "span_dedup": pipeline.span_dedup,
-        "lang_temperature_mix": pipeline.lang_temperature_mix,
-        "bpe_token_stats": pipeline.bpe_token_stats,
-        "stream_sessionize": _memo("stream_sessionize", q_stream_sessionize),
-        "stream_view_click_join": _memo("stream_view_click_join", q_stream_view_click_join),
-        "stream_dedup_events": _memo("stream_dedup_events", q_stream_dedup_events),
-        "events_funnel": relational.events_funnel,
-        "revenue_rollup": relational.revenue_rollup,
-        "decontaminate_bloom": pipeline.decontaminate_bloom,
-        "source_minhash_similarity": pipeline.source_minhash_similarity,
-        "winsorized_value_stats": relational.winsorized_value_stats,
-        "embedding_centroid_outliers": pipeline.embedding_centroid_outliers,
-        "sorted_neighborhood_dedup": pipeline.sorted_neighborhood_dedup,
-        "stratified_sample_exact_k": pipeline.stratified_sample_exact_k,
-        "oov_rate_stats": pipeline.oov_rate_stats,
-        "corpus_clean_funnel": pipeline.corpus_clean_funnel,
-        "events_sliding_rate": q_events_sliding_rate,
-        "embedding_drift": pipeline.embedding_drift,
-        "heavy_hitters": q_heavy_hitters,
+        # --- positions 29-50: oldest driver evidence (r6 tier), retiring first 22 of 44
         "hybrid_rank_fusion": q_hybrid_rank_fusion,
         "cube_revenue": relational.cube_revenue,
         "revenue_calendar_fill": relational.revenue_calendar_fill,
@@ -2353,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": relational.shipping_priority,
         "volume_shipping": relational.volume_shipping,
         "market_share": relational.market_share,
+        # --- staged for the r12 window: the remaining 22 r6-evidence rows
         "returned_items": relational.returned_items,
         "priority_line_counts": relational.priority_line_counts,
         "promo_revenue": relational.promo_revenue,
@@ -2375,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_anomaly": relational.events_rate_anomaly,
         "dedup_cluster_sizes": _memo("dedup_cluster_sizes", pipeline.dedup_cluster_sizes),
         "token_fertility_by_lang": pipeline.token_fertility_by_lang,
+        # --- then r7 evidence
         "orders_profile": q_orders_profile,
         "profit_by_nation_year": relational.profit_by_nation_year,
         "excess_quantity_suppliers": relational.excess_quantity_suppliers,
@@ -2416,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_euclidean": q_knn_euclidean,
         "knn_takeordered": q_knn_takeordered,
         "knn_cosine_prefilter": q_knn_cosine_prefilter,
+        # --- r8 evidence
         "knn_limit_clamped": q_knn_limit_clamped,
         "cli_range_bounds": q_cli_range_bounds,
         "hybrid_fusion": q_hybrid_fusion,
@@ -2465,6 +2367,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_manifest": pipeline.training_manifest,
         "fulltext_bm25_postfilter": q_fulltext_bm25_postfilter,
         "phrase_match": pipeline.phrase_match,
+        # --- r9 evidence
+        "unicode_token_stats": pipeline.unicode_token_stats,
+        "quality_curriculum": pipeline.quality_curriculum,
+        "copurchase_lift": relational.copurchase_lift,
+        "attribution_first_last": relational.attribution_first_last,
+        "dedup_kcore": _memo("dedup_kcore", pipeline.dedup_kcore),
+        "events_retention": relational.events_retention,
+        "events_markov_transitions": relational.events_markov_transitions,
+        "session_path_topk": relational.session_path_topk,
+        "stream_markov_transitions": _memo("stream_markov_transitions", q_stream_markov),
+        "ann_ivfpq_euclid_topk": q_ann_ivfpq_euclid_topk,
+        "lineitem_correlations": relational.lineitem_correlations,
+        "nation_revenue_pareto": relational.nation_revenue_pareto,
+        "dedup_canonical": _memo("dedup_canonical", pipeline.dedup_canonical),
+        "hybrid_fusion_details": q_hybrid_fusion_details,
+        "user_purge_counts": pipeline.user_purge_counts,
+        "url_domain_stats": pipeline.url_domain_stats,
+        "data_quality_report": relational.data_quality_report,
+        "distinct_values": q_distinct_values,
+        "heavy_hitters_cm": q_heavy_hitters_cm,
+        "dedup_embedding_ivf": pipeline.dedup_embedding_ivf,
+        "stream_heavy_hitters": _memo("stream_heavy_hitters", q_stream_heavy_hitters),
+        "multimodal_resize_stats": pipeline.multimodal_resize_stats,
+        "seq_pack": pipeline.seq_pack,
+        "source_cap": pipeline.source_cap,
+        "nb_language_classifier": pipeline.nb_language_classifier,
+        "frame_sample": pipeline.frame_sample,
+        "skew_salted_agg": pipeline.skew_salted_agg,
+        "zorder_bucket_counts": pipeline.zorder_bucket_counts,
+        "dedup_incremental": pipeline.dedup_incremental,
+        "span_dedup": pipeline.span_dedup,
+        "lang_temperature_mix": pipeline.lang_temperature_mix,
+        "bpe_token_stats": pipeline.bpe_token_stats,
+        "stream_sessionize": _memo("stream_sessionize", q_stream_sessionize),
+        "stream_view_click_join": _memo("stream_view_click_join", q_stream_view_click_join),
+        "stream_dedup_events": _memo("stream_dedup_events", q_stream_dedup_events),
+        "events_funnel": relational.events_funnel,
+        "revenue_rollup": relational.revenue_rollup,
+        "decontaminate_bloom": pipeline.decontaminate_bloom,
+        "source_minhash_similarity": pipeline.source_minhash_similarity,
+        "winsorized_value_stats": relational.winsorized_value_stats,
+        "embedding_centroid_outliers": pipeline.embedding_centroid_outliers,
+        "sorted_neighborhood_dedup": pipeline.sorted_neighborhood_dedup,
+        "stratified_sample_exact_k": pipeline.stratified_sample_exact_k,
+        "oov_rate_stats": pipeline.oov_rate_stats,
+        "corpus_clean_funnel": pipeline.corpus_clean_funnel,
+        "events_sliding_rate": q_events_sliding_rate,
+        "embedding_drift": pipeline.embedding_drift,
+        "heavy_hitters": q_heavy_hitters,
+        # --- r10 evidence (freshest)
+        "rfm_segments": relational.rfm_segments,
+        "time_to_convert": relational.time_to_convert,
+        "wau_mau_stickiness": relational.wau_mau_stickiness,
+        "link_prediction_scores": pipeline.link_prediction_scores,
+        "ab_test_lift": relational.ab_test_lift,
+        "ks_test_ab": relational.ks_test_ab,
+        "bounce_rate_daily": relational.bounce_rate_daily,
+        "image_phash_neardup": pipeline.image_phash_neardup,
+        "semdedup_prune": _memo("semdedup_prune", pipeline.semdedup_prune),
+        "embedding_mahalanobis_outliers": pipeline.embedding_mahalanobis_outliers,
+        "ngram_novelty_scores": pipeline.ngram_novelty_scores,
+        "revenue_changepoint": relational.revenue_changepoint,
+        "journey_reach_prob": _memo("journey_reach_prob", relational.journey_reach_prob),
+        "katz_central_docs": _memo("katz_central_docs", pipeline.katz_central_docs),
+        "flesch_reading_ease": pipeline.flesch_reading_ease,
+        "user_active_streaks": relational.user_active_streaks,
+        "customer_balance_gini": relational.customer_balance_gini,
+        "fulltext_rm3": q_fulltext_rm3,
+        "token_zipf_fit": pipeline.token_zipf_fit,
+        "source_keyness_g2": pipeline.source_keyness_g2,
+        "tfidf_doc_pairs": pipeline.tfidf_doc_pairs,
+        "stream_funnel_counts": _memo("stream_funnel_counts", q_stream_funnel),
+        "entity_resolution_pairs": relational.entity_resolution_pairs,
+        "ngram_containment_pairs": pipeline.ngram_containment_pairs,
+        "revenue_dow_anomaly": relational.revenue_dow_anomaly,
+        "harmonic_central_docs": _memo("harmonic_central_docs", pipeline.harmonic_central_docs),
+        "revenue_autocorr7": relational.revenue_autocorr7,
+        "embedding_pc1_variance": _memo("embedding_pc1_variance", pipeline.embedding_pc1_variance),
+        "minhash_lsh_eval": pipeline.minhash_lsh_eval,
+        "events_value_ohlc_hourly": relational.events_value_ohlc_hourly,
+        "neyman_allocation_sample": relational.neyman_allocation_sample,
+        "kaplan_meier_conversion": relational.kaplan_meier_conversion,
+        "graph_assortativity": relational.graph_assortativity,
+        "dedup_token_savings": pipeline.dedup_token_savings,
+        "stream_ohlc_hourly": _memo("stream_ohlc_hourly", q_stream_ohlc),
+        "conversion_wilson_bounds": relational.conversion_wilson_bounds,
+        "ucb1_arm_scores": relational.ucb1_arm_scores,
+        "embed_roundtrip": q_embed_roundtrip,
+        "sink_roundtrip": q_sink_roundtrip,
+        "char_entropy_score": pipeline.char_entropy_score,
+        "embedding_sign_buckets": pipeline.embedding_sign_buckets,
+        "dedup_simhash_pairs": pipeline.dedup_simhash_pairs,
+        "events_sessionize": q_events_sessionize,
+        "approx_topk_users": relational.approx_topk_users,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "stream_daily_distinct": _memo("stream_daily_distinct", q_stream_daily_distinct),
+        "stream_ivm_revenue": _memo("stream_ivm_revenue", q_stream_ivm_revenue),
+        "mmr_rerank": q_mmr_rerank,
+        "bson_roundtrip": q_bson_roundtrip,
     }
 
 
