@@ -27,6 +27,17 @@ execution + fetch. The regression gate compares exec_sec only (vs the
 previous details file's exec_sec when present), because sub-second rows
 are dominated by the ~1 s analysis half, which is what made r7's
 contention flags ambiguous.
+
+Since r11 the bench is LOAD-AWARE (the r10 numbers were contaminated by
+noisy-neighbor host load): a fixed CPU calibration probe (pinned
+single-thread arithmetic loop + a 32-thread GIL-releasing numpy loop) runs
+before the query loop, every $SPARK_GRAFT_BENCH_CAL_EVERY queries
+(default 50), and after; /proc/loadavg and /proc/stat (incl. steal) are
+snapshotted bracketing the run. All of it lands in bench_details.json. A
+regression flag whose bracketing probes drifted >20% vs the run's best
+probe is demoted to "regressed_contended" — n_regressed counts only
+calibration-clean flags, so a nonzero gate means a plan regressed, not
+that the hypervisor had a bad minute.
 """
 
 from __future__ import annotations
@@ -36,6 +47,85 @@ import os
 import re
 import sys
 import time
+
+# --- Load-aware calibration (r10 verdict ask #2) -------------------------
+# The r10 bench was contaminated by external machine load (broad-spectrum
+# 1.4-2.6x run-to-run variance on byte-identical, plan-pinned queries;
+# disjoint flag sets across same-surface runs). The fix is to measure the
+# MACHINE alongside the queries: a fixed CPU calibration probe runs before
+# the loop, every CALIBRATE_EVERY queries, and after, plus /proc/loadavg +
+# /proc/stat (incl. steal) snapshots bracketing the run. A regression flag
+# whose bracketing probes drifted >20% from the run's best probe is
+# demoted to "regressed_contended" (annotated, not trusted) — only
+# calibration-clean flags count toward n_regressed.
+
+CALIBRATE_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_CAL_EVERY", "50"))
+CAL_DRIFT = float(os.environ.get("SPARK_GRAFT_BENCH_CAL_DRIFT", "1.2"))
+
+
+def _probe_single_thread() -> float:
+    """Seconds for a fixed pure-Python arithmetic loop (one core). Pure
+    Python so the number tracks per-core effective speed (incl. hypervisor
+    steal) and is independent of BLAS thread pools."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(1_500_000):
+        x = (x * 1103515245 + 12345 + i) % 2147483648
+    _ = x
+    return time.perf_counter() - t0
+
+
+def _probe_multi_thread(n_threads: int = 32) -> float:
+    """Seconds for the same fixed work fanned across n_threads GIL-releasing
+    numpy ufunc loops — tracks whole-machine saturation (external load on
+    ANY core shows up here even when the single-thread probe is clean)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    arr = np.arange(400_000, dtype=np.float64)
+
+    def _w(_i: int) -> float:
+        s = 0.0
+        for _ in range(10):
+            s += float(np.sin(arr).sum())
+        return s
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(n_threads) as ex:
+        list(ex.map(_w, range(n_threads)))
+    return time.perf_counter() - t0
+
+
+def _calibration_probe(at: int) -> dict:
+    """One calibration sample: {'at': query index it precedes, 'st_sec':
+    single-thread probe, 'mt_sec': 32-thread probe}."""
+    return {
+        "at": at,
+        "st_sec": round(_probe_single_thread(), 4),
+        "mt_sec": round(_probe_multi_thread(), 4),
+    }
+
+
+def _host_snapshot() -> dict:
+    """Point-in-time /proc/loadavg + /proc/stat cpu jiffies (incl. steal) —
+    lets a reader reconstruct external load over the run from the committed
+    details file alone."""
+    snap: dict = {}
+    try:
+        snap["loadavg"] = [float(v) for v in open("/proc/loadavg").read().split()[:3]]
+    except (OSError, ValueError):
+        pass
+    try:
+        cpu = open("/proc/stat").readline().split()
+        fields = [
+            "user", "nice", "system", "idle",
+            "iowait", "irq", "softirq", "steal",
+        ]
+        snap["cpu_jiffies"] = dict(zip(fields, (int(v) for v in cpu[1:9])))
+    except (OSError, ValueError, IndexError):
+        pass
+    return snap
 
 
 def _previous_round_timings(sf: float) -> tuple[str, dict[str, float]] | None:
@@ -123,7 +213,20 @@ def main() -> None:
         pass
     except Exception as exc:  # noqa: BLE001 — warm-up must never kill the bench
         print(f"# warmup {first_name}: ERROR {exc}", file=sys.stderr)
-    for name, fn in queries.items():
+    host_before = _host_snapshot()
+    probes: list[dict] = [_calibration_probe(0)]
+    # per-query index of the probe taken BEFORE it (the bracketing probe
+    # AFTER it is the next entry in `probes`)
+    probe_before: dict[str, int] = {}
+    for qi, (name, fn) in enumerate(queries.items()):
+        if qi > 0 and qi % CALIBRATE_EVERY == 0:
+            probes.append(_calibration_probe(qi))
+            print(
+                f"# calibration@{qi}: st {probes[-1]['st_sec']:.4f}s"
+                f" mt {probes[-1]['mt_sec']:.4f}s",
+                file=sys.stderr,
+            )
+        probe_before[name] = len(probes) - 1
         best, best_ana, best_exec, rows = None, None, None, []
 
         def _timed_run():
@@ -190,6 +293,23 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    probes.append(_calibration_probe(len(queries)))
+    host_after = _host_snapshot()
+
+    def _contention(name: str) -> float | None:
+        """Max drift ratio of the probes bracketing this query's execution
+        vs the run's best single-thread probe; None when unavailable."""
+        i = probe_before.get(name)
+        if i is None or not probes:
+            return None
+        best = min(p["st_sec"] for p in probes)
+        if best <= 0:
+            return None
+        around = [probes[i]["st_sec"]]
+        if i + 1 < len(probes):
+            around.append(probes[i + 1]["st_sec"])
+        return round(max(around) / best, 3)
+
     total = round(sum(timings.values()), 3)
     summary = {
         "metric": "total_declared_query_wall_sec",
@@ -200,6 +320,12 @@ def main() -> None:
         "exec_sec": exec_s,
         "sf": sf,
         "runs_per_query": n_runs,
+        "calibration": {
+            "probes": probes,
+            "drift_threshold": CAL_DRIFT,
+            "host_before": host_before,
+            "host_after": host_after,
+        },
     }
     if errors:
         summary["errors"] = errors
@@ -239,12 +365,26 @@ def main() -> None:
                 and timings[k] > 1.5 * prev[1][k]
                 and timings[k] - prev[1][k] > 0.25
             }
-        summary["n_regressed"] = len(regressed)
-        if regressed:
-            summary["regressed"] = regressed
-            for k, v in regressed.items():
+        # Calibration-drift annotation (r10 verdict ask #2): a flag whose
+        # bracketing probes drifted > CAL_DRIFT vs the run's best probe ran
+        # in a contended neighborhood — record it separately (annotated,
+        # not trusted) so n_regressed only counts calibration-clean flags.
+        clean: dict[str, dict] = {}
+        contended: dict[str, dict] = {}
+        for k, v in regressed.items():
+            drift = _contention(k)
+            v["cal_drift"] = drift
+            (contended if drift is not None and drift > CAL_DRIFT else clean)[k] = v
+        summary["n_regressed"] = len(clean)
+        if clean:
+            summary["regressed"] = clean
+        if contended:
+            summary["regressed_contended"] = contended
+        for bucket, tag in ((clean, "REGRESSION"), (contended, "REGRESSION(contended)")):
+            for k, v in bucket.items():
                 print(
-                    f"# REGRESSION {k}: {v['prev']:.3f}s -> {v['now']:.3f}s",
+                    f"# {tag} {k}: {v['prev']:.3f}s -> {v['now']:.3f}s"
+                    f" (cal drift {v['cal_drift']})",
                     file=sys.stderr,
                 )
     # Full details to a file (the per-query map is too long to trust to a
@@ -265,6 +405,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_errors": len(errors),
                 "n_regressed": summary.get("n_regressed", 0),
+                "n_regressed_contended": len(summary.get("regressed_contended", {})),
+                "cal_st_best_sec": min(p["st_sec"] for p in probes),
+                "cal_st_worst_sec": max(p["st_sec"] for p in probes),
                 "analysis_total_sec": round(sum(analysis_s.values()), 3),
                 "exec_total_sec": round(sum(exec_s.values()), 3),
                 "details": "bench_details.json",
