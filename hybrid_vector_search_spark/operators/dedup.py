@@ -1351,3 +1351,96 @@ def jaccard_pairs_prefix(
         .where(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def containment_pairs_prefix(
+    shingle_tbl: DataFrame,
+    *,
+    min_containment: float,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs — |A∩B|/|A| and |A∩B|/|B| for
+    every unordered pair where EITHER direction ≥ ``min_containment`` —
+    with prefix filtering, so the inverted-index join never goes quadratic
+    on stopword-ish shingles. Output is provably identical to the naive
+    full self-join (grouping all shared-shingle pairs), pinned in
+    tests/test_jaccard_prefix.py and by the `ngram_containment_pairs`
+    driver oracle.
+
+    The prefix lemma, containment form: a pair qualifies iff
+    i ≥ t·min(|A|,|B|) (the easier direction is always the smaller set).
+    Under a global shingle order, if |A∩B| ≥ t·|A| then A's first
+    |A| − ⌈t·|A|⌉ + 1 shingles must intersect B — if all common shingles
+    hid in A's last ⌈t·|A|⌉ − 1 positions, i < t·|A|, contradiction. So
+    candidates are the join of the MIN side's prefix against the other
+    side's full postings (`_zp <= _zf` keeps only that direction), and
+    rare-first ordering makes prefixes the lowest-frequency shingles —
+    high-df shingles sort last and are (almost) never indexed. Unlike
+    Jaccard there is no upper length bound (a snippet is contained in an
+    arbitrarily larger source), which is exactly why this query exists
+    beside jaccard_pairs_prefix.
+
+    Candidates are then verified with exact intersection counts anchored
+    to the candidate list: shuffles ∝ candidates + postings, never
+    all-shared-shingle pairs — the shape that survives a corpus where
+    some trigram appears in half the documents.
+    """
+    t = float(min_containment)
+    sh = shingle_tbl.persist()
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    ranked = sh.join(dfreq, "sh").withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("id").orderBy("df", "sh")),
+    )
+    sizes = ranked.groupBy("id").agg(F.count("*").alias("sz"))
+    prefix = (
+        ranked.join(sizes, "id")
+        .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
+        .select("id", "sh")
+    )
+    pp = prefix.join(sizes, "id").select(
+        F.col("id").alias("id_p"), "sh", F.col("sz").alias("_zp")
+    )
+    ff = sh.join(sizes, "id").select(
+        F.col("id").alias("id_f"), "sh", F.col("sz").alias("_zf")
+    )
+    cands = (
+        pp.join(ff, "sh")
+        .where(
+            (F.col("id_p") != F.col("id_f"))
+            # only the min side's prefix generates (ties: either side works,
+            # and <= keeps exactly one qualifying direction per tie)
+            & (F.col("_zp") <= F.col("_zf"))
+        )
+        .select(
+            F.least("id_p", "id_f").alias("id_a"),
+            F.greatest("id_p", "id_f").alias("id_b"),
+        )
+        .distinct()
+    )
+    # exact verify anchored to the candidate list
+    fa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sa"))
+    fb = sh.select(F.col("id").alias("_idb"), F.col("sh").alias("_sb"))
+    inter = (
+        cands.join(fa, "id_a")
+        .join(
+            fb,
+            (F.col("id_b") == F.col("_idb")) & (F.col("_sa") == F.col("_sb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("i") / F.col("sa").cast("double"), 6).alias("cont_a_in_b"),
+            F.round(F.col("i") / F.col("sb").cast("double"), 6).alias("cont_b_in_a"),
+        )
+        .where(
+            (F.col("cont_a_in_b") >= F.lit(t)) | (F.col("cont_b_in_a") >= F.lit(t))
+        )
+    )

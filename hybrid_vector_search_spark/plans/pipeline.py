@@ -2457,7 +2457,18 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same inverted-index shape as jaccard_pairs (shingle join bounds the
     fan-out per shingle, never corpus²); sizes and intersections are
-    integers, each containment is one double division rounded 6."""
+    integers, each containment is one double division rounded 6.
+
+    Plan choice is MEASURED, not assumed (the jaccard_pairs_prefix r7
+    lesson repeated for containment in r11): on this df-UNIFORM synthetic
+    corpus the prefix-filtered variant (dedup.containment_pairs_prefix,
+    provably output-identical, equality pinned in test_jaccard_prefix.py)
+    measured 21.8 s vs 4.6 s for this plain join at sf0.1 — rare-first
+    prefixes don't collapse fan-out when every shingle's df is ~uniform,
+    and the candidate-distinct + anchored-verify overhead dominates. On a
+    Zipfian real-web corpus the crossover flips and the prefix operator is
+    the 100 TB path (see SCALE.md); the corpus decides, the engine ships
+    both."""
     docs = load_table(spark, sf_dir, "documents")
     truncated = docs.where(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 20_000).alias("doc_id"),

@@ -72,3 +72,76 @@ def test_prefix_indexes_fewer_tokens(spark):
     )
     assert pref < 0.45 * total  # ~(1-t) of tokens indexed
     sh.unpersist()
+
+
+def _naive_containment(sh, t):
+    """The plain full self-join composition containment_pairs_prefix must
+    reproduce (the shape ngram_containment_pairs used before r11)."""
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("i") / F.col("sa").cast("double"), 6).alias("cont_a_in_b"),
+            F.round(F.col("i") / F.col("sb").cast("double"), 6).alias("cont_b_in_a"),
+        )
+        .where((F.col("cont_a_in_b") >= t) | (F.col("cont_b_in_a") >= t))
+    )
+
+
+def _cpairs(df):
+    return sorted(
+        (r.id_a, r.id_b, r.cont_a_in_b, r.cont_b_in_a) for r in df.collect()
+    )
+
+
+def test_containment_prefix_equals_plain_on_corpus(spark):
+    from hybrid_vector_search_spark.operators.dedup import containment_pairs_prefix
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        # the planted-snippet fixture ngram_containment_pairs uses: every
+        # 25th doc re-inserted truncated to its first half
+        truncated = docs.where(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 20_000).alias("doc_id"),
+            F.expr("substring(text, 1, cast(floor(n_chars / 2) AS INT))").alias("text"),
+        )
+        corpus = docs.select("doc_id", "text").unionAll(truncated)
+        sh = shingle_table(corpus, "doc_id", "text", n=3).cache()
+        sh.count()
+        for t in (0.6, 0.8):
+            got = _cpairs(containment_pairs_prefix(sh, min_containment=t))
+            want = _cpairs(_naive_containment(sh, t))
+            assert got == want, (sf, t, len(got), len(want))
+        assert len(got) > 0, "planted snippets must surface"
+        sh.unpersist()
+
+
+def test_containment_prefix_equals_plain_random_sets(spark):
+    from hybrid_vector_search_spark.operators.dedup import containment_pairs_prefix
+
+    rnd = random.Random(41)
+    vocab = [f"tok{i}" for i in range(50)]
+    rows = []
+    for i in range(70):
+        base = rnd.sample(vocab, rnd.randint(3, 12))
+        rows.extend((i, t) for t in base)
+        if i % 4 == 0:  # plant a strict-subset snippet (containment 1.0)
+            rows.extend((1000 + i, t) for t in base[: max(2, len(base) // 2)])
+    sh = spark.createDataFrame(rows, "id long, sh string").distinct()
+    for t in (0.5, 0.8, 1.0):
+        assert _cpairs(containment_pairs_prefix(sh, min_containment=t)) == _cpairs(
+            _naive_containment(sh, t)
+        ), t
