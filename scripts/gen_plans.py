@@ -409,11 +409,14 @@ PICKS = {
         "never an unordered first()/last()."
     ),
     "hard_negative_mining": (
-        "Contrastive hard-negative mining (r10): the anchor set broadcasts\n"
-        "(BroadcastNestedLoopJoin over one corpus scan), the label-mismatch\n"
-        "filter prunes BEFORE the per-anchor window pick, and only the\n"
-        "(anchor, candidate, score) rows reach the exchange - vectors never\n"
-        "shuffle, the corpus scans once regardless of anchor count."
+        "Contrastive hard-negative mining (r10, pruned r11): the anchor set\n"
+        "broadcasts (BroadcastNestedLoopJoin over one corpus scan), the\n"
+        "label-mismatch filter prunes BEFORE the top-1, and a partition-\n"
+        "local top-1 (local Sort -> MapInPandas, no exchange below it) runs\n"
+        "before the window, so the exchange carries at most\n"
+        "partitions*anchors rows - no anchor's full score stream ever\n"
+        "funnels through one reducer, vectors never shuffle, the corpus\n"
+        "scans once regardless of anchor count."
     ),
     "spearman_qty_discount": (
         "Spearman rank correlation (r10): NO global sort at any corpus size -\n"
