@@ -32,12 +32,17 @@ Since r11 the bench is LOAD-AWARE (the r10 numbers were contaminated by
 noisy-neighbor host load): a fixed CPU calibration probe (pinned
 single-thread arithmetic loop + a 32-thread GIL-releasing numpy loop) runs
 before the query loop, every $SPARK_GRAFT_BENCH_CAL_EVERY queries
-(default 50), and after; /proc/loadavg and /proc/stat (incl. steal) are
-snapshotted bracketing the run. All of it lands in bench_details.json. A
-regression flag whose bracketing probes drifted >20% vs the run's best
-probe is demoted to "regressed_contended" — n_regressed counts only
-calibration-clean flags, so a nonzero gate means a plan regressed, not
-that the hypervisor had a bad minute.
+(default 50), and after; a ~60 ms micro mark (min of 3 arithmetic
+samples) additionally brackets EVERY query, because load waves shorter
+than the probe cadence alias past the coarse probes (observed: a run
+whose 5-min load average swung 0.3 → 18 → 0.3 between probe points
+produced 21 phantom flags that read calibration-clean); /proc/loadavg and
+/proc/stat (incl. steal) are snapshotted bracketing the run. All of it
+lands in bench_details.json. A regression flag whose bracketing probes OR
+micro marks drifted >20% vs the run's best is demoted to
+"regressed_contended" — n_regressed counts only calibration-clean flags,
+so a nonzero gate means a plan regressed, not that the hypervisor had a
+bad minute.
 """
 
 from __future__ import annotations
@@ -75,6 +80,27 @@ def _probe_single_thread() -> float:
     return time.perf_counter() - t0
 
 
+def _probe_micro() -> float:
+    """Per-query contention mark: min of 3 ~20 ms arithmetic samples
+    (min damps one-off scheduler/GC spikes; sustained external load
+    inflates all three). Cheap enough (~60 ms) to bracket EVERY query —
+    the 50-query probe cadence alone aliases against load waves shorter
+    than ~50 queries (observed: a run where the five-minute load average
+    swung 0.3 → 18 → 0.3 between probe points, so heavily-contended
+    queries sat between two clean probes and their phantom flags read as
+    calibration-clean)."""
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(100_000):
+            x = (x * 1103515245 + 12345 + i) % 2147483648
+        _ = x
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return best
+
+
 def _probe_multi_thread(n_threads: int = 32) -> float:
     """Seconds for the same fixed work fanned across n_threads GIL-releasing
     numpy ufunc loops — tracks whole-machine saturation (external load on
@@ -105,6 +131,34 @@ def _calibration_probe(at: int) -> dict:
         "st_sec": round(_probe_single_thread(), 4),
         "mt_sec": round(_probe_multi_thread(), 4),
     }
+
+
+STEAL_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "0.05"))
+IO_STALL_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_IO_STALL_MAX", "0.05"))
+
+
+def _stall_counters() -> tuple[int, int, int]:
+    """(steal_jiffies, total_jiffies, io_stall_us) — cumulative counters for
+    per-query deltas. Steal is THE in-VM signal for hypervisor-neighbor CPU
+    denial (a 3% run-average steal can hide 90% bursts lasting a couple of
+    minutes — exactly the shape that slowed untouched queries 3-36x while
+    the run-level averages looked clean); the io PSI total catches storage-
+    backend stalls the CPU counters can't see."""
+    steal = total = io_us = 0
+    try:
+        vals = [int(v) for v in open("/proc/stat").readline().split()[1:9]]
+        total = sum(vals)
+        steal = vals[7]
+    except (OSError, ValueError, IndexError):
+        pass
+    try:
+        for line in open("/proc/pressure/io"):
+            if line.startswith("some"):
+                io_us = int(line.rsplit("total=", 1)[1])
+                break
+    except (OSError, ValueError, IndexError):
+        pass
+    return steal, total, io_us
 
 
 def _host_snapshot() -> dict:
@@ -199,6 +253,8 @@ def main() -> None:
     # contract lines still print.
     analysis_s: dict[str, float] = {}
     exec_s: dict[str, float] = {}
+    steal_frac: dict[str, float] = {}
+    io_stall_frac: dict[str, float] = {}
     queries = entry_mod.queries()
     # Untimed warm-up of the first declared query (r9 forensics): session
     # one-time costs the generic warmups above don't reach — first parquet
@@ -216,8 +272,11 @@ def main() -> None:
     host_before = _host_snapshot()
     probes: list[dict] = [_calibration_probe(0)]
     # per-query index of the probe taken BEFORE it (the bracketing probe
-    # AFTER it is the next entry in `probes`)
+    # AFTER it is the next entry in `probes`); micro marks bracket every
+    # single query the same way
     probe_before: dict[str, int] = {}
+    micro_before: dict[str, int] = {}
+    micros: list[float] = [round(_probe_micro(), 5)]
     for qi, (name, fn) in enumerate(queries.items()):
         if qi > 0 and qi % CALIBRATE_EVERY == 0:
             probes.append(_calibration_probe(qi))
@@ -227,6 +286,9 @@ def main() -> None:
                 file=sys.stderr,
             )
         probe_before[name] = len(probes) - 1
+        if qi > 0:
+            micros.append(round(_probe_micro(), 5))
+        micro_before[name] = len(micros) - 1
         best, best_ana, best_exec, rows = None, None, None, []
 
         def _timed_run():
@@ -256,6 +318,8 @@ def main() -> None:
             p = pe if pe is not None else (prev[1].get(name) if prev else None)
             return p is not None and p > 0 and t_exec > 1.5 * p and t_exec - p > 0.25
 
+        stall0 = _stall_counters()
+        wall0 = time.perf_counter()
         try:
             for _ in range(n_runs):
                 dt, ana, ex = _timed_run()
@@ -274,6 +338,13 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
+        stall1 = _stall_counters()
+        wall = time.perf_counter() - wall0
+        d_total = stall1[1] - stall0[1]
+        steal_frac[name] = round((stall1[0] - stall0[0]) / d_total, 4) if d_total > 0 else 0.0
+        io_stall_frac[name] = (
+            round((stall1[2] - stall0[2]) / (wall * 1e6), 4) if wall > 0 else 0.0
+        )
         timings[name] = round(best, 3)
         analysis_s[name] = round(best_ana, 3)
         exec_s[name] = round(best_exec, 3)
@@ -293,22 +364,34 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    micros.append(round(_probe_micro(), 5))
     probes.append(_calibration_probe(len(queries)))
     host_after = _host_snapshot()
 
-    def _contention(name: str) -> float | None:
-        """Max drift ratio of the probes bracketing this query's execution
-        vs the run's best single-thread probe; None when unavailable."""
+    def _contention(name: str) -> tuple[float | None, float | None]:
+        """(probe_drift, micro_drift) of the marks bracketing this query's
+        execution vs the run's best of each kind: the coarse
+        every-CALIBRATE_EVERY probes (low-noise, but load waves shorter
+        than the cadence alias past them) and the per-query micro marks
+        (fine-grained, noisier — judged against a looser threshold)."""
+        pd = md = None
         i = probe_before.get(name)
-        if i is None or not probes:
-            return None
-        best = min(p["st_sec"] for p in probes)
-        if best <= 0:
-            return None
-        around = [probes[i]["st_sec"]]
-        if i + 1 < len(probes):
-            around.append(probes[i + 1]["st_sec"])
-        return round(max(around) / best, 3)
+        if i is not None and probes:
+            best = min(p["st_sec"] for p in probes)
+            if best > 0:
+                around = [probes[i]["st_sec"]]
+                if i + 1 < len(probes):
+                    around.append(probes[i + 1]["st_sec"])
+                pd = round(max(around) / best, 3)
+        j = micro_before.get(name)
+        if j is not None and micros:
+            mbest = min(micros)
+            if mbest > 0:
+                maround = [micros[j]]
+                if j + 1 < len(micros):
+                    maround.append(micros[j + 1])
+                md = round(max(maround) / mbest, 3)
+        return pd, md
 
     total = round(sum(timings.values()), 3)
     summary = {
@@ -322,7 +405,14 @@ def main() -> None:
         "runs_per_query": n_runs,
         "calibration": {
             "probes": probes,
+            "micro_marks": micros,
+            "micro_before": micro_before,
+            "steal_frac": steal_frac,
+            "io_stall_frac": io_stall_frac,
             "drift_threshold": CAL_DRIFT,
+            "micro_drift_threshold": 2.0,
+            "steal_max": STEAL_MAX,
+            "io_stall_max": IO_STALL_MAX,
             "host_before": host_before,
             "host_after": host_after,
         },
@@ -365,16 +455,31 @@ def main() -> None:
                 and timings[k] > 1.5 * prev[1][k]
                 and timings[k] - prev[1][k] > 0.25
             }
-        # Calibration-drift annotation (r10 verdict ask #2): a flag whose
-        # bracketing probes drifted > CAL_DRIFT vs the run's best probe ran
-        # in a contended neighborhood — record it separately (annotated,
-        # not trusted) so n_regressed only counts calibration-clean flags.
+        # Calibration-drift annotation (r10 verdict ask #2): a flag is
+        # demoted to "contended" (annotated, not trusted) when ANY of the
+        # independent load signals tripped around/during its execution:
+        # coarse probe drift > CAL_DRIFT, per-query micro-mark drift > 2x
+        # (noisier marks, looser bound), steal fraction during the query's
+        # own window > STEAL_MAX (hypervisor-neighbor bursts — the
+        # mechanism behind the r10 contamination: 3% run-average steal
+        # hiding near-total bursts), or io PSI stall > IO_STALL_MAX of the
+        # query's wall (storage-backend waves). n_regressed counts only
+        # flags clean on ALL signals.
         clean: dict[str, dict] = {}
         contended: dict[str, dict] = {}
         for k, v in regressed.items():
-            drift = _contention(k)
-            v["cal_drift"] = drift
-            (contended if drift is not None and drift > CAL_DRIFT else clean)[k] = v
+            pd, md = _contention(k)
+            v["cal_drift"] = pd
+            v["micro_drift"] = md
+            v["steal_frac"] = steal_frac.get(k)
+            v["io_stall_frac"] = io_stall_frac.get(k)
+            is_contended = (
+                (pd is not None and pd > CAL_DRIFT)
+                or (md is not None and md > 2.0)
+                or (v["steal_frac"] is not None and v["steal_frac"] > STEAL_MAX)
+                or (v["io_stall_frac"] is not None and v["io_stall_frac"] > IO_STALL_MAX)
+            )
+            (contended if is_contended else clean)[k] = v
         summary["n_regressed"] = len(clean)
         if clean:
             summary["regressed"] = clean

@@ -36,3 +36,23 @@ def test_host_snapshot_fields():
         "user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal",
     }
     assert all(isinstance(v, int) and v >= 0 for v in jif.values())
+
+
+def test_stall_counters_monotone():
+    s0 = bench._stall_counters()
+    # burn a little CPU so total jiffies advance
+    bench._probe_single_thread()
+    s1 = bench._stall_counters()
+    assert s1[1] > s0[1] >= 0, (s0, s1)   # total advances
+    assert s1[0] >= s0[0] >= 0            # steal cumulative
+    assert s1[2] >= s0[2] >= 0            # io PSI cumulative
+
+
+def test_micro_probe_cheap_and_positive():
+    import time
+
+    t0 = time.perf_counter()
+    m = bench._probe_micro()
+    cost = time.perf_counter() - t0
+    assert m > 0
+    assert cost < 1.0, cost  # bracketing every query must stay cheap
