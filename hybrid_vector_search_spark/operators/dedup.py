@@ -1290,8 +1290,12 @@ def jaccard_pairs_prefix(
     # the prefix plan reads the shingle relation from SEVEN subtrees (df
     # ranking, sizes, both prefix sides, both verify sides, final sizes);
     # persist it so the explode runs once — the at-scale analog is the
-    # materialized shingle index prefix filtering presumes anyway
-    sh = sh.persist()
+    # materialized shingle index prefix filtering presumes anyway. A
+    # caller-persisted input is respected (pass a cached table to own the
+    # lifecycle, as the equality tests do); a table persisted here lives at
+    # MEMORY_AND_DISK until the session evicts it.
+    if not (sh.storageLevel.useMemory or sh.storageLevel.useDisk):
+        sh = sh.persist()
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     ranked = sh.join(dfreq, "sh").withColumn(
         "pos",
@@ -1383,9 +1387,16 @@ def containment_pairs_prefix(
     to the candidate list: shuffles ∝ candidates + postings, never
     all-shared-shingle pairs — the shape that survives a corpus where
     some trigram appears in half the documents.
+
+    The shingle relation is read from several subtrees, so it is persisted
+    here UNLESS the caller already persisted it — pass a cached table to
+    own the lifecycle (the equality tests do exactly that); otherwise the
+    blocks live at MEMORY_AND_DISK until the session evicts them.
     """
     t = float(min_containment)
-    sh = shingle_tbl.persist()
+    sh = shingle_tbl
+    if not (sh.storageLevel.useMemory or sh.storageLevel.useDisk):
+        sh = sh.persist()
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     ranked = sh.join(dfreq, "sh").withColumn(
         "pos",
@@ -1431,16 +1442,23 @@ def containment_pairs_prefix(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb"))
+    # Filter on the INTEGER predicate i >= ceil(t*sz) — the exact condition
+    # the prefix lemma generates candidates for — never on the 6-dp-rounded
+    # ratio: a pair whose exact containment sits within 5e-7 below t (needs
+    # ~1e6+ shingles, i.e. the scale this operator targets) would round up
+    # past a rounded-ratio filter yet be provably absent from the candidate
+    # set. Rounding is projection-only.
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
+        .where(
+            (F.col("i") >= F.ceil(F.lit(t) * F.col("sa")))
+            | (F.col("i") >= F.ceil(F.lit(t) * F.col("sb")))
+        )
         .select(
             "id_a",
             "id_b",
             F.round(F.col("i") / F.col("sa").cast("double"), 6).alias("cont_a_in_b"),
             F.round(F.col("i") / F.col("sb").cast("double"), 6).alias("cont_b_in_a"),
-        )
-        .where(
-            (F.col("cont_a_in_b") >= F.lit(t)) | (F.col("cont_b_in_a") >= F.lit(t))
         )
     )

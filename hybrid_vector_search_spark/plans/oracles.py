@@ -2384,15 +2384,15 @@ inter AS (
   FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.id < b.id
   GROUP BY 1, 2
 )
-SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM (
-  SELECT id_a, id_b,
-         round(i / sa.sz::DOUBLE, 6) AS cont_a_in_b,
-         round(i / sb.sz::DOUBLE, 6) AS cont_b_in_a
-  FROM inter
-  JOIN sizes sa ON sa.id = id_a
-  JOIN sizes sb ON sb.id = id_b
-)
-WHERE cont_a_in_b >= 0.8 OR cont_b_in_a >= 0.8
+SELECT id_a, id_b,
+       round(i / sa.sz::DOUBLE, 6) AS cont_a_in_b,
+       round(i / sb.sz::DOUBLE, 6) AS cont_b_in_a
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+-- integer predicate i >= ceil(t*sz), matching the Spark plan: never
+-- threshold on the 6-dp-rounded ratio (a ratio 5e-7 under t rounds up)
+WHERE i >= ceil(0.8 * sa.sz) OR i >= ceil(0.8 * sb.sz)
 ORDER BY id_a, id_b
 """
 

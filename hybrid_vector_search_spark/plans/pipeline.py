@@ -2489,9 +2489,19 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb"))
+    # threshold via the integer predicate i >= ceil(t*sz), NOT the rounded
+    # ratio (r11 advice): at ~1e6 shingles a ratio 5e-7 under t rounds up
+    # past a 6-dp filter, which would make this plain plan admit pairs the
+    # prefix variant provably never generates. Rounding is projection-only;
+    # dedup.containment_pairs_prefix and the DuckDB oracle apply the same
+    # predicate, so the three stay output-identical at every scale.
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
+        .where(
+            (F.col("i") >= F.ceil(F.lit(0.8) * F.col("sa")))
+            | (F.col("i") >= F.ceil(F.lit(0.8) * F.col("sb")))
+        )
         .select(
             "id_a",
             "id_b",
@@ -2501,9 +2511,6 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("i") / F.col("sb").cast("double"), 6).alias(
                 "cont_b_in_a"
             ),
-        )
-        .where(
-            (F.col("cont_a_in_b") >= 0.8) | (F.col("cont_b_in_a") >= 0.8)
         )
         .orderBy("id_a", "id_b")
     )

@@ -91,13 +91,20 @@ def _naive_containment(sh, t):
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
+        # integer predicate i >= ceil(t*sz), matching the r12 contract
+        # (thresholding on the rounded ratio admits pairs the prefix plan
+        # provably never generates once exact containment can sit within
+        # 5e-7 below t)
+        .where(
+            (F.col("i") >= F.ceil(F.lit(t) * F.col("sa")))
+            | (F.col("i") >= F.ceil(F.lit(t) * F.col("sb")))
+        )
         .select(
             "id_a",
             "id_b",
             F.round(F.col("i") / F.col("sa").cast("double"), 6).alias("cont_a_in_b"),
             F.round(F.col("i") / F.col("sb").cast("double"), 6).alias("cont_b_in_a"),
         )
-        .where((F.col("cont_a_in_b") >= t) | (F.col("cont_b_in_a") >= t))
     )
 
 
