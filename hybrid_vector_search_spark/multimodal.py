@@ -452,17 +452,13 @@ def synthetic_wav_fp_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFram
     return docs.select(id_col).mapInPandas(kern, MEDIA_SCHEMA)
 
 
-def audio_fingerprint_neardup_pairs(
-    media: DataFrame, *, max_hamming: int = 3, bands: int = 4
-) -> DataFrame:
-    """Acoustic near-duplicate pairs: decode WAV → 8×9 block-RMS matrix →
-    dhash64 over loudness deltas (the audio fingerprint: bit = "did this
-    25 ms get louder than the last") → the shared banded Hamming join.
-    The Shazam-family idea reduced to its engine-checkable core: a
-    landmark fingerprint robust to global gain (RMS RATIOS drive the
-    comparisons, and a volume change scales all blocks together), computed
-    executor-side so content bytes never shuffle — only (media_id, 8-byte
-    fingerprint) moves, identical to the image lane."""
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, h) 64-bit block-RMS dHash fingerprints from DECODED WAV
+    PCM — the decode→fingerprint half of the acoustic near-dup lane,
+    exposed separately (same contract as :func:`image_fingerprints`): bit
+    = "did this 25 ms get louder than the last", robust to global gain
+    because RMS RATIOS drive the comparisons. Clips shorter than the 8×9
+    landmark grid are dropped."""
 
     def fp_kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .wav_codec import decode_wav
@@ -482,7 +478,19 @@ def audio_fingerprint_neardup_pairs(
                 hashes.append(dhash64(rms))
             yield pd.DataFrame({"media_id": ids, "h": hashes})
 
-    hashed = media.mapInPandas(fp_kern, "media_id long, h long")
+    return media.mapInPandas(fp_kern, "media_id long, h long")
+
+
+def audio_fingerprint_neardup_pairs(
+    media: DataFrame, *, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Acoustic near-duplicate pairs: decode WAV → 8×9 block-RMS matrix →
+    dhash64 over loudness deltas (:func:`audio_fingerprints`) → the shared
+    banded Hamming join. The Shazam-family idea reduced to its
+    engine-checkable core, computed executor-side so content bytes never
+    shuffle — only (media_id, 8-byte fingerprint) moves, identical to the
+    image lane."""
+    hashed = audio_fingerprints(media)
     return banded_hamming_pairs(hashed, max_hamming=max_hamming, bands=bands)
 
 
@@ -572,19 +580,14 @@ def synthetic_png_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(id_col).mapInPandas(kern, MEDIA_SCHEMA)
 
 
-def image_neardup_pairs(
-    media: DataFrame, *, max_hamming: int = 3, bands: int = 4
-) -> DataFrame:
-    """Perceptual near-duplicate image pairs: decode → dHash → banded LSH
-    self-join → exact Hamming verify (id_a < id_b, hamming ≤ max_hamming).
-
-    Scale: the content bytes NEVER shuffle — the hash is computed in the
-    scan partition and only (media_id, 8-byte hash) moves. Banding is the
-    SimHash pigeonhole: ≤3 differing bits can touch at most 3 of 4
-    16-bit bands, so every qualifying pair shares ≥1 exact band key; the
-    band join is an inverted index (fan-out = per-band-bucket pairs,
-    never n²), and survivors pay one cheap bit_count(xor) verify."""
-    from pyspark.sql import functions as F  # local alias for clarity
+def image_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, h) 64-bit dHash fingerprints from DECODED image pixels —
+    the decode→hash half of the near-dup lane, exposed separately so a
+    caller can materialize the tiny fingerprint relation once (the at-scale
+    analog: write the fingerprint table, then join readers) and run several
+    downstream joins against it without re-decoding the corpus. Content
+    bytes never leave the scan partition; only (id, 8-byte hash) rows
+    come out of the Arrow kernel."""
 
     def hash_kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -599,12 +602,27 @@ def image_neardup_pairs(
                 hashes.append(dhash64(grey))
             yield pd.DataFrame({"media_id": ids, "h": hashes})
 
-    hashed = media.mapInPandas(hash_kern, "media_id long, h long")
+    return media.mapInPandas(hash_kern, "media_id long, h long")
+
+
+def image_neardup_pairs(
+    media: DataFrame, *, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: decode → dHash → banded LSH
+    self-join → exact Hamming verify (id_a < id_b, hamming ≤ max_hamming).
+
+    Scale: the content bytes NEVER shuffle — the hash is computed in the
+    scan partition and only (media_id, 8-byte hash) moves. Banding is the
+    SimHash pigeonhole: ≤3 differing bits can touch at most 3 of 4
+    16-bit bands, so every qualifying pair shares ≥1 exact band key; the
+    band join is an inverted index (fan-out = per-band-bucket pairs,
+    never n²), and survivors pay one cheap bit_count(xor) verify."""
+    hashed = image_fingerprints(media)
     return banded_hamming_pairs(hashed, max_hamming=max_hamming, bands=bands)
 
 
 def banded_hamming_pairs(
-    hashed: DataFrame, *, max_hamming: int = 3, bands: int = 4
+    hashed: DataFrame, *, max_hamming: int = 3, bands: int = 4, checkpoint: bool = True
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming ≤ max_hamming over a
     (media_id, h) 64-bit fingerprint relation — the banded-LSH join shared
@@ -620,10 +638,14 @@ def banded_hamming_pairs(
     cut each would re-run the full decode→hash kernel over the media bytes
     — the checkpoint trades one tiny (id, int64) materialization for a
     whole second pass over the corpus. On a cluster the same role is
-    played by writing the fingerprint table once and joining readers."""
+    played by writing the fingerprint table once and joining readers.
+    Pass ``checkpoint=False`` when the input is ALREADY materialized
+    (e.g. a caller-cached checkpointed fingerprint relation) so the cut
+    isn't paid twice."""
     from pyspark.sql import functions as F  # local alias for clarity
 
-    hashed = hashed.localCheckpoint(eager=True)
+    if checkpoint:
+        hashed = hashed.localCheckpoint(eager=True)
     width = 64 // bands
     mask = (1 << width) - 1
     banded = hashed.select(
