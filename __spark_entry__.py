@@ -2187,72 +2187,22 @@ def q_hybrid_fusion_details(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is the driver's correctness-check priority: the driver
-    verifies a prefix window (~50). Round-11 layout (per ROTATION.md,
-    staged in r10): positions 1-4 the r9-touched rows displaced from the
-    r10 window; 5-28 the 24 queries added in r10 that have NEVER been
-    driver-checked (local oracle parity is green at two SFs, but the
-    driver's DuckDB gate is the hard signal) — `hard_negative_mining`
-    among them also carries r11's pruned-top-k plan fix; 29-50 the 22
-    stalest standing rows (driver evidence from r6). Positions 51+ stage
-    r12: the remaining 22 r6-evidence rows first, then r7 and newer,
-    freshest-evidence-last. Every declared query has an oracle_sql()
-    twin."""
+    verifies a prefix window (~50). Round-12 layout (per ROTATION.md,
+    staged in r11): positions 1-3 the rows whose implementation changed
+    this round (code-changed outranks stale — `ngram_containment_pairs`
+    carries the integer-predicate threshold fix, `image_phash_neardup` /
+    `audio_fp_neardup` the fingerprint-relation cache); 4-25 the last 22
+    r6-evidence rows (retiring the r6 tier entirely — the staleness floor
+    rises to r7); 26-50 the first 25 of the r7 tier. Positions 51+ stage
+    r13: the remaining r7 rows first, then r8/r9/r10 tiers and finally
+    the r11-checked window, freshest-evidence-last. Every declared query
+    has an oracle_sql() twin."""
     return {
-        # --- r11 window, positions 1-4: r9-touched rows displaced from the r10 window
-        "ppr_top_docs": _memo("ppr_top_docs", pipeline.ppr_top_docs),
-        "pagerank_top_docs": _memo("pagerank_top_docs", pipeline.pagerank_top_docs),
-        "dedup_canonical_shared": pipeline.dedup_canonical_shared,
-        "dedup_cluster_sizes_shared": pipeline.dedup_cluster_sizes_shared,
-        # --- positions 5-28: the 24 queries ADDED in r10, never driver-checked
-        # (hard_negative_mining also carries the r11 pruned-top-k plan fix)
-        "wav_window_stats": pipeline.wav_window_stats,
-        "source_token_js": pipeline.source_token_js,
-        "ab_test_mann_whitney": relational.ab_test_mann_whitney,
-        "revenue_theil_sen": relational.revenue_theil_sen,
-        "segment_nation_chi2": relational.segment_nation_chi2,
-        "lineitem_benford": relational.lineitem_benford,
+        # --- r12 window, positions 1-3: implementation touched this round
+        "ngram_containment_pairs": pipeline.ngram_containment_pairs,
+        "image_phash_neardup": pipeline.image_phash_neardup,
         "audio_fp_neardup": pipeline.audio_fp_neardup,
-        "hybrid_rank_overlap": q_hybrid_rank_overlap,
-        "t_closeness_audit": pipeline.t_closeness_audit,
-        "event_type_entropy_daily": relational.event_type_entropy_daily,
-        "spearman_qty_discount": relational.spearman_qty_discount,
-        "hard_negative_mining": pipeline.hard_negative_mining,
-        "ann_dim_truncation_eval": pipeline.ann_dim_truncation_eval,
-        "hits_hub_authority": _memo("hits_hub_authority", pipeline.hits_hub_authority),
-        "stream_value_histogram": _memo("stream_value_histogram", q_stream_value_histogram),
-        "ann_sq8_topk": q_ann_sq8_topk,
-        "ab_test_bh_adjust": relational.ab_test_bh_adjust,
-        "stream_event_entropy": _memo("stream_event_entropy", q_stream_event_entropy),
-        "grouping_sets_revenue": relational.grouping_sets_revenue,
-        "revenue_range_frame_7d": relational.revenue_range_frame_7d,
-        "image_channel_stats": pipeline.image_channel_stats,
-        "compaction_roundtrip": q_compaction_roundtrip,
-        "kmeans_price_segments": _memo("kmeans_price_segments", relational.kmeans_price_segments),
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        # --- positions 29-50: oldest driver evidence (r6 tier), retiring first 22 of 44
-        "hybrid_rank_fusion": q_hybrid_rank_fusion,
-        "cube_revenue": relational.cube_revenue,
-        "revenue_calendar_fill": relational.revenue_calendar_fill,
-        "nation_revenue_share": relational.nation_revenue_share,
-        "union_evolved_sources": relational.union_evolved_sources,
-        "lineitem_unpivot": relational.lineitem_unpivot,
-        "order_price_ranks": relational.order_price_ranks,
-        "segment_conditional_stats": relational.segment_conditional_stats,
-        "doc_keywords_tfidf": pipeline.doc_keywords_tfidf,
-        "source_mixture_weights": pipeline.source_mixture_weights,
-        "top_bigrams": q_top_bigrams,
-        "pricing_summary": relational.pricing_summary,
-        "revenue_by_nation": relational.revenue_by_nation,
-        "top_orders_per_segment": relational.top_orders_per_segment,
-        "rollup_revenue": relational.rollup_revenue,
-        "order_priority_counts": relational.order_priority_counts,
-        "forecast_revenue": relational.forecast_revenue,
-        "avg_qty_outliers": relational.avg_qty_outliers,
-        "customers_without_orders": relational.customers_without_orders,
-        "shipping_priority": relational.shipping_priority,
-        "volume_shipping": relational.volume_shipping,
-        "market_share": relational.market_share,
-        # --- staged for the r12 window: the remaining 22 r6-evidence rows
+        # --- positions 4-25: the last 22 r6-evidence rows
         "returned_items": relational.returned_items,
         "priority_line_counts": relational.priority_line_counts,
         "promo_revenue": relational.promo_revenue,
@@ -2275,7 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_anomaly": relational.events_rate_anomaly,
         "dedup_cluster_sizes": _memo("dedup_cluster_sizes", pipeline.dedup_cluster_sizes),
         "token_fertility_by_lang": pipeline.token_fertility_by_lang,
-        # --- then r7 evidence
+        # --- positions 26-50: the first 25 of the r7 tier
         "orders_profile": q_orders_profile,
         "profit_by_nation_year": relational.profit_by_nation_year,
         "excess_quantity_suppliers": relational.excess_quantity_suppliers,
@@ -2301,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue_trend": relational.nation_revenue_trend,
         "dedup_source_matrix": pipeline.dedup_source_matrix,
         "blob_dedup_manifest": pipeline.blob_dedup_manifest,
+        # --- staged for the r13 window: the remaining r7-evidence rows
         "hll_event_overlap": relational.hll_event_overlap,
         "doc_quality_skyline": pipeline.doc_quality_skyline,
         "k_anonymity_audit": pipeline.k_anonymity_audit,
@@ -2424,7 +2375,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_lift": relational.ab_test_lift,
         "ks_test_ab": relational.ks_test_ab,
         "bounce_rate_daily": relational.bounce_rate_daily,
-        "image_phash_neardup": pipeline.image_phash_neardup,
         "semdedup_prune": _memo("semdedup_prune", pipeline.semdedup_prune),
         "embedding_mahalanobis_outliers": pipeline.embedding_mahalanobis_outliers,
         "ngram_novelty_scores": pipeline.ngram_novelty_scores,
@@ -2440,7 +2390,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_doc_pairs": pipeline.tfidf_doc_pairs,
         "stream_funnel_counts": _memo("stream_funnel_counts", q_stream_funnel),
         "entity_resolution_pairs": relational.entity_resolution_pairs,
-        "ngram_containment_pairs": pipeline.ngram_containment_pairs,
         "revenue_dow_anomaly": relational.revenue_dow_anomaly,
         "harmonic_central_docs": _memo("harmonic_central_docs", pipeline.harmonic_central_docs),
         "revenue_autocorr7": relational.revenue_autocorr7,
@@ -2467,6 +2416,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ivm_revenue": _memo("stream_ivm_revenue", q_stream_ivm_revenue),
         "mmr_rerank": q_mmr_rerank,
         "bson_roundtrip": q_bson_roundtrip,
+        # --- r11 evidence (freshest — the r11-checked window, minus the
+        # code-touched rows promoted to this round's head)
+        "ppr_top_docs": _memo("ppr_top_docs", pipeline.ppr_top_docs),
+        "pagerank_top_docs": _memo("pagerank_top_docs", pipeline.pagerank_top_docs),
+        "dedup_canonical_shared": pipeline.dedup_canonical_shared,
+        "dedup_cluster_sizes_shared": pipeline.dedup_cluster_sizes_shared,
+        "wav_window_stats": pipeline.wav_window_stats,
+        "source_token_js": pipeline.source_token_js,
+        "ab_test_mann_whitney": relational.ab_test_mann_whitney,
+        "revenue_theil_sen": relational.revenue_theil_sen,
+        "segment_nation_chi2": relational.segment_nation_chi2,
+        "lineitem_benford": relational.lineitem_benford,
+        "hybrid_rank_overlap": q_hybrid_rank_overlap,
+        "t_closeness_audit": pipeline.t_closeness_audit,
+        "event_type_entropy_daily": relational.event_type_entropy_daily,
+        "spearman_qty_discount": relational.spearman_qty_discount,
+        "hard_negative_mining": pipeline.hard_negative_mining,
+        "ann_dim_truncation_eval": pipeline.ann_dim_truncation_eval,
+        "hits_hub_authority": _memo("hits_hub_authority", pipeline.hits_hub_authority),
+        "stream_value_histogram": _memo("stream_value_histogram", q_stream_value_histogram),
+        "ann_sq8_topk": q_ann_sq8_topk,
+        "ab_test_bh_adjust": relational.ab_test_bh_adjust,
+        "stream_event_entropy": _memo("stream_event_entropy", q_stream_event_entropy),
+        "grouping_sets_revenue": relational.grouping_sets_revenue,
+        "revenue_range_frame_7d": relational.revenue_range_frame_7d,
+        "image_channel_stats": pipeline.image_channel_stats,
+        "compaction_roundtrip": q_compaction_roundtrip,
+        "kmeans_price_segments": _memo("kmeans_price_segments", relational.kmeans_price_segments),
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "hybrid_rank_fusion": q_hybrid_rank_fusion,
+        "cube_revenue": relational.cube_revenue,
+        "revenue_calendar_fill": relational.revenue_calendar_fill,
+        "nation_revenue_share": relational.nation_revenue_share,
+        "union_evolved_sources": relational.union_evolved_sources,
+        "lineitem_unpivot": relational.lineitem_unpivot,
+        "order_price_ranks": relational.order_price_ranks,
+        "segment_conditional_stats": relational.segment_conditional_stats,
+        "doc_keywords_tfidf": pipeline.doc_keywords_tfidf,
+        "source_mixture_weights": pipeline.source_mixture_weights,
+        "top_bigrams": q_top_bigrams,
+        "pricing_summary": relational.pricing_summary,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "top_orders_per_segment": relational.top_orders_per_segment,
+        "rollup_revenue": relational.rollup_revenue,
+        "order_priority_counts": relational.order_priority_counts,
+        "forecast_revenue": relational.forecast_revenue,
+        "avg_qty_outliers": relational.avg_qty_outliers,
+        "customers_without_orders": relational.customers_without_orders,
+        "shipping_priority": relational.shipping_priority,
+        "volume_shipping": relational.volume_shipping,
+        "market_share": relational.market_share,
     }
 
 
