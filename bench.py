@@ -39,10 +39,31 @@ whose 5-min load average swung 0.3 → 18 → 0.3 between probe points
 produced 21 phantom flags that read calibration-clean); /proc/loadavg and
 /proc/stat (incl. steal) are snapshotted bracketing the run. All of it
 lands in bench_details.json. A regression flag whose bracketing probes OR
-micro marks drifted >20% vs the run's best is demoted to
+micro marks drifted >20% vs the calibration baseline is demoted to
 "regressed_contended" — n_regressed counts only calibration-clean flags,
 so a nonzero gate means a plan regressed, not that the hypervisor had a
 bad minute.
+
+Since r12 two refinements close the gate's remaining false-positive and
+false-negative paths (r11 verdict ask #2 + advice):
+
+  1. ABSOLUTE calibration baseline: probe/micro drift is judged against a
+     PERSISTED baseline (the ratcheting min of this run's best and the
+     previous bench_details.json baseline — i.e. the best the machine has
+     ever measured), not the within-run minimum. A uniformly-loaded run
+     has ~no within-run drift, so its contaminated flags used to read
+     calibration-clean; against the quiet-run baseline they annotate.
+     SPARK_GRAFT_BENCH_CAL_RESET=1 discards the inherited baseline (use
+     after a real hardware change).
+  2. SOLO RETRY: every calibration-clean flag is re-run once at the END
+     of the sweep (host cooled, process state identical to a solo run),
+     bracketed by its own micro marks and steal/io counters. The flag
+     stays in n_regressed only if the retry is itself clean AND still
+     trips the gate; a clean-but-fast retry demotes the flag to
+     "regressed_unreproduced" (all three of r11's clean flags were such
+     phantoms — each disproved by one idle re-run), and a contended retry
+     demotes to "regressed_contended". Both runs' numbers ride on the
+     flag, so a kept flag is twice-measured by construction.
 """
 
 from __future__ import annotations
@@ -212,6 +233,35 @@ def _previous_round_timings(sf: float) -> tuple[str, dict[str, float]] | None:
     return None
 
 
+def _previous_baseline(path: str | None = None) -> dict | None:
+    """Persisted calibration baseline — the best (st_sec, micro_sec) the
+    machine has ever measured in a bench run — from the previous
+    bench_details.json. Judging probe drift against this ABSOLUTE baseline
+    instead of the within-run minimum closes both failure modes of the
+    within-run comparison (r11 advice): a uniformly-loaded run shows ~no
+    internal drift so its contaminated flags read clean, and a run on a
+    host with routine steal demotes everything. SPARK_GRAFT_BENCH_CAL_RESET
+    discards the inherited baseline after a real hardware change."""
+    if os.environ.get("SPARK_GRAFT_BENCH_CAL_RESET"):
+        return None
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
+        )
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        b = rec.get("calibration", {}).get("baseline")
+        if isinstance(b, dict) and b.get("st_sec") and b.get("micro_sec"):
+            return {
+                "st_sec": float(b["st_sec"]),
+                "micro_sec": float(b["micro_sec"]),
+            }
+    except Exception:  # noqa: BLE001 — absent/malformed history is just skipped
+        pass
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -256,6 +306,12 @@ def main() -> None:
     steal_frac: dict[str, float] = {}
     io_stall_frac: dict[str, float] = {}
     queries = entry_mod.queries()
+    # Dev-loop filter: SPARK_GRAFT_BENCH_ONLY="a,b,c" restricts the sweep
+    # to the named queries (unset — the driver's case — runs everything).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        queries = {k: v for k, v in queries.items() if k in names}
     # Untimed warm-up of the first declared query (r9 forensics): session
     # one-time costs the generic warmups above don't reach — first parquet
     # footer touch, Catalyst rule-class loading, first real codegen — used
@@ -368,29 +424,40 @@ def main() -> None:
     probes.append(_calibration_probe(len(queries)))
     host_after = _host_snapshot()
 
+    # Absolute calibration baseline (r11 advice): ratcheting min of this
+    # run's best marks and the persisted baseline from the previous
+    # details file — "the best this machine has ever measured", so drift
+    # is judged against a known-quiet yardstick even when the whole run
+    # was uniformly loaded (within-run drift ~1.0 in that case).
+    base_prev = _previous_baseline()
+    run_best_st = min(p["st_sec"] for p in probes)
+    run_best_micro = min(micros)
+    baseline_st = (
+        min(run_best_st, base_prev["st_sec"]) if base_prev else run_best_st
+    )
+    baseline_micro = (
+        min(run_best_micro, base_prev["micro_sec"]) if base_prev else run_best_micro
+    )
+
     def _contention(name: str) -> tuple[float | None, float | None]:
         """(probe_drift, micro_drift) of the marks bracketing this query's
-        execution vs the run's best of each kind: the coarse
+        execution vs the ABSOLUTE calibration baseline: the coarse
         every-CALIBRATE_EVERY probes (low-noise, but load waves shorter
         than the cadence alias past them) and the per-query micro marks
         (fine-grained, noisier — judged against a looser threshold)."""
         pd = md = None
         i = probe_before.get(name)
-        if i is not None and probes:
-            best = min(p["st_sec"] for p in probes)
-            if best > 0:
-                around = [probes[i]["st_sec"]]
-                if i + 1 < len(probes):
-                    around.append(probes[i + 1]["st_sec"])
-                pd = round(max(around) / best, 3)
+        if i is not None and probes and baseline_st > 0:
+            around = [probes[i]["st_sec"]]
+            if i + 1 < len(probes):
+                around.append(probes[i + 1]["st_sec"])
+            pd = round(max(around) / baseline_st, 3)
         j = micro_before.get(name)
-        if j is not None and micros:
-            mbest = min(micros)
-            if mbest > 0:
-                maround = [micros[j]]
-                if j + 1 < len(micros):
-                    maround.append(micros[j + 1])
-                md = round(max(maround) / mbest, 3)
+        if j is not None and micros and baseline_micro > 0:
+            maround = [micros[j]]
+            if j + 1 < len(micros):
+                maround.append(micros[j + 1])
+            md = round(max(maround) / baseline_micro, 3)
         return pd, md
 
     total = round(sum(timings.values()), 3)
@@ -409,6 +476,14 @@ def main() -> None:
             "micro_before": micro_before,
             "steal_frac": steal_frac,
             "io_stall_frac": io_stall_frac,
+            # ratcheting min — persisted so the NEXT run judges drift
+            # against the best this machine has ever measured, not its own
+            # (possibly uniformly-loaded) within-run minimum
+            "baseline": {
+                "st_sec": round(baseline_st, 4),
+                "micro_sec": round(baseline_micro, 5),
+                "inherited": base_prev is not None,
+            },
             "drift_threshold": CAL_DRIFT,
             "micro_drift_threshold": 2.0,
             "steal_max": STEAL_MAX,
@@ -480,12 +555,90 @@ def main() -> None:
                 or (v["io_stall_frac"] is not None and v["io_stall_frac"] > IO_STALL_MAX)
             )
             (contended if is_contended else clean)[k] = v
+        # Solo retry (r11 verdict ask #2): each calibration-clean flag is
+        # re-measured once HERE, after the full sweep — the host has
+        # cooled, accumulated py4j state was gc'd, and the query runs
+        # alone, i.e. the exact conditions under which all three of r11's
+        # clean flags were manually disproved. The retry is bracketed by
+        # its own micro marks and steal/io counters so a contended retry
+        # can't silently re-confirm (or kill) a flag: retry contended →
+        # "regressed_contended"; retry clean and still past the gate →
+        # the flag STAYS (now twice-measured); retry clean and fast →
+        # "regressed_unreproduced". A retry that errors keeps the flag.
+        unreproduced: dict[str, dict] = {}
+        if clean:
+            import gc as _gc
+
+            for k in list(clean):
+                v = clean.pop(k)
+                _gc.collect()
+                m0 = _probe_micro()
+                s0 = _stall_counters()
+                w0 = time.perf_counter()
+                r_exec = None
+                try:
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        df = queries[k](spark, sf_dir)
+                        _ = df.schema
+                        t1 = time.perf_counter()
+                        df.collect()
+                        t2 = time.perf_counter()
+                        ex = t2 - t1
+                        r_exec = ex if r_exec is None or ex < r_exec else r_exec
+                except Exception as exc:  # noqa: BLE001 — keep the flag, note why
+                    v["retry_error"] = f"{type(exc).__name__}: {exc}"[:200]
+                    clean[k] = v
+                    continue
+                s1 = _stall_counters()
+                r_wall = time.perf_counter() - w0
+                m1 = _probe_micro()
+                d_tot = s1[1] - s0[1]
+                rr = {
+                    "exec": round(r_exec, 3),
+                    "micro_drift": (
+                        round(max(m0, m1) / baseline_micro, 3)
+                        if baseline_micro > 0
+                        else None
+                    ),
+                    "steal_frac": (
+                        round((s1[0] - s0[0]) / d_tot, 4) if d_tot > 0 else 0.0
+                    ),
+                    "io_stall_frac": (
+                        round((s1[2] - s0[2]) / (r_wall * 1e6), 4)
+                        if r_wall > 0
+                        else 0.0
+                    ),
+                }
+                v["retry"] = rr
+                retry_contended = (
+                    (rr["micro_drift"] is not None and rr["micro_drift"] > 2.0)
+                    or rr["steal_frac"] > STEAL_MAX
+                    or rr["io_stall_frac"] > IO_STALL_MAX
+                )
+                p = v["prev"]
+                reproduced = rr["exec"] > 1.5 * p and rr["exec"] - p > 0.25
+                if retry_contended:
+                    v["retry_verdict"] = "contended"
+                    contended[k] = v
+                elif reproduced:
+                    v["retry_verdict"] = "reproduced"
+                    clean[k] = v
+                else:
+                    v["retry_verdict"] = "unreproduced"
+                    unreproduced[k] = v
         summary["n_regressed"] = len(clean)
         if clean:
             summary["regressed"] = clean
         if contended:
             summary["regressed_contended"] = contended
-        for bucket, tag in ((clean, "REGRESSION"), (contended, "REGRESSION(contended)")):
+        if unreproduced:
+            summary["regressed_unreproduced"] = unreproduced
+        for bucket, tag in (
+            (clean, "REGRESSION"),
+            (contended, "REGRESSION(contended)"),
+            (unreproduced, "REGRESSION(unreproduced)"),
+        ):
             for k, v in bucket.items():
                 print(
                     f"# {tag} {k}: {v['prev']:.3f}s -> {v['now']:.3f}s"
@@ -511,6 +664,9 @@ def main() -> None:
                 "n_errors": len(errors),
                 "n_regressed": summary.get("n_regressed", 0),
                 "n_regressed_contended": len(summary.get("regressed_contended", {})),
+                "n_regressed_unreproduced": len(
+                    summary.get("regressed_unreproduced", {})
+                ),
                 "cal_st_best_sec": min(p["st_sec"] for p in probes),
                 "cal_st_worst_sec": max(p["st_sec"] for p in probes),
                 "analysis_total_sec": round(sum(analysis_s.values()), 3),

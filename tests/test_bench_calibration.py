@@ -56,3 +56,33 @@ def test_micro_probe_cheap_and_positive():
     cost = time.perf_counter() - t0
     assert m > 0
     assert cost < 1.0, cost  # bracketing every query must stay cheap
+
+
+def test_previous_baseline_roundtrip(tmp_path, monkeypatch):
+    """r12: the absolute calibration baseline persists through
+    bench_details.json and is ignored on SPARK_GRAFT_BENCH_CAL_RESET or
+    malformed history (absent file, missing keys, zero values)."""
+    import json
+
+    p = tmp_path / "bench_details.json"
+    # absent file -> None
+    assert bench._previous_baseline(str(p)) is None
+    # well-formed baseline reads back as floats
+    p.write_text(json.dumps(
+        {"calibration": {"baseline": {"st_sec": 0.28, "micro_sec": 0.016}}}
+    ))
+    b = bench._previous_baseline(str(p))
+    assert b == {"st_sec": 0.28, "micro_sec": 0.016}
+    # zero/missing values are not a baseline
+    p.write_text(json.dumps(
+        {"calibration": {"baseline": {"st_sec": 0, "micro_sec": 0.016}}}
+    ))
+    assert bench._previous_baseline(str(p)) is None
+    p.write_text(json.dumps({"calibration": {}}))
+    assert bench._previous_baseline(str(p)) is None
+    # explicit reset discards even a good baseline (hardware change)
+    p.write_text(json.dumps(
+        {"calibration": {"baseline": {"st_sec": 0.28, "micro_sec": 0.016}}}
+    ))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_CAL_RESET", "1")
+    assert bench._previous_baseline(str(p)) is None
