@@ -871,3 +871,22 @@ def test_kmeans_partial_aggregate_per_iteration(spark):
     # codegen presence is asserted via the absence of any Python eval)
     assert "partial_sum" in plan, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_media_neardup_joins_checkpointed_fingerprints(spark):
+    """image_phash_neardup / audio_fp_neardup (r12): both sides of the
+    banded Hamming join read the session-cached, checkpointed (id, hash)
+    fingerprint relation — the decode kernel must NOT appear in the final
+    plan. Without the cut each side re-derives the encode -> decode ->
+    fingerprint lineage per build (the r11 bench measured 6.2 s of
+    analysis for one phash plan, almost all of it the eager checkpoint's
+    decode job re-running)."""
+    from hybrid_vector_search_spark.plans.pipeline import (
+        audio_fp_neardup,
+        image_phash_neardup,
+    )
+
+    for q in (image_phash_neardup, audio_fp_neardup):
+        plan = _plan(q(spark, SF_SMALL))
+        assert "MapInPandas" not in plan, plan  # no decode below the join
+        assert "ExistingRDD" in plan, plan  # checkpointed fingerprint scan
