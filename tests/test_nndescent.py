@@ -1,0 +1,96 @@
+"""NN-Descent approximate k-NN graph (operators/nndescent.py) — the batch
+analog of the reference's HNSW index (reference indexes.py:55-71): shape
+invariants, determinism, recall against exact brute-force ground truth,
+convergence over iterations, and the scale-shape plan pins."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from hybrid_vector_search_spark.operators.nndescent import knn_graph_nndescent
+from hybrid_vector_search_spark.sources import load_table
+
+from .conftest import SF_SMALL
+
+K = 10
+
+
+def _exact_topk(emb_rows, k):
+    """Ground truth: per-id exact cosine top-k via numpy (500x500 at test
+    scale — fine driver-side for a TEST oracle, never for the operator)."""
+    ids = np.array([r[0] for r in emb_rows])
+    vecs = np.array([r[1] for r in emb_rows], dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    np.fill_diagonal(sims, -np.inf)
+    out = {}
+    for i, vid in enumerate(ids):
+        top = np.argsort(-sims[i], kind="stable")[:k]
+        out[int(vid)] = {int(ids[j]) for j in top}
+    return out
+
+
+def _recall(graph_rows, truth, k):
+    got: dict[int, set[int]] = {}
+    for r in graph_rows:
+        got.setdefault(int(r.src), set()).add(int(r.dst))
+    hits = total = 0
+    for vid, t in truth.items():
+        hits += len(got.get(vid, set()) & t)
+        total += len(t)
+    return hits / total
+
+
+def test_graph_shape_and_determinism(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    g1 = knn_graph_nndescent(emb, k=K, iterations=2).collect()
+    g2 = knn_graph_nndescent(emb, k=K, iterations=2).collect()
+    assert [tuple(r) for r in g1] == [tuple(r) for r in g2]
+    per_src: dict[int, list[int]] = {}
+    for r in g1:
+        assert r.src != r.dst
+        per_src.setdefault(r.src, []).append(r.dst)
+    n = emb.count()
+    assert len(per_src) == n  # every node got neighbors
+    for src, dsts in per_src.items():
+        assert len(dsts) <= K
+        assert len(set(dsts)) == len(dsts), f"duplicate edge at {src}"
+
+
+def test_recall_converges_to_exact(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    truth = _exact_topk(
+        [(r.vec_id, list(r.embedding)) for r in emb.collect()], K
+    )
+    r0 = _recall(
+        knn_graph_nndescent(emb, k=K, iterations=0).collect(), truth, K
+    )
+    r5 = _recall(
+        knn_graph_nndescent(emb, k=K, iterations=5).collect(), truth, K
+    )
+    # random-bucket init alone is weak (~0.08 on this corpus); five
+    # neighbor-of-neighbor rounds measured 0.875 recall@10 — the corpus
+    # is near-isotropic 64-dim (the hard case for graph ANN). The
+    # operator is deterministic, so the floor is stable, not flaky.
+    assert r5 > r0, (r0, r5)
+    assert r5 >= 0.86, (r0, r5)
+
+
+def test_euclidean_metric_ranks_nearest(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    g = knn_graph_nndescent(emb, k=3, iterations=2, metric="euclidean")
+    rows = g.where(F.col("src") == 0).collect()
+    assert 1 <= len(rows) <= 3
+    # euclidean similarity is the negated distance: scores must be <= 0
+    assert all(r.score <= 0 for r in rows)
+
+
+def test_plan_stays_join_shaped(spark):
+    """The 100 TB contract: no cartesian product, no row-at-a-time Python
+    in the scored-graph plan (init + 1 round)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    g = knn_graph_nndescent(emb, k=5, iterations=1)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
