@@ -195,3 +195,101 @@ def knn_graph_nndescent(
     return graph.select(
         "src", "dst", F.round("score", 6).alias("score")
     ).orderBy("src", F.desc("score"), F.asc("dst"))
+
+
+def knn_graph_search(
+    graph: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    *,
+    k: int = 10,
+    beam: int = 20,
+    hops: int = 3,
+    metric: str = "cosine",
+    seed: int = 0,
+) -> DataFrame:
+    """Batch greedy beam search over a pre-built k-NN graph — the query
+    half of the graph-ANN story (HNSW's search phase, batch form): every
+    query starts from a fixed pseudo-random entry-point set, and each hop
+    expands the current beam's graph neighbors, re-scores, and keeps the
+    best ``beam`` nodes per query; after ``hops`` rounds the top ``k``
+    are returned as (query_id, vec_id, score), score desc / id asc.
+
+    HNSW answers one query by chasing pointers; a batch engine answers a
+    RELATION of queries by joining the whole frontier against the edge
+    list at once — per hop: one join frontier×graph (fan-out ≤ beam·k per
+    query), one id join to attach candidate vectors (embeddings move only
+    for distinct candidate ids), one top-beam window (≤ beam·(k+1) rows
+    per query). Entry points are a ~``beam``-sized deterministic hash
+    sample of the corpus ids, broadcast against the query relation — the
+    constant-sized-side crossJoin pattern, never corpus×queries.
+
+    Recall depends on the graph's quality and ``beam``/``hops``; it is
+    pinned by test against exact brute force, not assumed.
+    """
+    if k < 1 or beam < k:
+        raise ValueError(f"need beam >= k >= 1, got k={k} beam={beam}")
+    e = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qvec")
+    )
+    n = e.count()
+    stride = max(1, n // beam)
+    entries = e.where(
+        F.pmod(F.xxhash64(F.col("_id"), F.lit(seed)), F.lit(stride)) == 0
+    ).select("_id")
+    edges = graph.select(F.col("src").alias("_id"), F.col("dst").alias("_dst"))
+
+    def _score_frontier(cand: DataFrame) -> DataFrame:
+        """(qid, id) -> (qid, id, score): attach corpus vector by id, then
+        the query vector by qid, score with the shared kernel."""
+        return (
+            cand.join(e, "_id")
+            .join(q, "_qid")
+            .select(
+                "_qid",
+                "_id",
+                similarity(F.col("_qvec"), F.col("_vec"), metric).alias("_s"),
+            )
+        )
+
+    wbeam = Window.partitionBy("_qid").orderBy(F.desc("_s"), F.asc("_id"))
+    frontier = _score_frontier(
+        q.select("_qid").join(F.broadcast(entries), how="cross")
+    )
+    frontier = (
+        frontier.withColumn("_rk", F.row_number().over(wbeam))
+        .where(F.col("_rk") <= beam)
+        .drop("_rk")
+        .localCheckpoint(eager=True)
+    )
+    for _hop in range(hops):
+        expand = (
+            frontier.select("_qid", "_id")
+            .join(edges, "_id")
+            .select("_qid", F.col("_dst").alias("_id"))
+            .distinct()
+        )
+        merged = frontier.unionAll(_score_frontier(expand)).groupBy(
+            "_qid", "_id"
+        ).agg(F.max("_s").alias("_s"))
+        frontier = (
+            merged.withColumn("_rk", F.row_number().over(wbeam))
+            .where(F.col("_rk") <= beam)
+            .drop("_rk")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        frontier.withColumn("_rk", F.row_number().over(wbeam))
+        .where(F.col("_rk") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_id").alias(id_col),
+            F.round("_s", 6).alias("score"),
+        )
+        .orderBy(query_id_col, F.desc("score"), F.asc(id_col))
+    )

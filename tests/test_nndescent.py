@@ -86,6 +86,37 @@ def test_euclidean_metric_ranks_nearest(spark):
     assert all(r.score <= 0 for r in rows)
 
 
+def test_graph_search_recall(spark):
+    """Batch beam search over the built graph (the HNSW-query analog):
+    recall@10 against exact brute force for 20 corpus queries. Beam
+    search re-scores real neighborhoods with the true query vector, so
+    its recall sits ABOVE the graph's own edge recall (measured 0.965
+    at beam=20/hops=3 on a 0.875-recall graph; deterministic)."""
+    from hybrid_vector_search_spark.operators.nndescent import knn_graph_search
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    emb_rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
+    truth = _exact_topk(emb_rows, K)
+    graph = knn_graph_nndescent(emb, k=K, iterations=5).localCheckpoint(
+        eager=True
+    )
+    qids = [r[0] for r in emb_rows[:20]]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # k+1 then drop self: corpus members find themselves at score 1.0
+    res = knn_graph_search(graph, emb, queries, k=K + 1, beam=20, hops=3)
+    got: dict[int, list[int]] = {}
+    for r in res.collect():
+        if r.vec_id != r.query_id:
+            got.setdefault(int(r.query_id), []).append(int(r.vec_id))
+    hits = total = 0
+    for qid in qids:
+        hits += len(set(got[qid][:K]) & truth[qid])
+        total += K
+    assert hits / total >= 0.94, hits / total
+
+
 def test_plan_stays_join_shaped(spark):
     """The 100 TB contract: no cartesian product, no row-at-a-time Python
     in the scored-graph plan (init + 1 round)."""
