@@ -1280,6 +1280,14 @@ def jaccard_pairs_prefix(
     guards against are never indexed at all (they sort last). Equivalence
     to :func:`jaccard_pairs` is pinned in tests and by the shared driver
     oracle (`ngram_jaccard_prefix` hash-matches the plain plan's SQL).
+
+    Precision note: both plans filter the UNROUNDED double division
+    ``inter/union >= t``, so the only theoretical gap vs the integer
+    prefix lemma is the 1-double-ulp case where the division rounds up
+    across t while exact I/U < t and I < ceil(t*max) — unlike the
+    6-dp-rounded containment filter closed in r12 (a 5e-7 window), and
+    both plans compute the identical division, so they cannot diverge
+    from each other on any accepted pair.
     """
     sh = shingle_tbl
     if max_shingle_df is not None:
