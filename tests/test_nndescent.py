@@ -125,3 +125,19 @@ def test_plan_stays_join_shaped(spark):
     plan = g._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_edge_cases_small_and_oversized_k(spark):
+    """k >= n-1 degenerates to the exact graph (every other node is a
+    candidate via buckets+rounds); n<=1 returns an empty graph."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    tiny = emb.limit(5)
+    g = knn_graph_nndescent(tiny, k=10, iterations=2).collect()
+    per_src = {}
+    for r in g:
+        per_src.setdefault(r.src, set()).add(r.dst)
+    assert len(per_src) == 5
+    # with k=10 > n-1=4 every node must hold ALL other nodes
+    assert all(len(d) == 4 for d in per_src.values()), per_src
+    one = knn_graph_nndescent(emb.limit(1), k=3, iterations=1)
+    assert one.count() == 0
