@@ -914,6 +914,127 @@ def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report
 
 
+# Graph-ANN (NN-Descent + beam search): the build graph is the expensive
+# shared artifact — built ONCE per sf_dir at the pinned parameters and
+# served to both declared queries (same one-sf_dir policy as _LSH_CACHE).
+_GRAPH_CACHE: dict[str, DataFrame] = {}
+_GRAPH_EXACT_CACHE: dict[str, DataFrame] = {}
+_GRAPH_K = 10
+# Working degree 2k and 4 rounds: the convergence point for the bundled
+# near-isotropic corpus (operators/nndescent.py docstring — build_k is the
+# lever that holds recall as n grows; measured graph recall@10 0.996 at
+# n=500 / 0.924 at n=2000 with these exact parameters, deterministic).
+_GRAPH_BUILD_K = 2 * _GRAPH_K
+_GRAPH_ITERS = 4
+
+
+def _graph_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degree-``_GRAPH_BUILD_K`` NN-Descent graph for this sf_dir (the
+    persistent index artifact, HNSW's batch analog — localCheckpointed so
+    both declared queries and every beam hop reuse one materialization)."""
+    from hybrid_vector_search_spark.operators import nndescent
+
+    g = _GRAPH_CACHE.get(sf_dir)
+    if g is None:
+        for stale_key in [k for k in _GRAPH_CACHE if k != sf_dir]:
+            _GRAPH_CACHE.pop(stale_key)
+        for stale_key in [k for k in _GRAPH_EXACT_CACHE if k != sf_dir]:
+            _GRAPH_EXACT_CACHE.pop(stale_key).unpersist()
+        emb, _, _ = _ann_eval_queries(spark, sf_dir)
+        g = nndescent.knn_graph_nndescent(
+            emb,
+            k=_GRAPH_BUILD_K,
+            iterations=_GRAPH_ITERS,
+            seed=0,
+        ).localCheckpoint(eager=True)
+        _GRAPH_CACHE[sf_dir] = g
+    return g
+
+
+def q_knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-attesting NN-Descent k-NN graph (operators/nndescent.py) — the
+    batch analog of the HNSW index Atlas mongot builds for the reference's
+    `$vectorSearch` (reference indexes.py:55-71). Report shape = the
+    ann_ivf_topk attestation, but over EVERY corpus node (the graph's
+    contract is per-node): for each node, the exact top-10-excluding-self
+    facts (oracle-verified value-for-value — brute-force cosine is fully
+    SQL-expressible) plus the in-plan claims that the node's graph edges
+    recovered >= 30% of its exact neighbor set and the mean edge recall
+    over the whole corpus is >= 86%. xxhash64 bucket init isn't DuckDB-
+    replayable, so the graph itself is attested, not replayed — measured
+    mean recall@10 at build_k=2k, 4 rounds: 0.997 (sf0.001), 0.996
+    (sf0.01), 0.924 (sf0.1); per-node min 0.5-0.9. Floors pinned again in
+    tests/test_nndescent.py."""
+    from hybrid_vector_search_spark.operators import ann_eval
+    from hybrid_vector_search_spark.operators import knn as knn_op
+    from hybrid_vector_search_spark.operators.nndescent import _top_k_per_src
+
+    cached_report = _ANN_REPORT_CACHE.get(("graph", sf_dir))
+    if cached_report is not None:
+        return cached_report
+    emb, _, _ = _ann_eval_queries(spark, sf_dir)
+    graph = _graph_index(spark, sf_dir)
+    exact = _GRAPH_EXACT_CACHE.get(sf_dir)
+    if exact is None:
+        # exact side: every node as a query, top-(k+1) bulk knn_join then
+        # drop self and re-rank — the true top-k-excluding-self whether or
+        # not a duplicate vector ties with self at 1.0
+        from pyspark.sql import Window
+
+        qall = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("vec_id")
+        )
+        exact = (
+            knn_op.knn_join(qall, emb, k=_GRAPH_K + 1, metric="cosine")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= _GRAPH_K)
+            .drop("_rk")
+            .cache()
+        )
+        exact.count()
+        _GRAPH_EXACT_CACHE[sf_dir] = exact
+    approx = _top_k_per_src(graph, _GRAPH_K).select(
+        F.col("src").alias("query_id"), F.col("dst").alias("vec_id")
+    )
+    report = ann_eval.recall_report(
+        exact, approx, k=_GRAPH_K, floor=0.3, mean_floor=0.86
+    )
+    _ANN_REPORT_CACHE[("graph", sf_dir)] = report
+    return report
+
+
+def q_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-attesting batch beam search over the NN-Descent graph — the
+    query half of graph ANN (HNSW's search phase in batch form: the whole
+    query RELATION joins the edge list per hop instead of chasing pointers
+    per query; operators/nndescent.py knn_graph_search). Per query vector,
+    the exact top-k facts (oracle-verified value-for-value, the standard
+    5-query eval set) plus the in-plan claims that beam=20/hops=3 search
+    recovered >= 60% of each exact set with mean recall >= 94% — measured
+    1.0 / 1.0 / 0.98 at sf0.001 / sf0.01 / sf0.1 on the shared
+    build_k=2k graph; beam re-scores real neighborhoods with the true
+    query vector, so its recall sits above the graph's own edge recall.
+    Graph construction isn't DuckDB-replayable; the recall contract is
+    (operators/ann_eval.py; reference numCandidates dial,
+    backend/api.py:120). Floors pinned again in tests/test_nndescent.py."""
+    from hybrid_vector_search_spark.operators import nndescent
+
+    cached_report = _ANN_REPORT_CACHE.get(("graph_search", sf_dir))
+    if cached_report is not None:
+        return cached_report
+    emb, qdf, _ = _ann_eval_queries(spark, sf_dir)
+    graph = _graph_index(spark, sf_dir)
+    approx = nndescent.knn_graph_search(
+        graph, emb, qdf, k=_ANN_EVAL_K, beam=20, hops=3, seed=0
+    ).select("query_id", "vec_id")
+    report = _ann_recall_report(
+        sf_dir, emb, qdf, approx, floor=0.6, mean_floor=0.94
+    )
+    _ANN_REPORT_CACHE[("graph_search", sf_dir)] = report
+    return report
+
 
 # ------------------------------------------------------- streaming (batch parity)
 
@@ -2187,71 +2308,19 @@ def q_hybrid_fusion_details(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is the driver's correctness-check priority: the driver
-    verifies a prefix window (~50). Round-12 layout (per ROTATION.md,
-    staged in r11): positions 1-3 the rows whose implementation changed
-    this round (code-changed outranks stale — `ngram_containment_pairs`
-    carries the integer-predicate threshold fix, `image_phash_neardup` /
-    `audio_fp_neardup` the fingerprint-relation cache); 4-25 the last 22
-    r6-evidence rows (retiring the r6 tier entirely — the staleness floor
-    rises to r7); 26-50 the first 25 of the r7 tier. Positions 51+ stage
-    r13: the remaining r7 rows first, then r8/r9/r10 tiers and finally
-    the r11-checked window, freshest-evidence-last. Every declared query
-    has an oracle_sql() twin."""
+    verifies a prefix window (~50). Round-13 layout (per ROTATION.md):
+    positions 1-2 the two NEW graph-ANN queries (never-checked beats
+    everything — the r12 verdict lifted the query freeze for exactly this
+    family); 3-18 the last 16 r7-evidence rows (after which the staleness
+    floor rises to r8 and the rotation is steady-state); 19-50 the head
+    of the r8 tier. Positions 51+ continue r8/r9/r10/r11 in standing
+    order, then the r12-checked window freshest-evidence-last. Every
+    declared query has an oracle_sql() twin."""
     return {
-        # --- r12 window, positions 1-3: implementation touched this round
-        "ngram_containment_pairs": pipeline.ngram_containment_pairs,
-        "image_phash_neardup": pipeline.image_phash_neardup,
-        "audio_fp_neardup": pipeline.audio_fp_neardup,
-        # --- positions 4-25: the last 22 r6-evidence rows
-        "returned_items": relational.returned_items,
-        "priority_line_counts": relational.priority_line_counts,
-        "promo_revenue": relational.promo_revenue,
-        "large_orders": relational.large_orders,
-        "disjunctive_revenue": relational.disjunctive_revenue,
-        "merge_upsert_orders": relational.merge_upsert_orders,
-        "min_cost_supplier": relational.min_cost_supplier,
-        "important_parts": relational.important_parts,
-        "customer_order_distribution": relational.customer_order_distribution,
-        "top_supplier": relational.top_supplier,
-        "supplier_part_counts": relational.supplier_part_counts,
-        "lone_late_suppliers": relational.lone_late_suppliers,
-        "high_balance_inactive": relational.high_balance_inactive,
-        "revenue_moving_avg": relational.revenue_moving_avg,
-        "approx_distinct_users": relational.approx_distinct_users,
-        "value_percentiles_approx": relational.value_percentiles_approx,
-        "compression_ratio": pipeline.compression_ratio_stats,
-        "weighted_sample_docs": pipeline.weighted_sample_docs,
-        "snapshot_diff": pipeline.snapshot_diff_report,
-        "events_rate_anomaly": relational.events_rate_anomaly,
-        "dedup_cluster_sizes": _memo("dedup_cluster_sizes", pipeline.dedup_cluster_sizes),
-        "token_fertility_by_lang": pipeline.token_fertility_by_lang,
-        # --- positions 26-50: the first 25 of the r7 tier
-        "orders_profile": q_orders_profile,
-        "profit_by_nation_year": relational.profit_by_nation_year,
-        "excess_quantity_suppliers": relational.excess_quantity_suppliers,
-        "nb_confusion_matrix": pipeline.nb_confusion_matrix,
-        "quality_band_tokens": pipeline.quality_band_tokens,
-        "audio_window_stats": pipeline.audio_window_stats,
-        "snapshot_scd2": pipeline.snapshot_scd2,
-        "bpe_learn_merges": pipeline.bpe_learn_merges,
-        "bpe_vocab_usage": pipeline.bpe_vocab_usage,
-        "bpe_learned_fertility": pipeline.bpe_learned_fertility,
-        "rag_retrieve": pipeline.rag_retrieve,
-        "lpa_communities": _memo("lpa_communities", pipeline.lpa_communities),
-        "bigram_pmi": pipeline.bigram_pmi,
-        "events_robust_outliers": relational.events_robust_outliers,
-        "orders_profile_approx": q_orders_profile_approx,
-        "epoch_shuffle_order": pipeline.epoch_shuffle_order,
-        "epoch_shard_manifest": pipeline.epoch_shard_manifest,
-        "hll_partial_union": relational.hll_partial_union,
-        "dense_doc_ids": pipeline.dense_doc_ids,
-        "sliding_distinct_users": relational.sliding_distinct_users,
-        "copurchase_triangles": relational.copurchase_triangles,
-        "dedup_edit_distance": pipeline.dedup_edit_distance,
-        "nation_revenue_trend": relational.nation_revenue_trend,
-        "dedup_source_matrix": pipeline.dedup_source_matrix,
-        "blob_dedup_manifest": pipeline.blob_dedup_manifest,
-        # --- staged for the r13 window: the remaining r7-evidence rows
+        # --- r13 window, positions 1-2: the NEW graph-ANN family
+        "knn_graph_nndescent": q_knn_graph_nndescent,
+        "knn_graph_search": q_knn_graph_search,
+        # --- positions 3-18: the last 16 r7-evidence rows
         "hll_event_overlap": relational.hll_event_overlap,
         "doc_quality_skyline": pipeline.doc_quality_skyline,
         "k_anonymity_audit": pipeline.k_anonymity_audit,
@@ -2268,7 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_euclidean": q_knn_euclidean,
         "knn_takeordered": q_knn_takeordered,
         "knn_cosine_prefilter": q_knn_cosine_prefilter,
-        # --- r8 evidence
+        # --- positions 19-50: the head of the r8 tier
         "knn_limit_clamped": q_knn_limit_clamped,
         "cli_range_bounds": q_cli_range_bounds,
         "hybrid_fusion": q_hybrid_fusion,
@@ -2467,6 +2536,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": relational.shipping_priority,
         "volume_shipping": relational.volume_shipping,
         "market_share": relational.market_share,
+        # --- r12 evidence (freshest — the r12-checked window)
+        "ngram_containment_pairs": pipeline.ngram_containment_pairs,
+        "image_phash_neardup": pipeline.image_phash_neardup,
+        "audio_fp_neardup": pipeline.audio_fp_neardup,
+        "returned_items": relational.returned_items,
+        "priority_line_counts": relational.priority_line_counts,
+        "promo_revenue": relational.promo_revenue,
+        "large_orders": relational.large_orders,
+        "disjunctive_revenue": relational.disjunctive_revenue,
+        "merge_upsert_orders": relational.merge_upsert_orders,
+        "min_cost_supplier": relational.min_cost_supplier,
+        "important_parts": relational.important_parts,
+        "customer_order_distribution": relational.customer_order_distribution,
+        "top_supplier": relational.top_supplier,
+        "supplier_part_counts": relational.supplier_part_counts,
+        "lone_late_suppliers": relational.lone_late_suppliers,
+        "high_balance_inactive": relational.high_balance_inactive,
+        "revenue_moving_avg": relational.revenue_moving_avg,
+        "approx_distinct_users": relational.approx_distinct_users,
+        "value_percentiles_approx": relational.value_percentiles_approx,
+        "compression_ratio": pipeline.compression_ratio_stats,
+        "weighted_sample_docs": pipeline.weighted_sample_docs,
+        "snapshot_diff": pipeline.snapshot_diff_report,
+        "events_rate_anomaly": relational.events_rate_anomaly,
+        "dedup_cluster_sizes": _memo("dedup_cluster_sizes", pipeline.dedup_cluster_sizes),
+        "token_fertility_by_lang": pipeline.token_fertility_by_lang,
+        "orders_profile": q_orders_profile,
+        "profit_by_nation_year": relational.profit_by_nation_year,
+        "excess_quantity_suppliers": relational.excess_quantity_suppliers,
+        "nb_confusion_matrix": pipeline.nb_confusion_matrix,
+        "quality_band_tokens": pipeline.quality_band_tokens,
+        "audio_window_stats": pipeline.audio_window_stats,
+        "snapshot_scd2": pipeline.snapshot_scd2,
+        "bpe_learn_merges": pipeline.bpe_learn_merges,
+        "bpe_vocab_usage": pipeline.bpe_vocab_usage,
+        "bpe_learned_fertility": pipeline.bpe_learned_fertility,
+        "rag_retrieve": pipeline.rag_retrieve,
+        "lpa_communities": _memo("lpa_communities", pipeline.lpa_communities),
+        "bigram_pmi": pipeline.bigram_pmi,
+        "events_robust_outliers": relational.events_robust_outliers,
+        "orders_profile_approx": q_orders_profile_approx,
+        "epoch_shuffle_order": pipeline.epoch_shuffle_order,
+        "epoch_shard_manifest": pipeline.epoch_shard_manifest,
+        "hll_partial_union": relational.hll_partial_union,
+        "dense_doc_ids": pipeline.dense_doc_ids,
+        "sliding_distinct_users": relational.sliding_distinct_users,
+        "copurchase_triangles": relational.copurchase_triangles,
+        "dedup_edit_distance": pipeline.dedup_edit_distance,
+        "nation_revenue_trend": relational.nation_revenue_trend,
+        "dedup_source_matrix": pipeline.dedup_source_matrix,
+        "blob_dedup_manifest": pipeline.blob_dedup_manifest,
     }
 
 
@@ -2527,6 +2647,38 @@ ranked AS (
            ORDER BY round({_EUC}, 6) DESC, e.vec_id ASC
          ) AS rk
   FROM embeddings e, q
+)
+SELECT query_id,
+       10::BIGINT AS k,
+       count(*)::BIGINT AS n_exact,
+       max(CASE WHEN rk = 1 THEN vec_id END) AS exact_top1_id,
+       max(CASE WHEN rk = 1 THEN score END) AS exact_top1_score,
+       true AS recall_ok,
+       true AS mean_recall_ok
+FROM ranked WHERE rk <= 10
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+# Exact top-10-EXCLUDING-SELF facts for EVERY corpus node — the ground
+# truth of the NN-Descent graph attestation (knn_graph_nndescent): a
+# graph edge never points at its own source, so self is dropped before
+# ranking. Brute force n×n in DuckDB (250k cosine rows at the sf0.01
+# gate scale); the graph's xxhash64 bucket init isn't replayable, so the
+# recall booleans are stated TRUE and a regression below the floors
+# hash-fails the row (same contract as _ANN_RECALL_ORACLE).
+_GRAPH_RECALL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+),
+ranked AS (
+  SELECT q.query_id, e.vec_id, round({_COS}, 6) AS score,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round({_COS}, 6) DESC, e.vec_id ASC
+         ) AS rk
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
 )
 SELECT query_id,
        10::BIGINT AS k,
@@ -5157,6 +5309,11 @@ def oracle_sql() -> dict[str, str]:
         # r6: the three ANN approximates became self-attesting — the exact
         # side is value-checked, the recall booleans are the stated contract
         "ann_ivf_topk": _ANN_RECALL_ORACLE,
+        # graph-ANN family: the build graph is attested per NODE (exact
+        # top-10-excluding-self for the whole corpus), beam search per
+        # QUERY (the standard 5-vector eval set, self included)
+        "knn_graph_nndescent": _GRAPH_RECALL_ORACLE,
+        "knn_graph_search": _ANN_RECALL_ORACLE,
         "ann_lsh_topk": _ANN_RECALL_ORACLE,
         "ann_pq_topk": _ANN_RECALL_ORACLE,
         "ann_ivfpq_topk": _ANN_RECALL_ORACLE,

@@ -48,13 +48,19 @@ Since r12 two refinements close the gate's remaining false-positive and
 false-negative paths (r11 verdict ask #2 + advice):
 
   1. ABSOLUTE calibration baseline: probe/micro drift is judged against a
-     PERSISTED baseline (the ratcheting min of this run's best and the
-     previous bench_details.json baseline — i.e. the best the machine has
-     ever measured), not the within-run minimum. A uniformly-loaded run
-     has ~no within-run drift, so its contaminated flags used to read
-     calibration-clean; against the quiet-run baseline they annotate.
+     PERSISTED baseline — since r13 the min over the last
+     BASELINE_WINDOW run-bests (an AGED ratchet: one anomalously fast
+     probe, e.g. a turbo burst, poisons the yardstick for at most
+     BASELINE_WINDOW runs instead of forever), not the within-run
+     minimum. A uniformly-loaded run has ~no within-run drift, so its
+     contaminated flags used to read calibration-clean; against the
+     quiet-run baseline they annotate. The baseline carries a HOST
+     fingerprint (CPU model + nproc); an inherited baseline from a
+     different host (a details file copied from a faster machine would
+     permanently demote every flag) is discarded automatically.
      SPARK_GRAFT_BENCH_CAL_RESET=1 discards the inherited baseline (use
-     after a real hardware change).
+     after a hardware change the fingerprint doesn't catch, e.g. a
+     same-model host with different turbo behavior).
   2. SOLO RETRY: every calibration-clean flag is re-run once at the END
      of the sweep (host cooled, process state identical to a solo run),
      bracketed by its own micro marks and steal/io counters. The flag
@@ -233,15 +239,42 @@ def _previous_round_timings(sf: float) -> tuple[str, dict[str, float]] | None:
     return None
 
 
+# How many run-best calibration marks the aged ratchet keeps: the baseline
+# is the min over this window, so a single anomalous probe (turbo burst,
+# clock skew) stops poisoning the drift gate after BASELINE_WINDOW runs.
+BASELINE_WINDOW = 8
+
+
+def _host_fingerprint() -> str:
+    """Cheap host identity for the calibration baseline: CPU model + nproc.
+    A bench_details.json inherited from a faster machine must not set this
+    machine's yardstick (r12 advice) — the fingerprint catches the
+    copied-file / re-imaged-host case; SPARK_GRAFT_BENCH_CAL_RESET covers
+    same-model hardware changes the fingerprint can't see."""
+    model = ""
+    try:
+        for line in open("/proc/cpuinfo"):
+            if line.lower().startswith("model name"):
+                model = line.split(":", 1)[1].strip()
+                break
+    except OSError:
+        pass
+    return f"{model}|nproc={os.cpu_count()}"
+
+
 def _previous_baseline(path: str | None = None) -> dict | None:
-    """Persisted calibration baseline — the best (st_sec, micro_sec) the
-    machine has ever measured in a bench run — from the previous
+    """Persisted calibration baseline state — the last BASELINE_WINDOW
+    run-best (st_sec, micro_sec) marks — from the previous
     bench_details.json. Judging probe drift against this ABSOLUTE baseline
     instead of the within-run minimum closes both failure modes of the
     within-run comparison (r11 advice): a uniformly-loaded run shows ~no
     internal drift so its contaminated flags read clean, and a run on a
-    host with routine steal demotes everything. SPARK_GRAFT_BENCH_CAL_RESET
-    discards the inherited baseline after a real hardware change."""
+    host with routine steal demotes everything. A baseline recorded on a
+    DIFFERENT host (fingerprint mismatch) is ignored wholesale — an
+    inherited faster-machine yardstick would demote every future flag to
+    contended/unreproduced and silently disable the gate (r12 advice).
+    SPARK_GRAFT_BENCH_CAL_RESET discards the inherited baseline after a
+    hardware change the fingerprint doesn't catch."""
     if os.environ.get("SPARK_GRAFT_BENCH_CAL_RESET"):
         return None
     if path is None:
@@ -253,9 +286,25 @@ def _previous_baseline(path: str | None = None) -> dict | None:
             rec = json.load(f)
         b = rec.get("calibration", {}).get("baseline")
         if isinstance(b, dict) and b.get("st_sec") and b.get("micro_sec"):
+            stored_host = b.get("host")
+            if stored_host is not None and stored_host != _host_fingerprint():
+                print(
+                    f"# calibration baseline ignored: recorded on a different"
+                    f" host ({stored_host!r})",
+                    file=sys.stderr,
+                )
+                return None
+            recent_st = [
+                float(v) for v in b.get("recent_st", [b["st_sec"]])
+            ][-BASELINE_WINDOW:]
+            recent_micro = [
+                float(v) for v in b.get("recent_micro", [b["micro_sec"]])
+            ][-BASELINE_WINDOW:]
             return {
-                "st_sec": float(b["st_sec"]),
-                "micro_sec": float(b["micro_sec"]),
+                "st_sec": min(recent_st),
+                "micro_sec": min(recent_micro),
+                "recent_st": recent_st,
+                "recent_micro": recent_micro,
             }
     except Exception:  # noqa: BLE001 — absent/malformed history is just skipped
         pass
@@ -424,20 +473,24 @@ def main() -> None:
     probes.append(_calibration_probe(len(queries)))
     host_after = _host_snapshot()
 
-    # Absolute calibration baseline (r11 advice): ratcheting min of this
-    # run's best marks and the persisted baseline from the previous
-    # details file — "the best this machine has ever measured", so drift
-    # is judged against a known-quiet yardstick even when the whole run
-    # was uniformly loaded (within-run drift ~1.0 in that case).
+    # Absolute calibration baseline (r11 advice, aged per r12 advice): the
+    # min over the last BASELINE_WINDOW run-best marks — drift is judged
+    # against a known-quiet yardstick even when the whole run was
+    # uniformly loaded (within-run drift ~1.0 in that case), and a single
+    # anomalously fast historical probe ages out of the window instead of
+    # ratcheting the gate shut forever.
     base_prev = _previous_baseline()
     run_best_st = min(p["st_sec"] for p in probes)
     run_best_micro = min(micros)
-    baseline_st = (
-        min(run_best_st, base_prev["st_sec"]) if base_prev else run_best_st
-    )
-    baseline_micro = (
-        min(run_best_micro, base_prev["micro_sec"]) if base_prev else run_best_micro
-    )
+    recent_st = (
+        (base_prev["recent_st"] if base_prev else []) + [round(run_best_st, 4)]
+    )[-BASELINE_WINDOW:]
+    recent_micro = (
+        (base_prev["recent_micro"] if base_prev else [])
+        + [round(run_best_micro, 5)]
+    )[-BASELINE_WINDOW:]
+    baseline_st = min(recent_st)
+    baseline_micro = min(recent_micro)
 
     def _contention(name: str) -> tuple[float | None, float | None]:
         """(probe_drift, micro_drift) of the marks bracketing this query's
@@ -483,6 +536,9 @@ def main() -> None:
                 "st_sec": round(baseline_st, 4),
                 "micro_sec": round(baseline_micro, 5),
                 "inherited": base_prev is not None,
+                "host": _host_fingerprint(),
+                "recent_st": recent_st,
+                "recent_micro": recent_micro,
             },
             "drift_threshold": CAL_DRIFT,
             "micro_drift_threshold": 2.0,
@@ -576,6 +632,7 @@ def main() -> None:
                 s0 = _stall_counters()
                 w0 = time.perf_counter()
                 r_exec = None
+                r_e2e = None
                 try:
                     for _ in range(2):
                         t0 = time.perf_counter()
@@ -586,6 +643,8 @@ def main() -> None:
                         t2 = time.perf_counter()
                         ex = t2 - t1
                         r_exec = ex if r_exec is None or ex < r_exec else r_exec
+                        e2e = t2 - t0
+                        r_e2e = e2e if r_e2e is None or e2e < r_e2e else r_e2e
                 except Exception as exc:  # noqa: BLE001 — keep the flag, note why
                     v["retry_error"] = f"{type(exc).__name__}: {exc}"[:200]
                     clean[k] = v
@@ -596,6 +655,7 @@ def main() -> None:
                 d_tot = s1[1] - s0[1]
                 rr = {
                     "exec": round(r_exec, 3),
+                    "end_to_end": round(r_e2e, 3),
                     "micro_drift": (
                         round(max(m0, m1) / baseline_micro, 3)
                         if baseline_micro > 0
@@ -616,8 +676,15 @@ def main() -> None:
                     or rr["steal_frac"] > STEAL_MAX
                     or rr["io_stall_frac"] > IO_STALL_MAX
                 )
+                # compare the retry ON THE FLAG'S BASIS (r12 advice): a
+                # pre-split history file records end-to-end times, so an
+                # exec-only retry would systematically under-measure and
+                # demote genuine regressions to unreproduced
                 p = v["prev"]
-                reproduced = rr["exec"] > 1.5 * p and rr["exec"] - p > 0.25
+                now_retry = (
+                    rr["exec"] if v.get("basis") == "exec" else rr["end_to_end"]
+                )
+                reproduced = now_retry > 1.5 * p and now_retry - p > 0.25
                 if retry_contended:
                     v["retry_verdict"] = "contended"
                     contended[k] = v

@@ -72,7 +72,13 @@ def test_previous_baseline_roundtrip(tmp_path, monkeypatch):
         {"calibration": {"baseline": {"st_sec": 0.28, "micro_sec": 0.016}}}
     ))
     b = bench._previous_baseline(str(p))
-    assert b == {"st_sec": 0.28, "micro_sec": 0.016}
+    # pre-aging format: the stored mins seed one-entry recent windows
+    assert b == {
+        "st_sec": 0.28,
+        "micro_sec": 0.016,
+        "recent_st": [0.28],
+        "recent_micro": [0.016],
+    }
     # zero/missing values are not a baseline
     p.write_text(json.dumps(
         {"calibration": {"baseline": {"st_sec": 0, "micro_sec": 0.016}}}
@@ -85,4 +91,35 @@ def test_previous_baseline_roundtrip(tmp_path, monkeypatch):
         {"calibration": {"baseline": {"st_sec": 0.28, "micro_sec": 0.016}}}
     ))
     monkeypatch.setenv("SPARK_GRAFT_BENCH_CAL_RESET", "1")
+    assert bench._previous_baseline(str(p)) is None
+
+
+def test_previous_baseline_host_fingerprint_and_aging(tmp_path):
+    """r13 (r12 advice): a baseline recorded on a DIFFERENT host is ignored
+    wholesale (an inherited faster-machine yardstick would silently disable
+    the regression gate), and the ratchet is aged — the baseline is the min
+    over the last BASELINE_WINDOW run-bests, so recent lists longer than
+    the window are trimmed from the front."""
+    import json
+
+    p = tmp_path / "bench_details.json"
+    here = bench._host_fingerprint()
+    assert here  # nproc is always present even if /proc/cpuinfo has no model
+    # same-host baseline with recent lists: trimmed to window, min applies
+    long_st = [0.9 - 0.01 * i for i in range(bench.BASELINE_WINDOW + 3)]
+    p.write_text(json.dumps({"calibration": {"baseline": {
+        "st_sec": 0.01,  # stale pre-computed min: recomputed from recents
+        "micro_sec": 0.016,
+        "host": here,
+        "recent_st": long_st,
+        "recent_micro": [0.016, 0.02],
+    }}}))
+    b = bench._previous_baseline(str(p))
+    assert b["recent_st"] == long_st[-bench.BASELINE_WINDOW:]
+    assert b["st_sec"] == min(long_st[-bench.BASELINE_WINDOW:])
+    assert b["micro_sec"] == 0.016
+    # different-host baseline: ignored entirely
+    p.write_text(json.dumps({"calibration": {"baseline": {
+        "st_sec": 0.001, "micro_sec": 0.0001, "host": "other-cpu|nproc=999",
+    }}}))
     assert bench._previous_baseline(str(p)) is None

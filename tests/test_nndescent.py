@@ -141,3 +141,44 @@ def test_edge_cases_small_and_oversized_k(spark):
     assert all(len(d) == 4 for d in per_src.values()), per_src
     one = knn_graph_nndescent(emb.limit(1), k=3, iterations=1)
     assert one.count() == 0
+
+
+def test_build_k_widens_then_truncates_to_k(spark):
+    """build_k=2k iterates with a degree-20 working graph and truncates to
+    k at the end: still ≤ k edges per node, and on the near-isotropic
+    corpus the wider candidate pool lifts recall@10 from the 0.875
+    plateau to ≥0.99 (deterministic, so the bound is stable)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    truth = _exact_topk(
+        [(r.vec_id, list(r.embedding)) for r in emb.collect()], K
+    )
+    g = knn_graph_nndescent(emb, k=K, iterations=4, build_k=2 * K).collect()
+    per_src: dict[int, list[int]] = {}
+    for r in g:
+        per_src.setdefault(r.src, []).append(r.dst)
+    assert all(len(d) <= K for d in per_src.values())
+    assert _recall(g, truth, K) >= 0.99
+
+
+def test_build_k_below_k_rejected(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    try:
+        knn_graph_nndescent(emb, k=10, build_k=5)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_empty_graph_inherits_id_type(spark):
+    """n<=1 degenerate case: src/dst take the INPUT id column's type, so
+    the empty graph unions/joins cleanly with a populated one built from
+    the same (e.g. string-keyed) corpus."""
+    rows = [("doc-a", [1.0, 0.0]), ("doc-b", [0.9, 0.1]), ("doc-c", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    empty = knn_graph_nndescent(df.limit(1), k=3, iterations=1)
+    full = knn_graph_nndescent(df, k=2, iterations=1)
+    assert empty.count() == 0
+    assert [f.dataType for f in empty.schema.fields] == [
+        f.dataType for f in full.schema.fields
+    ]
+    assert empty.unionAll(full).count() == full.count()
