@@ -71,3 +71,47 @@ def test_events_nanos_encoding_fallback(spark, tmp_path):
     assert lo.year == 2023
     # conf restored: a later nanos read in the same session must still error
     assert bare.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
+
+
+def test_schema_cache_matches_inference(spark):
+    """r13: load_table caches each table's parquet schema per (sf_dir, name)
+    so repeated loads skip footer re-inference. The cached-path DataFrame
+    must be schema- and content-identical to a fresh inference."""
+    from hybrid_vector_search_spark.sources import loaders
+
+    for name in ("lineitem", "events"):
+        loaders._SCHEMA_CACHE.pop((SF_SMALL, name), None)
+        first = load_table(spark, SF_SMALL, name)  # populates the cache
+        assert (SF_SMALL, name) in loaders._SCHEMA_CACHE
+        second = load_table(spark, SF_SMALL, name)  # served from the cache
+        assert second.schema == first.schema
+        fresh = spark.read.parquet(f"{SF_SMALL}/{name}.parquet")
+        if name == "events":
+            from hybrid_vector_search_spark.sources.loaders import _normalize_ts
+
+            fresh = _normalize_ts(fresh)
+        assert second.schema == fresh.schema
+        assert second.count() == fresh.count()
+
+
+def test_schema_cache_skipped_on_nanos_fallback(spark, tmp_path):
+    """The nanos-fallback read must not poison the cache (its conf
+    save/restore window has to rerun per call)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hybrid_vector_search_spark.sources import loaders
+
+    sf_dir = str(tmp_path)
+    table = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(table, f"{sf_dir}/events.parquet", store_schema=False)
+    bare = spark.newSession()
+    bare.conf.set("spark.sql.session.timeZone", "UTC")
+    df = load_table(bare, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    assert (sf_dir, "events") not in loaders._SCHEMA_CACHE
