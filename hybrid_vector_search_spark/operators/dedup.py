@@ -63,10 +63,19 @@ def shingle_table(
     n: int = 3,
     kernel: str = "pandas",
     hashed: bool = True,
+    with_size: bool = False,
 ) -> DataFrame:
     """(id, sh) — each distinct word n-gram per document; ``sh`` is the
     gram's md5 by default (compact shuffle keys), or the raw gram text with
     ``hashed=False`` (corpus n-gram statistics).
+
+    ``with_size=True`` additionally carries ``sz`` = the document's distinct
+    shingle count on every row (r13 optimization): the Jaccard/containment
+    consumers all need per-doc set sizes, and deriving them downstream costs
+    a second aggregation pass over the shingle stream (one more shuffle AND
+    one more run of this kernel, since the aggregate subtree cannot reuse
+    the join subtree's exchange). The kernel already holds each doc's gram
+    set, so the count rides along for 8 bytes/row.
 
     kernel="pandas" (default): tokenize + shingle + md5 inside a mapInPandas
     kernel — hashlib's C md5 and plain Python string ops beat the Catalyst
@@ -77,9 +86,18 @@ def shingle_table(
     cross-check for the fast path.
     """
     if kernel == "sql":
+        arr = shingles(F.col(text_col), n)
+        if with_size:
+            out = df.select(
+                F.col(id_col).alias("id"),
+                F.explode(arr).alias("shingle"),
+                F.size(arr).cast("long").alias("sz"),
+            )
+            sh = F.md5(F.col("shingle")) if hashed else F.col("shingle")
+            return out.select("id", sh.alias("sh"), "sz")
         out = df.select(
             F.col(id_col).alias("id"),
-            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+            F.explode(arr).alias("shingle"),
         )
         sh = F.md5(F.col("shingle")) if hashed else F.col("shingle")
         return out.select("id", sh.alias("sh"))
@@ -96,6 +114,7 @@ def shingle_table(
         for pdf in batches:
             ids: list = []
             hs: list[str] = []
+            szs: list[int] = []
             for i, text in zip(pdf["id"], pdf["t"]):
                 toks = [t for t in split.split((text or "").lower()) if t]
                 grams = {
@@ -104,13 +123,19 @@ def shingle_table(
                 for g in grams:
                     ids.append(i)
                     hs.append(hashlib.md5(g.encode("utf-8")).hexdigest() if hashed else g)
-            yield pd.DataFrame({"id": pd.Series(ids, dtype=pdf["id"].dtype), "sh": hs})
+                if with_size:
+                    szs.extend([len(grams)] * len(grams))
+            data = {"id": pd.Series(ids, dtype=pdf["id"].dtype), "sh": hs}
+            if with_size:
+                data["sz"] = pd.Series(szs, dtype="int64")
+            yield pd.DataFrame(data)
 
     # fan the CPU-bound kernel across cores (single-split parquet otherwise
     # pins the whole corpus's hashing on one task)
     par = df.sparkSession.sparkContext.defaultParallelism
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).repartition(par)
-    return src.mapInPandas(kern, "id long, sh string")
+    schema = "id long, sh string" + (", sz long" if with_size else "")
+    return src.mapInPandas(kern, schema)
 
 
 def minhash_signatures(
@@ -246,9 +271,36 @@ def jaccard_pairs(
     with zero overlap never materialize (their Jaccard is 0 < threshold).
     ``max_shingle_df`` drops shingles occurring in more than that many
     documents before the join — the skew guard for stopword-ish shingles.
+
+    When the input carries a ``sz`` column (``shingle_table(...,
+    with_size=True)``) and no df cap is set, set sizes ride the join rows
+    instead of being re-aggregated: the plan drops one groupBy(id) exchange
+    and two size joins, and — because the aggregate subtree no longer exists
+    — the shingle kernel runs once per side instead of once per side plus
+    once for the sizes (r13; output identical, pinned in test_dedup).
     """
     sh = shingle_tbl
+    if max_shingle_df is None and "sz" in sh.columns:
+        a = sh.select(F.col("id").alias("id_a"), "sh", F.col("sz").alias("sz_a"))
+        b = sh.select(F.col("id").alias("id_b"), "sh", F.col("sz").alias("sz_b"))
+        inter = (
+            a.join(b, ["sh"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "sz_a", "sz_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        return (
+            inter.withColumn(
+                "jaccard",
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+            )
+            .where(F.col("jaccard") >= min_jaccard)
+            .select("id_a", "id_b", "jaccard")
+        )
     if max_shingle_df is not None:
+        if "sz" in sh.columns:  # sizes must count post-filter shingles
+            sh = sh.drop("sz")
         rare = (
             sh.groupBy("sh").agg(F.count("*").alias("c")).where(F.col("c") <= max_shingle_df)
         )
@@ -296,7 +348,39 @@ def jaccard_pairs_between(
     over the UNION of both sides (a shingle hot on either side floods the
     join). Inputs are ``shingle_table`` outputs. Output:
     (id_base, id_new, jaccard).
+
+    As in :func:`jaccard_pairs`, inputs carrying ``sz`` (with no df cap)
+    skip the two size re-aggregations — sizes ride the join (r13).
     """
+    if (
+        max_shingle_df is None
+        and "sz" in base_sh.columns
+        and "sz" in new_sh.columns
+    ):
+        a = base_sh.select(
+            F.col("id").alias("id_base"), "sh", F.col("sz").alias("sz_base")
+        )
+        b = new_sh.select(
+            F.col("id").alias("id_new"), "sh", F.col("sz").alias("sz_new")
+        )
+        inter = (
+            a.join(b, ["sh"])
+            .groupBy("id_base", "id_new", "sz_base", "sz_new")
+            .agg(F.count("*").alias("inter"))
+        )
+        return (
+            inter.withColumn(
+                "jaccard",
+                F.col("inter").cast("double")
+                / (F.col("sz_base") + F.col("sz_new") - F.col("inter")).cast("double"),
+            )
+            .where(F.col("jaccard") >= min_jaccard)
+            .select("id_base", "id_new", "jaccard")
+        )
+    if "sz" in base_sh.columns:
+        base_sh = base_sh.drop("sz")
+    if "sz" in new_sh.columns:
+        new_sh = new_sh.drop("sz")
     if max_shingle_df is not None:
         rare = (
             base_sh.select("sh")
@@ -402,26 +486,29 @@ def sorted_neighborhood_pairs(
     for key_expr in pass_keys[1:passes]:
         cand = cand.unionAll(_candidates(key_expr))
     cand = cand.distinct()
-    sh = shingle_table(df, id_col, text_col, n=shingle_n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    # set sizes ride the shingle rows (with_size) — no groupBy(id)
+    # re-aggregation, no size joins, one fewer shingle-kernel run (r13)
+    sh = shingle_table(df, id_col, text_col, n=shingle_n, with_size=True)
     inter = (
-        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), "sh", F.col("sz").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), "sh", F.col("sz").alias("sb")),
+            ["id_b", "sh"],
+        )
+        .groupBy("id_a", "id_b", "sa", "sb")
         .agg(F.count("*").alias("i"))
     )
-    jac = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("i").cast("double")
-                / (F.col("sa") + F.col("sb") - F.col("i")).cast("double"),
-                round_dp,
-            ).alias("jaccard"),
-        )
+    jac = inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("i").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("i")).cast("double"),
+            round_dp,
+        ).alias("jaccard"),
     )
     return jac.where(F.col("jaccard") >= min_jaccard)
 
@@ -561,6 +648,16 @@ def minhash_near_dups(
     """MinHash-LSH candidates verified by exact Jaccard — the standard
     two-phase near-dup pipeline (cheap recall phase, exact precision phase).
 
+    The verify is CANDIDATE-FIRST (r13): exact Jaccard is computed only for
+    the pairs LSH surfaced — candidate pairs join the shingle relation, not
+    the full inverted-index self-join filtered afterwards. Output-identical
+    to the old exact-everything ∩ candidates shape (restricting before or
+    after computing per-pair Jaccard commutes; pinned in test_dedup), but
+    the work is ∝ candidates × shingles-per-doc instead of ∝ every
+    co-shingle pair in the corpus — at 100 TB that is the difference
+    between verifying what banding found and re-running the full O(Σ df²)
+    join the sketch exists to avoid.
+
     ``max_bucket_size`` (default 1000) bounds the per-band-bucket self-join
     to ~500k pairs per degenerate bucket — see :func:`lsh_candidates`.
     """
@@ -572,9 +669,24 @@ def minhash_near_dups(
     cands = lsh_candidates(
         sigs, bands=bands, rows_per_band=rows_per_band, max_bucket_size=max_bucket_size
     )
-    sh = shingle_table(df, id_col, text_col, n=shingle_n)
-    exact = jaccard_pairs(sh, min_jaccard=min_jaccard)
-    return exact.join(cands, ["id_a", "id_b"], "left_semi")
+    sh = shingle_table(df, id_col, text_col, n=shingle_n, with_size=True)
+    a = sh.select(F.col("id").alias("id_a"), "sh", F.col("sz").alias("sz_a"))
+    b = sh.select(F.col("id").alias("id_b"), "sh", F.col("sz").alias("sz_b"))
+    inter = (
+        cands.join(a, "id_a")
+        .join(b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash(

@@ -47,7 +47,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3, with_size=True)
     out = dedup.jaccard_pairs(sh, min_jaccard=0.5)
     return out.select(
         F.col("id_a").alias("doc_a"),
@@ -538,7 +538,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3, with_size=True)
     pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5)
     comps = connected_components(pairs, "id_a", "id_b")
     return comps.select(
@@ -607,7 +607,7 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components_star
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3, with_size=True)
     pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5)
     comps = connected_components_star(pairs, "id_a", "id_b")
     return comps.select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")
@@ -1076,7 +1076,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled (canonical_id, is_kept). The full LSH→verify→cluster→keep-best
     sequence a production dedup pass runs, as ONE lazy plan."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3, with_size=True)
     pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5)
     return dedup.canonicalize(docs, pairs, "doc_id", length_col="n_chars").orderBy(
         "doc_id"
@@ -1297,8 +1297,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(text, 1, cast(floor(n_chars / 2) as int))").alias("text"),
     )
     incoming = copies.unionAll(halves)
-    sh_base = dedup.shingle_table(base, "doc_id", "text", n=3)
-    sh_new = dedup.shingle_table(incoming, "doc_id", "text", n=3)
+    sh_base = dedup.shingle_table(base, "doc_id", "text", n=3, with_size=True)
+    sh_new = dedup.shingle_table(incoming, "doc_id", "text", n=3, with_size=True)
     out = dedup.jaccard_pairs_between(sh_base, sh_new, min_jaccard=0.5)
     return out.select(
         F.col("id_base").alias("base_id"),
@@ -1482,7 +1482,7 @@ def components_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         for stale in [k for k in _COMPONENTS_CACHE if k != sf_dir]:
             _COMPONENTS_CACHE.pop(stale)
         docs = load_table(spark, sf_dir, "documents")
-        sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+        sh = dedup.shingle_table(docs, "doc_id", "text", n=3, with_size=True)
         pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5)
         comps = connected_components(pairs, "id_a", "id_b")
         path = tempfile.mkdtemp(prefix="hvs_components_")
@@ -1528,7 +1528,7 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3, with_size=True)
     pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5)
     comps = connected_components(pairs, "id_a", "id_b")
     sizes = comps.groupBy("component").agg(F.count("*").alias("cluster_size"))
@@ -2010,7 +2010,7 @@ def dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3, with_size=True)
     pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5)
     return (
         kcore(pairs, 2, "id_a", "id_b")
@@ -2511,18 +2511,18 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     corpus = docs.select("doc_id", "text").unionAll(truncated)
-    sh = dedup.shingle_table(corpus, "doc_id", "text", n=3)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "sh")
-    b = sh.select(F.col("id").alias("id_b"), "sh")
+    # sizes ride the shingle rows (with_size) instead of a groupBy(id)
+    # re-aggregation — one fewer exchange, two fewer joins, and the shingle
+    # kernel no longer recomputes for the size subtree (r13; guide §2.4)
+    sh = dedup.shingle_table(corpus, "doc_id", "text", n=3, with_size=True)
+    a = sh.select(F.col("id").alias("id_a"), "sh", F.col("sz").alias("sa"))
+    b = sh.select(F.col("id").alias("id_b"), "sh", F.col("sz").alias("sb"))
     inter = (
         a.join(b, "sh")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "sa", "sb")
         .agg(F.count("*").alias("i"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb"))
     # threshold via the integer predicate i >= ceil(t*sz), NOT the rounded
     # ratio (r11 advice): at ~1e6 shingles a ratio 5e-7 under t rounds up
     # past a 6-dp filter, which would make this plain plan admit pairs the
@@ -2530,8 +2530,7 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup.containment_pairs_prefix and the DuckDB oracle apply the same
     # predicate, so the three stay output-identical at every scale.
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter
         .where(
             (F.col("i") >= F.ceil(F.lit(0.8) * F.col("sa")))
             | (F.col("i") >= F.ceil(F.lit(0.8) * F.col("sb")))
@@ -2624,7 +2623,7 @@ def minhash_lsh_eval(
         docs, "doc_id", "text", num_hashes=8, shingle_n=3
     )
     cands = dedup.lsh_candidates(sigs, bands=4, rows_per_band=2)
-    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3, with_size=True)
     truth = dedup.jaccard_pairs(sh, min_jaccard=0.7).select("id_a", "id_b")
     tp = truth.join(cands, ["id_a", "id_b"], "left_semi")
     r_truth = truth.agg(F.count("*").alias("n_truth"))
