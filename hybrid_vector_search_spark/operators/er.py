@@ -50,6 +50,7 @@ def fellegi_sunter_pairs(
     threshold: float,
     round_dp: int = 6,
     max_block_size: int | None = None,
+    stacked: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, w_<field>..., weight) for candidate pairs scoring ≥
     threshold under the Fellegi-Sunter log-likelihood model.
@@ -58,6 +59,15 @@ def fellegi_sunter_pairs(
     ``records``); ``comparators``: (field, agree(a_struct, b_struct) →
     Boolean, m, u) triples. The threshold compares the ROUNDED weight, so
     the decision boundary is engine-portable.
+
+    ``stacked=True`` (r13) runs all passes through ONE self-join: the keys
+    must then share one Spark type (callers encode each pass injectively —
+    e.g. a namespaced string), and they are exploded to (id, pass, key)
+    rows so one exchange serves every pass instead of one join per pass.
+    Candidates are identical by construction (a pair shares a stacked key
+    iff it shares that pass's key); expensive key subexpressions (rank
+    windows) are evaluated once instead of once per pass. Incompatible
+    with ``max_block_size`` (measure per pass before stacking).
 
     ``max_block_size``: opt-in loud-failure guard (the
     dedup.embedding_near_dups broadcast_limit pattern). The candidate
@@ -72,6 +82,38 @@ def fellegi_sunter_pairs(
         raise ValueError("at least one blocking key is required")
     if not comparators:
         raise ValueError("at least one comparator is required")
+    if stacked:
+        if max_block_size is not None:
+            raise ValueError("stacked=True does not support max_block_size")
+        # two projections: window-bearing key expressions are evaluated in
+        # the first (a generator cannot host a window function), the
+        # explode runs over the materialized key columns in the second
+        # materialized once (localCheckpoint): both self-join sides AND the
+        # broadcast build read the same computed keys — window-bearing key
+        # expressions would otherwise re-execute per consumer subtree. The
+        # relation is (id, keys): |records| rows of small strings.
+        withkeys = records.select(
+            F.col(id_col).alias("_id"),
+            *[bk.alias(f"_bk{i}") for i, bk in enumerate(block_keys)],
+        ).localCheckpoint(eager=True)
+        keyed = withkeys.select(
+            "_id",
+            F.posexplode(
+                F.array(*[F.col(f"_bk{i}") for i in range(len(block_keys))])
+            ).alias("_pass", "_bk"),
+        ).where(F.col("_bk").isNotNull())
+        a = keyed.select(F.col("_id").alias("id_a"), "_pass", "_bk")
+        b = keyed.select(F.col("_id").alias("id_b"), "_pass", "_bk")
+        cands = (
+            a.join(b, ["_pass", "_bk"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return _score_candidates(
+            cands, records, id_col, comparators=comparators,
+            threshold=threshold, round_dp=round_dp,
+        )
     if max_block_size is not None:
         sized = None
         for i, bk in enumerate(block_keys):
@@ -111,6 +153,23 @@ def fellegi_sunter_pairs(
         )
         cands = p if cands is None else cands.unionAll(p)
     cands = cands.distinct()
+    return _score_candidates(
+        cands, records, id_col, comparators=comparators,
+        threshold=threshold, round_dp=round_dp,
+    )
+
+
+def _score_candidates(
+    cands: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    *,
+    comparators: Sequence[Comparator],
+    threshold: float,
+    round_dp: int,
+) -> DataFrame:
+    """Field comparison + Fellegi-Sunter weighting for candidate (id_a,
+    id_b) pairs — the shared precision phase behind both blocking shapes."""
     payload = records.select(
         F.col(id_col).alias("_id"), F.struct(*records.columns).alias("_r")
     )

@@ -277,12 +277,34 @@ def triangle_count(
     Returns (node, n_triangles) for every node of the symmetrized simple
     graph (self-loops dropped, multi-edges collapsed), counting each
     triangle once per member node.
+
+    Plan shape (r13): the symmetrized edge list, the degree relation and
+    the oriented edge list are each referenced several times downstream
+    (orientation, both wedge sides, the closing-edge probe, the node
+    spine). Left lazy, every reference re-plans and re-executes the whole
+    upstream subtree — the static plan for the co-purchase caller carried
+    ~600 Exchange nodes (56 rebuilds of the order self-join) before this
+    change. They are localCheckpointed instead: |E|- and |V|-sized
+    intermediates each computed exactly once (guide §3.3 / §5 — multi-
+    referenced intermediates are materialized, lineage truncated; the
+    same policy as the iterative fixpoints). The triangle membership
+    explode replaces a 3-way union of the triangle relation for the same
+    reason.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col(src) != F.col(dst)
     )
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    deg = sym.groupBy("a").agg(F.count("*").alias("deg")).withColumnRenamed("a", "n")
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count("*").alias("deg"))
+        .withColumnRenamed("a", "n")
+        .localCheckpoint(eager=True)
+    )
     # orient by (degree, id): u -> v iff (deg(u), u) < (deg(v), v)
     du = deg.select(F.col("n").alias("a"), F.col("deg").alias("da"))
     dv = deg.select(F.col("n").alias("b"), F.col("deg").alias("db"))
@@ -294,6 +316,7 @@ def triangle_count(
             | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
         )
         .select("a", "b")
+        .localCheckpoint(eager=True)
     )
     # wedges centered at the (low-order) vertex u: u->v, u->w with v < w
     e1 = oriented.select(F.col("a").alias("u"), F.col("b").alias("v"))
@@ -304,9 +327,9 @@ def triangle_count(
     ).distinct()
     tris = wedges.join(closing, ["v", "w"])
     per_node = (
-        tris.select(F.col("u").alias("node"))
-        .union(tris.select(F.col("v").alias("node")))
-        .union(tris.select(F.col("w").alias("node")))
+        tris.select(
+            F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )

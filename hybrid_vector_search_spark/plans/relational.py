@@ -2813,22 +2813,35 @@ def entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         - 1
     )
+    # r13: the three passes run STACKED through one self-join (explode to
+    # (id, pass, key) — one exchange serves every pass, and the rank window
+    # above is evaluated once instead of once per band pass; was 3 joins +
+    # 2 window execs). Keys are encoded injectively as strings: the name
+    # prefix raw, the band structs as '|'-joined integers (c_nationkey /
+    # cent / band are non-null integers, so concat equality ≡ struct
+    # equality); the pass index rides separately, so cross-pass collisions
+    # are impossible. Candidate set — and therefore the linkage — is
+    # unchanged (operator equivalence pinned in tests/test_er.py).
+    cent = F.floor(F.col("c_acctbal") / 100.0)
     return fellegi_sunter_pairs(
         recs,
         "c_custkey",
         block_keys=[
             F.substring("c_name", 1, 16),
-            F.struct(
+            F.concat_ws(
+                "|",
                 F.col("c_nationkey"),
-                F.floor(F.col("c_acctbal") / 100.0).alias("cent"),
-                F.floor(bal_rank / 64).alias("band"),
+                cent,
+                F.floor(bal_rank / 64),
             ),
-            F.struct(
+            F.concat_ws(
+                "|",
                 F.col("c_nationkey"),
-                F.floor(F.col("c_acctbal") / 100.0).alias("cent"),
-                F.floor((bal_rank + 32) / 64).alias("band"),
+                cent,
+                F.floor((bal_rank + 32) / 64),
             ),
         ],
+        stacked=True,
         comparators=[
             (
                 "name",

@@ -111,3 +111,54 @@ def test_max_block_size_guard_raises_with_recipe(spark):
         fellegi_sunter_pairs(_recs(spark), max_block_size=2, **kwargs)
     out = fellegi_sunter_pairs(_recs(spark), max_block_size=4, **kwargs)
     assert {(r["id_a"], r["id_b"]) for r in out.collect()} >= {(1, 2)}
+
+
+def test_stacked_blocking_matches_per_pass(spark):
+    """r13: stacked=True (one exploded self-join for all passes) must
+    produce the identical linkage as the per-pass join loop."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.operators.er import fellegi_sunter_pairs
+    from hybrid_vector_search_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    cust = load_table(spark, SF_SMALL, "customer")
+    recs = cust.select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    keys = [
+        F.substring("c_name", 1, 12),
+        F.concat_ws("|", F.col("c_nationkey"), F.floor(F.col("c_acctbal") / 500.0)),
+    ]
+    comps = [
+        ("name", lambda a, b: F.levenshtein(a["c_name"], b["c_name"]) <= 2, 0.9, 0.01),
+        ("seg", lambda a, b: a["c_mktsegment"] == b["c_mktsegment"], 0.95, 0.2),
+    ]
+    kw = dict(block_keys=keys, comparators=comps, threshold=2.0)
+    plain = {tuple(r) for r in fellegi_sunter_pairs(recs, "c_custkey", **kw).collect()}
+    fast = {
+        tuple(r)
+        for r in fellegi_sunter_pairs(recs, "c_custkey", stacked=True, **kw).collect()
+    }
+    assert plain == fast and len(plain) > 0
+
+
+def test_stacked_rejects_block_size_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.operators.er import fellegi_sunter_pairs
+    from hybrid_vector_search_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    cust = load_table(spark, SF_SMALL, "customer")
+    with pytest.raises(ValueError, match="max_block_size"):
+        fellegi_sunter_pairs(
+            cust,
+            "c_custkey",
+            block_keys=[F.substring("c_name", 1, 8)],
+            comparators=[
+                ("seg", lambda a, b: a["c_mktsegment"] == b["c_mktsegment"], 0.9, 0.1)
+            ],
+            threshold=1.0,
+            stacked=True,
+            max_block_size=10,
+        )
