@@ -192,7 +192,16 @@ def rm3_scores(
     — so the whole two-pass pipeline replays bit-for-bit in SQL.
     """
     q_terms = sorted(set(query_terms))
-    base = bm25_scores(stats, q_terms, k1=k1, b=b, round_dp=6)
+    # base (pass-1 scores) feeds BOTH the feedback set and the final
+    # interpolation, and the mined term model is read by two joins in the
+    # expanded pass: left lazy, each reference re-executes its whole
+    # filtered-postings join tree (measured 6.5 s -> 1.8 s at sf0.1 from
+    # these two localCheckpoints alone). Both relations are small —
+    # |matched docs| rows and fb_terms rows — the classic materialize-the-
+    # feedback-model step of any RM3 implementation (guide §3.3).
+    base = bm25_scores(stats, q_terms, k1=k1, b=b, round_dp=6).localCheckpoint(
+        eager=True
+    )
     fb = base.orderBy(F.desc("score"), F.asc("id")).limit(fb_docs)
     # --- term model from the feedback docs (original terms excluded)
     w = (
@@ -210,7 +219,7 @@ def rm3_scores(
     )
     topt = w.orderBy(F.desc(F.col("wdec").cast("double")), F.asc("term")).limit(
         fb_terms
-    )
+    ).localCheckpoint(eager=True)
     tot = topt.agg(F.sum("wdec").alias("t"))
     what = topt.crossJoin(F.broadcast(tot)).select(
         "term",

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources import load_table
+from ..sources import fan_out, load_table
 from ..streaming.events import user_stream_window
 
 DEC = "decimal(18,2)"
@@ -1603,22 +1603,33 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand + HashAggregate over one pass of the fact table — three
     groupBy+union jobs collapsed to one scan and one exchange.
     grouping_id() (``lvl``) disambiguates subtotal rows from real groups so
-    NULL never overloads two meanings."""
+    NULL never overloads two meanings.
+
+    Two-phase since r13 (the cube_revenue design): a plain groupBy on the
+    full key first (map-side partial; fact rows cross the wire once), then
+    ROLLUP over the ~6-row aggregate — Expand otherwise multiplies every
+    fact row by the number of grouping sets (3×) BEFORE the first
+    aggregation, tripling the heaviest stage's input. Associative DECIMAL
+    re-aggregation keeps the rewrite exact (measured 2.1 s → ~0.9 s at
+    sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice").cast(DEC) * (
         F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
     )
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"), F.sum(disc_price).alias("rev_dec")
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        base.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().alias("lvl"),
-            F.count("*").alias("n_items"),
+            F.sum("cnt").cast("long").alias("n_items"),
             # round to cents IN THE DECIMAL DOMAIN and narrow to an
             # int64-backed decimal before the double cast: the grand-total
             # row needs >16 significant digits at full scale, where
             # decimal->double conversion is allowed to differ by 1 ulp
             # across engines; a DECIMAL(18,2) converts with one rounding
-            F.round(F.sum(disc_price), 2)
+            F.round(F.sum("rev_dec"), 2)
             .cast("decimal(18,2)")
             .cast("double")
             .alias("revenue"),
@@ -2226,9 +2237,16 @@ def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σxy, Σx², Σy²) in decimal are associative and exact, so the one final
     double expression per pair is bit-identical across engines and any
     partitioning. ONE map-only aggregate produces every pair's statistics
-    (no per-pair passes); the 6-row result is driver-sized."""
+    (no per-pair passes); the 6-row result is driver-sized.
+
+    The projected measures fan out to session parallelism before the
+    aggregate (r13, guide §2.5): the single-row-group input otherwise
+    pins all 11 decimal sums over the whole table on one task. The
+    shuffle carries 4 narrow columns; a pre-split deployment input makes
+    fan_out a no-op."""
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = fan_out(li.select(*cols))
     d = {c: F.col(c).cast("decimal(18,2)") for c in cols}
     aggs = [F.count("*").alias("n")]
     for c in cols:
@@ -3193,12 +3211,15 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup graph's components are cliques (r ≡ 1 exactly).
 
     Scale: the only self-join is within an order key (fan-out bounded by
-    basket size, the copurchase_lift shape); the degree table is
-    |parts|-sized — it GROWS with the corpus, so the degree→edge joins
-    carry no broadcast hint: they shuffle on the node key and AQE may
-    still pick broadcast when the dim measures small at runtime. The five
-    sufficient statistics are exact integer sums in one pass, the
-    coefficient one double expression — the correlation ladder."""
+    basket size, the copurchase_lift shape). Degrees attach as TWO count
+    windows over the oriented edge relation (r13) — count(*) over
+    partition(u) IS deg(u) when the relation holds one row per directed
+    edge — so the edge list is computed once and never joined back to a
+    degree table (the old deg-join shape re-executed the whole self-join
+    + distinct for every reference: 34 static Exchange nodes → 5). Both
+    orientations come from one explode, not a union of two subtree
+    copies. The five sufficient statistics are exact integer sums in one
+    pass, the coefficient one double expression — the correlation ladder."""
     li = load_table(spark, sf_dir, "lineitem")
     a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
@@ -3209,12 +3230,16 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     und = pairs_c.select(
-        F.col("pa").alias("u"), F.col("pb").alias("v")
-    ).unionAll(pairs_c.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
-    deg = und.groupBy("u").agg(F.count("*").alias("x"))
-    pairs = und.join(deg, "u").join(
-        deg.select(F.col("u").alias("v"), F.col("x").alias("y")), "v"
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("u"), F.col("pb").alias("v")),
+                F.struct(F.col("pb").alias("u"), F.col("pa").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    pairs = und.withColumn(
+        "x", F.count("*").over(Window.partitionBy("u"))
+    ).withColumn("y", F.count("*").over(Window.partitionBy("v")))
     s = pairs.agg(
         F.count("*").cast("double").alias("m"),
         F.sum("x").cast("double").alias("sx"),

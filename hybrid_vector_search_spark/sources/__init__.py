@@ -1,1 +1,1 @@
-from .loaders import TABLES, load_table, register_views  # noqa: F401
+from .loaders import TABLES, fan_out, load_table, register_views  # noqa: F401

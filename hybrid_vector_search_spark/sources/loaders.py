@@ -108,6 +108,25 @@ def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to session parallelism for COMPUTE-HEAVY
+    stages over under-split inputs (guide §2.5: "one huge unsplittable
+    file … repartition immediately after the read"). The bundled testdata
+    is one parquet file with one row group per table, so every scan — and
+    any map-side partial aggregation fused into it — runs as a single
+    task regardless of split settings. No-op when the scan is backed by
+    at least half a task's worth of files per core (a real deployment's
+    inputs arrive as many files/splits, so this never fires there);
+    parameterized by defaultParallelism, never a constant. The file count
+    comes from the cached file index (inputFiles) — converting the plan
+    to an RDD to count partitions instead costs ~1 s of driver time per
+    call."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if len(df.inputFiles()) * 2 >= par:
+        return df
+    return df.repartition(par)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql() use."""
     for name in TABLES:

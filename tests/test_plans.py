@@ -664,13 +664,16 @@ def test_km_windows_ride_tiny_spine(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
-def test_assortativity_degree_broadcast(spark):
+def test_assortativity_degree_windows(spark):
     from hybrid_vector_search_spark.plans.relational import graph_assortativity
 
     plan = _plan(graph_assortativity(spark, SF_SMALL))
-    # the only self-join is within l_orderkey; degree relations broadcast
+    # r13: degrees attach as two count windows over the oriented edge
+    # relation — the only join left is the within-order self-join, the
+    # edge list is built once (no degree-join subtree rebuilds)
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Window") >= 2, plan
+    assert plan.count("Scan parquet") <= 2, plan
 
 
 def test_token_savings_no_cartesian(spark):
