@@ -747,6 +747,24 @@ def _simhash_pandas(df: DataFrame, id_col: str, text_col: str, bits: int) -> Dat
     powers = np.array([1 << j for j in range(bits)], dtype=np.int64)
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-task token → ±1 bit-vector memo (guide §4.5): the vocabulary
+        # is Zipfian, so most token instances repeat within a partition —
+        # hashing each DISTINCT token once cuts the md5 + nibble-decode
+        # work by the corpus's type/token ratio. Values are deterministic
+        # functions of the token, so memoization cannot change any vote.
+        memo: dict[str, "np.ndarray"] = {}
+
+        def tok_vec(tok: str) -> "np.ndarray":
+            vec = memo.get(tok)
+            if vec is None:
+                h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                nibs = np.fromiter(
+                    (int(c, 16) for c in h[:n_nibbles]), dtype=np.int64, count=n_nibbles
+                )
+                vec = 2 * nib_bits[nibs].reshape(-1)[:bits] - 1
+                memo[tok] = vec
+            return vec
+
         for pdf in batches:
             out_ids, fps = [], []
             for i, text in zip(pdf["id"], pdf["t"]):
@@ -755,11 +773,7 @@ def _simhash_pandas(df: DataFrame, id_col: str, text_col: str, bits: int) -> Dat
                     continue  # sql twin has no row either (explode of empty)
                 votes = np.zeros(bits, dtype=np.int64)
                 for tok, tf in Counter(toks).items():
-                    h = hashlib.md5(tok.encode("utf-8")).hexdigest()
-                    nibs = np.fromiter(
-                        (int(c, 16) for c in h[:n_nibbles]), dtype=np.int64, count=n_nibbles
-                    )
-                    votes += tf * (2 * nib_bits[nibs].reshape(-1)[:bits] - 1)
+                    votes += tf * tok_vec(tok)
                 out_ids.append(i)
                 fps.append(int(powers[votes > 0].sum()))
             yield pd.DataFrame({"id": pd.Series(out_ids, dtype="int64"), "simhash": pd.Series(fps, dtype="int64")})

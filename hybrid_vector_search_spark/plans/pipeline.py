@@ -517,8 +517,21 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     holdout = docs.where(F.col("doc_id") < 100)
     corpus = docs.where(F.col("doc_id") >= 100)
-    ev_sh = dedup.shingle_table(holdout, "doc_id", "text", n=5).select("sh").distinct()
-    bitmap = bloom.bloom_build(ev_sh, "sh", m_bits=m_bits, k=k)
+    # r13: the holdout shingle set feeds the bitmap build AND the final
+    # exact verify, and the bitmap relation is broadcast k=4 times (one
+    # per hash-family probe) — left lazy, the bitmap's whole build subtree
+    # re-executed per broadcast (44 static Exchange nodes). Both relations
+    # are small by construction (the holdout side and ≤ m_bits/64 words);
+    # localCheckpoint computes each once (guide §3.3).
+    ev_sh = (
+        dedup.shingle_table(holdout, "doc_id", "text", n=5)
+        .select("sh")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bitmap = bloom.bloom_build(ev_sh, "sh", m_bits=m_bits, k=k).localCheckpoint(
+        eager=True
+    )
     corpus_sh = dedup.shingle_table(corpus, "doc_id", "text", n=5)
     candidates = bloom.bloom_prefilter(corpus_sh, "sh", bitmap, m_bits=m_bits, k=k)
     return (
@@ -1050,11 +1063,17 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style structural quality gate (operators.quality_rules): one
     map-only projection per doc, rule metrics + pass/fail conjunction."""
     from ..operators.quality_rules import gopher_rules
+    from ..sources import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
     # min_stop_hits=1: the synthetic corpus has a thin stopword profile, and
-    # a pass column that actually discriminates exercises the conjunction
-    return gopher_rules(docs, "doc_id", "text", min_stop_hits=1).orderBy("doc_id")
+    # a pass column that actually discriminates exercises the conjunction.
+    # fan_out (r13, guide §2.5): the rule expressions fuse into the scan
+    # stage, pinning all tokenize/regex work on the single-row-group file's
+    # one task; pre-split deployment inputs skip the repartition.
+    return gopher_rules(fan_out(docs), "doc_id", "text", min_stop_hits=1).orderBy(
+        "doc_id"
+    )
 
 
 def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2270,9 +2289,11 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the share is one double division."""
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
-    first = sh.groupBy("sh").agg(F.min("id").alias("first_id"))
+    # r13: first-occurrence owner as a window min over the same sh
+    # partitioning — one exchange, one shingle-kernel run (the groupBy +
+    # join-back shape ran the kernel once per side and shuffled twice)
     return (
-        sh.join(first, "sh")
+        sh.withColumn("first_id", F.min("id").over(Window.partitionBy("sh")))
         .groupBy("id")
         .agg(
             F.count("*").alias("n_shingles"),

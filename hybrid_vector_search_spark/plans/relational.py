@@ -104,11 +104,17 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str, k: int = 3) -> Data
 
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping-sets aggregate (returnflag → returnflag×linestatus →
-    grand total)."""
+    grand total). Two-phase since r13 (the cube_revenue design): plain
+    groupBy first, ROLLUP over the ~6-row DECIMAL aggregate — Expand no
+    longer triples the fact stream before the first aggregation; the
+    associative decimal re-aggregation keeps it exact, double cast last."""
     li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_dec")
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(_dsum(F.col("l_extendedprice")).alias("sum_base_price"))
+        base.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("sum_dec").cast("double").alias("sum_base_price"))
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
         )
@@ -1942,7 +1948,12 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     only floats, rounded to 6 dp with N carried as an exact BIGINT literal
     via crossJoin of the 1-row total."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # the distinct basket relation feeds four consumers (order count, part
+    # marginals, both self-join sides); localCheckpoint computes the
+    # lineitem distinct once instead of per consumer subtree (r13)
+    baskets = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
+    )
     n_orders = baskets.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_orders")
     )
