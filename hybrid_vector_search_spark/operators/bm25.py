@@ -194,13 +194,16 @@ def rm3_scores(
     q_terms = sorted(set(query_terms))
     # base (pass-1 scores) feeds BOTH the feedback set and the final
     # interpolation, and the mined term model is read by two joins in the
-    # expanded pass: left lazy, each reference re-executes its whole
-    # filtered-postings join tree (measured 6.5 s -> 1.8 s at sf0.1 from
-    # these two localCheckpoints alone). Both relations are small —
+    # expanded pass: left unmaterialized, each reference re-executes its
+    # whole filtered-postings join tree (measured 6.5 s -> 1.8 s at sf0.1
+    # from these two localCheckpoints alone). Both relations are small —
     # |matched docs| rows and fb_terms rows — the classic materialize-the-
     # feedback-model step of any RM3 implementation (guide §3.3).
+    # eager=False (r14): the checkpoint still materializes exactly once,
+    # but at the first action instead of at DataFrame-construction time,
+    # so the job stays inside the caller's timed execution window.
     base = bm25_scores(stats, q_terms, k1=k1, b=b, round_dp=6).localCheckpoint(
-        eager=True
+        eager=False
     )
     fb = base.orderBy(F.desc("score"), F.asc("id")).limit(fb_docs)
     # --- term model from the feedback docs (original terms excluded)
@@ -219,7 +222,7 @@ def rm3_scores(
     )
     topt = w.orderBy(F.desc(F.col("wdec").cast("double")), F.asc("term")).limit(
         fb_terms
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     tot = topt.agg(F.sum("wdec").alias("t"))
     what = topt.crossJoin(F.broadcast(tot)).select(
         "term",

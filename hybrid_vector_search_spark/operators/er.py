@@ -91,11 +91,13 @@ def fellegi_sunter_pairs(
         # materialized once (localCheckpoint): both self-join sides AND the
         # broadcast build read the same computed keys — window-bearing key
         # expressions would otherwise re-execute per consumer subtree. The
-        # relation is (id, keys): |records| rows of small strings.
+        # relation is (id, keys): |records| rows of small strings. Lazy
+        # (eager=False, r14): one-time materialization at the first action,
+        # inside the caller's timed execution window.
         withkeys = records.select(
             F.col(id_col).alias("_id"),
             *[bk.alias(f"_bk{i}") for i, bk in enumerate(block_keys)],
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         keyed = withkeys.select(
             "_id",
             F.posexplode(

@@ -289,7 +289,9 @@ def triangle_count(
     referenced intermediates are materialized, lineage truncated; the
     same policy as the iterative fixpoints). The triangle membership
     explode replaces a 3-way union of the triangle relation for the same
-    reason.
+    reason. The checkpoints are lazy (eager=False, r14): each still
+    materializes exactly once, at the first action, so the jobs run inside
+    the caller's timed execution instead of at plan-construction time.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col(src) != F.col(dst)
@@ -297,13 +299,13 @@ def triangle_count(
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     deg = (
         sym.groupBy("a")
         .agg(F.count("*").alias("deg"))
         .withColumnRenamed("a", "n")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # orient by (degree, id): u -> v iff (deg(u), u) < (deg(v), v)
     du = deg.select(F.col("n").alias("a"), F.col("deg").alias("da"))
@@ -316,7 +318,7 @@ def triangle_count(
             | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
         )
         .select("a", "b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # wedges centered at the (low-order) vertex u: u->v, u->w with v < w
     e1 = oriented.select(F.col("a").alias("u"), F.col("b").alias("v"))

@@ -519,18 +519,20 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") >= 100)
     # r13: the holdout shingle set feeds the bitmap build AND the final
     # exact verify, and the bitmap relation is broadcast k=4 times (one
-    # per hash-family probe) — left lazy, the bitmap's whole build subtree
-    # re-executed per broadcast (44 static Exchange nodes). Both relations
-    # are small by construction (the holdout side and ≤ m_bits/64 words);
-    # localCheckpoint computes each once (guide §3.3).
+    # per hash-family probe) — left unmaterialized, the bitmap's whole
+    # build subtree re-executed per broadcast (44 static Exchange nodes).
+    # Both relations are small by construction (the holdout side and
+    # ≤ m_bits/64 words); localCheckpoint computes each once (guide §3.3).
+    # eager=False (r14): same one-time materialization, deferred to the
+    # first action so the build jobs stay inside the timed exec window.
     ev_sh = (
         dedup.shingle_table(holdout, "doc_id", "text", n=5)
         .select("sh")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     bitmap = bloom.bloom_build(ev_sh, "sh", m_bits=m_bits, k=k).localCheckpoint(
-        eager=True
+        eager=False
     )
     corpus_sh = dedup.shingle_table(corpus, "doc_id", "text", n=5)
     candidates = bloom.bloom_prefilter(corpus_sh, "sh", bitmap, m_bits=m_bits, k=k)

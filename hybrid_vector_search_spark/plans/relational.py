@@ -1166,7 +1166,9 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.cube("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().alias("gid"),
-            F.sum("cnt").alias("n_lines"),
+            # empty-input parity with the single-phase shape (see
+            # revenue_rollup): count(*) over nothing is 0, sum('cnt') NULL
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_lines"),
             F.sum("rev_dec").cast("double").alias("revenue"),
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
@@ -1629,7 +1631,10 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().alias("lvl"),
-            F.sum("cnt").cast("long").alias("n_items"),
+            # coalesce: over EMPTY input the grand-total row's sum('cnt') is
+            # NULL where the single-phase rollup's count(*) was 0 (r13
+            # advice); unreachable with real data, 0-cost to restore parity
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_items"),
             # round to cents IN THE DECIMAL DOMAIN and narrow to an
             # int64-backed decimal before the double cast: the grand-total
             # row needs >16 significant digits at full scale, where
@@ -1950,9 +1955,11 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # the distinct basket relation feeds four consumers (order count, part
     # marginals, both self-join sides); localCheckpoint computes the
-    # lineitem distinct once instead of per consumer subtree (r13)
+    # lineitem distinct once instead of per consumer subtree (r13).
+    # eager=False (r14): materializes at the first action, keeping the
+    # distinct job inside the timed exec window (same one-time compute).
     baskets = (
-        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
     )
     n_orders = baskets.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_orders")
@@ -2846,29 +2853,31 @@ def entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (id, pass, key) — one exchange serves every pass, and the rank window
     # above is evaluated once instead of once per band pass; was 3 joins +
     # 2 window execs). Keys are encoded injectively as strings: the name
-    # prefix raw, the band structs as '|'-joined integers (c_nationkey /
-    # cent / band are non-null integers, so concat equality ≡ struct
-    # equality); the pass index rides separately, so cross-pass collisions
-    # are impossible. Candidate set — and therefore the linkage — is
-    # unchanged (operator equivalence pinned in tests/test_er.py).
+    # prefix raw, the band structs as '|'-joined integers; the pass index
+    # rides separately, so cross-pass collisions are impossible. The
+    # encoding is NULL-PRESERVING (F.concat, r14 advice): a NULL component
+    # nulls the whole key, and fellegi_sunter_pairs drops null keys — the
+    # same no-participation semantics the old struct keys gave a
+    # null-field row, where concat_ws would silently skip the component
+    # and let (1, NULL, 3) collide with (1, 3, NULL). Unreachable on this
+    # data (all components non-null integers) — candidates, and therefore
+    # the linkage, are unchanged (equivalence pinned in tests/test_er.py).
     cent = F.floor(F.col("c_acctbal") / 100.0)
+    _sep = F.lit("|")
+    band_key = lambda rank_expr: F.concat(  # noqa: E731
+        F.col("c_nationkey").cast("string"),
+        _sep,
+        cent.cast("string"),
+        _sep,
+        rank_expr.cast("string"),
+    )
     return fellegi_sunter_pairs(
         recs,
         "c_custkey",
         block_keys=[
             F.substring("c_name", 1, 16),
-            F.concat_ws(
-                "|",
-                F.col("c_nationkey"),
-                cent,
-                F.floor(bal_rank / 64),
-            ),
-            F.concat_ws(
-                "|",
-                F.col("c_nationkey"),
-                cent,
-                F.floor((bal_rank + 32) / 64),
-            ),
+            band_key(F.floor(bal_rank / 64)),
+            band_key(F.floor((bal_rank + 32) / 64)),
         ],
         stacked=True,
         comparators=[
@@ -3812,7 +3821,8 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linestatus"),
         F.col("ship_year"),
     ).agg(
-        F.sum("cnt").cast("long").alias("n_lines"),
+        # empty-input parity with a single-phase shape (see revenue_rollup)
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_lines"),
         F.round(F.sum("rev_dec"), 2)
         .cast("decimal(18,2)")
         .cast("double")

@@ -9,6 +9,8 @@ min/max skipping all apply automatically once the plan is declarative.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -24,16 +26,26 @@ TABLES = (
     "embeddings",
 )
 
-# Per-(sf_dir, table) parquet schema cache (r13 optimization, guide §1/§6):
-# schema inference re-reads the parquet footer on EVERY spark.read.parquet
-# call (~0.14 s of driver-side analysis per call vs ~0.03 s with an explicit
-# schema — measured at sf0.1). A deployment reads through a catalog whose
-# schemas are known; this cache is that catalog. It holds METADATA only —
-# every query still scans the parquet data itself — and it is keyed by the
-# directory, so a rotated sf_dir re-infers. The events nanos fallback path
-# (_read_events) bypasses the cache entirely: its conf round-trip must rerun
-# per call to keep the save/restore window correct.
-_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+# Per-(sf_dir, table, file identity) parquet schema cache (r13 optimization,
+# guide §1/§6): schema inference re-reads the parquet footer on EVERY
+# spark.read.parquet call (~0.14 s of driver-side analysis per call vs
+# ~0.03 s with an explicit schema — measured at sf0.1). A deployment reads
+# through a catalog whose schemas are known; this cache is that catalog. It
+# holds METADATA only — every query still scans the parquet data itself.
+# The key includes the file's (mtime_ns, size) (r14 advice): an in-place
+# rewrite of the parquet during one process (regenerated testdata, a test
+# reusing a dir) re-infers instead of replaying a stale schema, which could
+# silently misread the new file. For a directory-backed table the stat
+# covers entry add/remove; rotated sf_dir paths re-key as before.
+_SCHEMA_CACHE: dict[tuple, "object"] = {}
+
+
+def _file_identity(path: str) -> tuple:
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (None, None)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -42,7 +54,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
-    key = (sf_dir, name)
+    key = (sf_dir, name, _file_identity(path))
     cached = _SCHEMA_CACHE.get(key)
     if cached is not None:
         df = spark.read.schema(cached).parquet(path)

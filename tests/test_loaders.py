@@ -74,15 +74,20 @@ def test_events_nanos_encoding_fallback(spark, tmp_path):
 
 
 def test_schema_cache_matches_inference(spark):
-    """r13: load_table caches each table's parquet schema per (sf_dir, name)
-    so repeated loads skip footer re-inference. The cached-path DataFrame
-    must be schema- and content-identical to a fresh inference."""
+    """r13: load_table caches each table's parquet schema per (sf_dir, name,
+    file identity) so repeated loads skip footer re-inference. The cached-path
+    DataFrame must be schema- and content-identical to a fresh inference."""
     from hybrid_vector_search_spark.sources import loaders
 
     for name in ("lineitem", "events"):
-        loaders._SCHEMA_CACHE.pop((SF_SMALL, name), None)
+        key = (
+            SF_SMALL,
+            name,
+            loaders._file_identity(f"{SF_SMALL}/{name}.parquet"),
+        )
+        loaders._SCHEMA_CACHE.pop(key, None)
         first = load_table(spark, SF_SMALL, name)  # populates the cache
-        assert (SF_SMALL, name) in loaders._SCHEMA_CACHE
+        assert key in loaders._SCHEMA_CACHE
         second = load_table(spark, SF_SMALL, name)  # served from the cache
         assert second.schema == first.schema
         fresh = spark.read.parquet(f"{SF_SMALL}/{name}.parquet")
@@ -114,4 +119,35 @@ def test_schema_cache_skipped_on_nanos_fallback(spark, tmp_path):
     bare.conf.set("spark.sql.session.timeZone", "UTC")
     df = load_table(bare, sf_dir, "events")
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
-    assert (sf_dir, "events") not in loaders._SCHEMA_CACHE
+    assert not any(k[0] == sf_dir and k[1] == "events" for k in loaders._SCHEMA_CACHE)
+
+
+def test_schema_cache_reinfers_after_inplace_rewrite(spark, tmp_path):
+    """r14 advice: the cache key carries the file's (mtime_ns, size), so a
+    parquet rewritten IN PLACE during one process re-infers instead of
+    replaying the stale schema (which could silently misread the new file)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hybrid_vector_search_spark.sources import loaders
+
+    sf_dir = str(tmp_path)
+    path = f"{sf_dir}/part.parquet"
+    pq.write_table(
+        pa.table({"p_partkey": pa.array([1, 2], pa.int64())}), path
+    )
+    first = load_table(spark, sf_dir, "part")
+    assert first.schema.fieldNames() == ["p_partkey"]
+    # rewrite in place with a DIFFERENT schema; the old key must not serve
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([3], pa.int64()),
+                "p_name": pa.array(["x"], pa.string()),
+            }
+        ),
+        path,
+    )
+    second = load_table(spark, sf_dir, "part")
+    assert second.schema.fieldNames() == ["p_partkey", "p_name"]
+    assert second.count() == 1
