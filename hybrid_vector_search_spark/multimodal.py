@@ -280,8 +280,18 @@ AUDIO_WINDOW_SCHEMA = T.StructType(
     ]
 )
 
+# payload="rms" drops the window-bytes column; payload="schedule" drops the
+# sample-dependent columns entirely (see audio_windows docstring)
+_AUDIO_SCHEDULE_FIELDS = AUDIO_WINDOW_SCHEMA.fields[:4]
+AUDIO_WINDOW_RMS_SCHEMA = T.StructType(
+    _AUDIO_SCHEDULE_FIELDS + [T.StructField("rms_u8", T.DoubleType(), False)]
+)
+AUDIO_WINDOW_SCHEDULE_SCHEMA = T.StructType(_AUDIO_SCHEDULE_FIELDS)
 
-def audio_windows(df: DataFrame, *, win_ms: int = 25, hop_ms: int = 10) -> DataFrame:
+
+def audio_windows(
+    df: DataFrame, *, win_ms: int = 25, hop_ms: int = 10, payload: str = "full"
+) -> DataFrame:
     """Audio analysis framing — the MFCC/feature front-end's windowing pass:
     one output row per (media_id, win_idx) for each full ``win_ms`` window
     advancing by ``hop_ms`` (start + win <= duration; trailing partial
@@ -301,16 +311,41 @@ def audio_windows(df: DataFrame, *, win_ms: int = 25, hop_ms: int = 10) -> DataF
     dtype; for wav it is the int16 RMS) — pinned in tests, and for the
     planted square-wave corpus SQL-replayable (|sample| is constant, so
     RMS = amplitude exactly). Fan-out happens INSIDE the kernel: clip bytes
-    are decoded once per clip, never duplicated per window upstream."""
+    are decoded once per clip, never duplicated per window upstream.
+
+    ``payload`` projects INSIDE the kernel (r14, guide §4.1/§2.3 — an
+    opaque Python function computes and Arrow-serializes every declared
+    column whether or not the caller reads it; Catalyst can only prune
+    ABOVE the kernel):
+
+    - ``"full"`` (default): schedule + window bytes + rms_u8.
+    - ``"rms"``: schedule + rms_u8 — skips materializing/shipping the
+      window byte payload (the dominant bytes: win_n samples per window
+      vs ~24 bytes of schedule+rms).
+    - ``"schedule"``: schedule only — additionally skips sample access
+      entirely; the fake-PCM lane then never runs its md5-chain sample
+      generator (the schedule is pure metadata arithmetic), while the wav
+      lane still decodes (its schedule attests the DECODED header).
+
+    Schedule/rms values are identical across modes (same arithmetic on
+    the same decode — pinned in tests/test_multimodal.py); a mode only
+    drops columns the caller does not read."""
     if win_ms <= 0 or hop_ms <= 0:
         raise ValueError("win_ms and hop_ms must be positive")
+    if payload not in ("full", "rms", "schedule"):
+        raise ValueError(f"payload must be full|rms|schedule, got {payload!r}")
+    want_window = payload == "full"
+    want_rms = payload in ("full", "rms")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {
-                "media_id": [], "win_idx": [], "start_ms": [],
-                "n_samples": [], "window": [], "rms_u8": [],
+            rows: dict[str, list] = {
+                "media_id": [], "win_idx": [], "start_ms": [], "n_samples": [],
             }
+            if want_window:
+                rows["window"] = []
+            if want_rms:
+                rows["rms_u8"] = []
             for mid, content, meta in zip(
                 pdf["media_id"], pdf["content"], pdf["meta"]
             ):
@@ -326,27 +361,64 @@ def audio_windows(df: DataFrame, *, win_ms: int = 25, hop_ms: int = 10) -> DataF
                     rate = int(m.get("sample_rate") or 0)
                     if rate <= 0:
                         continue
-                    pcm = np.frombuffer(
-                        _md5_expand(bytes(content), duration * rate // 1000),
-                        dtype=np.uint8,
+                    pcm = (
+                        np.frombuffer(
+                            _md5_expand(bytes(content), duration * rate // 1000),
+                            dtype=np.uint8,
+                        )
+                        if (want_window or want_rms)
+                        else None
                     )
                 if duration < win_ms:
                     continue
                 win_n = win_ms * rate // 1000
+                if not (want_window or want_rms):
+                    # schedule-only: the whole emission is integer
+                    # arithmetic — vectorize it instead of a per-window
+                    # Python loop (same values: idx = 0..n-1, start =
+                    # idx·hop, n_samples constant)
+                    n_win = (duration - win_ms) // hop_ms + 1
+                    idxs = np.arange(n_win, dtype=np.int64)
+                    rows["media_id"].append(np.full(n_win, int(mid), dtype=np.int64))
+                    rows["win_idx"].append(idxs)
+                    rows["start_ms"].append(idxs * hop_ms)
+                    rows["n_samples"].append(np.full(n_win, int(win_n), dtype=np.int64))
+                    continue
                 for idx, start in enumerate(range(0, duration - win_ms + 1, hop_ms)):
-                    s0 = start * rate // 1000
-                    w = pcm[s0 : s0 + win_n]
                     rows["media_id"].append(int(mid))
                     rows["win_idx"].append(idx)
                     rows["start_ms"].append(start)
                     rows["n_samples"].append(int(win_n))
-                    rows["window"].append(w.tobytes())
-                    rows["rms_u8"].append(
-                        round(float(np.sqrt(np.mean(w.astype(np.float64) ** 2))), 6)
-                    )
-            yield pd.DataFrame(rows)
+                    s0 = start * rate // 1000
+                    w = pcm[s0 : s0 + win_n]
+                    if want_window:
+                        rows["window"].append(w.tobytes())
+                    if want_rms:
+                        rows["rms_u8"].append(
+                            round(
+                                float(np.sqrt(np.mean(w.astype(np.float64) ** 2))),
+                                6,
+                            )
+                        )
+            if not (want_window or want_rms):
+                empty = np.array([], dtype=np.int64)
+                yield pd.DataFrame(
+                    {
+                        k: np.concatenate(v) if v else empty
+                        for k, v in rows.items()
+                    }
+                )
+            else:
+                yield pd.DataFrame(rows)
 
-    return df.mapInPandas(kernel, AUDIO_WINDOW_SCHEMA)
+    schema = (
+        AUDIO_WINDOW_SCHEMA
+        if payload == "full"
+        else AUDIO_WINDOW_RMS_SCHEMA
+        if payload == "rms"
+        else AUDIO_WINDOW_SCHEDULE_SCHEMA
+    )
+    return df.mapInPandas(kernel, schema)
 
 
 WAV_RATE = 8_000  # synthetic corpus sample rate (Hz)

@@ -111,6 +111,19 @@ def shingle_table(
     split = re.compile(r"[\W_]+")
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-task gram → md5 memo (guide §4.5): Zipfian gram frequencies
+        # mean repeated grams across the partition's documents hash once.
+        # md5(gram) is a pure function of the gram text, so the emitted
+        # rows are bit-identical with or without the memo.
+        memo: dict[str, str] = {}
+
+        def gram_md5(g: str) -> str:
+            h = memo.get(g)
+            if h is None:
+                h = hashlib.md5(g.encode("utf-8")).hexdigest()
+                memo[g] = h
+            return h
+
         for pdf in batches:
             ids: list = []
             hs: list[str] = []
@@ -122,7 +135,7 @@ def shingle_table(
                 }
                 for g in grams:
                     ids.append(i)
-                    hs.append(hashlib.md5(g.encode("utf-8")).hexdigest() if hashed else g)
+                    hs.append(gram_md5(g) if hashed else g)
                 if with_size:
                     szs.extend([len(grams)] * len(grams))
             data = {"id": pd.Series(ids, dtype=pdf["id"].dtype), "sh": hs}
@@ -166,6 +179,23 @@ def minhash_signatures(
         seeds = [f"{i}#".encode() for i in range(num_hashes)]
 
         def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # per-task gram → (seeded hex digests) memo (guide §4.5, the
+            # simhash-kernel pattern): gram frequencies are Zipfian, so a
+            # gram repeating across documents in the partition pays its
+            # 1 + num_hashes md5 calls once. Values are a deterministic
+            # function of the gram text alone — the signature min over
+            # memoized rows is bit-identical to the unmemoized kernel
+            # (pinned in tests/test_kernels.py).
+            memo: dict[str, tuple] = {}
+
+            def gram_sigs(g: str) -> tuple:
+                row = memo.get(g)
+                if row is None:
+                    h = hashlib.md5(g.encode("utf-8")).hexdigest().encode()
+                    row = tuple(hashlib.md5(s + h).hexdigest() for s in seeds)
+                    memo[g] = row
+                return row
+
             for pdf in batches:
                 rows = []
                 for i, text in zip(pdf["id"], pdf["t"]):
@@ -176,12 +206,7 @@ def minhash_signatures(
                     }
                     if not grams:
                         continue
-                    shs = [
-                        hashlib.md5(g.encode("utf-8")).hexdigest().encode() for g in grams
-                    ]
-                    rows.append(
-                        (i, *[min(hashlib.md5(s + h).hexdigest() for h in shs) for s in seeds])
-                    )
+                    rows.append((i, *map(min, zip(*map(gram_sigs, grams)))))
                 yield pd.DataFrame(
                     rows, columns=["id", *[f"sig_{i}" for i in range(num_hashes)]]
                 )

@@ -304,35 +304,54 @@ def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Stopword-overlap language ID with deterministic tie-break."""
-    distinct_toks = F.array_distinct(tokens(F.col(text_col)))
-    out = df.select(F.col(id_col), distinct_toks.alias("_dt"))
-    for lang in sorted(STOPWORDS):
-        out = out.withColumn(f"ratio_{lang}", F.round(_stop_ratio(F.col("_dt"), lang), 6))
-    langs = sorted(STOPWORDS)
+def _language_pred_from_ratios(ratios: "dict[str, Column]") -> Column:
+    """argmax stopword-overlap ratio with alphabetical tie-break, 'und'
+    below MIN_LANG_RATIO — over ALREADY-ROUNDED per-language ratios."""
     # argmax with alphabetical tie-break: strict > against all earlier langs
     best_lang = None
     best_ratio = None
-    for lang in langs:
-        r = F.col(f"ratio_{lang}")
+    for lang in sorted(ratios):
+        r = ratios[lang]
         if best_lang is None:
             best_lang, best_ratio = F.lit(lang), r
         else:
             cond = r > best_ratio
             best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
             best_ratio = F.when(cond, r).otherwise(best_ratio)
-    pred = F.when(best_ratio >= F.lit(MIN_LANG_RATIO), best_lang).otherwise(F.lit("und"))
-    return out.select(
-        F.col(id_col), *[F.col(f"ratio_{lang}") for lang in langs], pred.alias("pred_lang")
+    return F.when(best_ratio >= F.lit(MIN_LANG_RATIO), best_lang).otherwise(
+        F.lit("und")
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Composite quality in [0,1]: length saturation × lexical diversity ×
-    alnum density, boosted by English stopword presence. Every component is
-    a ratio of exact integers; only the final product is floating."""
-    text = F.col(text_col)
+def language_pred_expr(dt: Column) -> Column:
+    """``pred_lang`` as a pure column expression over the DISTINCT-token
+    array ``dt``. Shared by :func:`language_id` and the single-pass
+    corpus-gate plan (r14), so the two can never drift."""
+    return _language_pred_from_ratios(
+        {lang: F.round(_stop_ratio(dt, lang), 6) for lang in sorted(STOPWORDS)}
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-overlap language ID with deterministic tie-break."""
+    distinct_toks = F.array_distinct(tokens(F.col(text_col)))
+    out = df.select(F.col(id_col), distinct_toks.alias("_dt"))
+    langs = sorted(STOPWORDS)
+    for lang in langs:
+        out = out.withColumn(f"ratio_{lang}", F.round(_stop_ratio(F.col("_dt"), lang), 6))
+    return out.select(
+        F.col(id_col),
+        *[F.col(f"ratio_{lang}") for lang in langs],
+        _language_pred_from_ratios(
+            {lang: F.col(f"ratio_{lang}") for lang in langs}
+        ).alias("pred_lang"),
+    )
+
+
+def quality_expr(text: Column) -> Column:
+    """The rounded composite ``quality`` score as a pure column expression —
+    shared by :func:`quality_score` and the single-pass corpus-gate plan
+    (r14)."""
     toks = tokens(text)
     n = F.size(toks)
     nd = F.size(F.array_distinct(toks))
@@ -344,12 +363,26 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     score = len_sat * (F.lit(0.5) + F.lit(0.5) * ttr) * alnum_ratio * (
         F.lit(0.8) + F.lit(0.2) * F.least(stop_en * 10.0, F.lit(1.0))
     )
+    return F.round(score, 6)
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite quality in [0,1]: length saturation × lexical diversity ×
+    alnum density, boosted by English stopword presence. Every component is
+    a ratio of exact integers; only the final product is floating."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    ttr = nd.cast("double") / F.greatest(n, F.lit(1)).cast("double")
+    alnum = F.length(F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}]", "")).cast("double")
+    alnum_ratio = alnum / F.greatest(F.length(text), F.lit(1)).cast("double")
     return df.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         F.round(ttr, 6).alias("ttr"),
         F.round(alnum_ratio, 6).alias("alnum_ratio"),
-        F.round(score, 6).alias("quality"),
+        quality_expr(text).alias("quality"),
     )
 
 

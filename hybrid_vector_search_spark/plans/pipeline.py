@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import text as text_fns
 from ..operators import dedup, ordering, sampling, textstats
 from ..sources import load_table
 
@@ -687,13 +688,40 @@ def lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _corpus_gates(docs: DataFrame) -> DataFrame:
     """docs + the four cleaning-gate columns (quality, pred_lang,
     is_duplicate, split) as ONE Catalyst plan — shared by corpus_clean
-    (keep + summarize), corpus_clean_funnel (per-gate accounting), and the
-    Observation variant."""
-    q = textstats.quality_score(docs, "doc_id", "text").select("doc_id", "quality")
-    lang = textstats.language_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
-    dup = dedup.exact_dedup(docs, "doc_id", "text").select("doc_id", "is_duplicate")
-    split = sampling.dataset_split(docs, "doc_id").select("doc_id", "split")
-    return docs.join(q, "doc_id").join(lang, "doc_id").join(dup, "doc_id").join(split, "doc_id")
+    (keep + summarize), corpus_clean_funnel (per-gate accounting),
+    training_manifest and the Observation variant.
+
+    Single-pass since r14 (guide §2.4): every gate except exact-dedup is a
+    per-row expression and exact-dedup is one window over the content
+    hash, so the gates ride the SAME scan as withColumns — the previous
+    shape derived four single-column relations from four re-scans of docs
+    and joined them back on doc_id (4 joins, 4 scans, 4 tokenizer runs).
+    The per-row gate expressions are computed BEFORE the dedup window's
+    exchange, on the fan_out'd scan stage: the window's own exchange is
+    AQE-coalescible (ENSURE_REQUIREMENTS origin) down to one task at this
+    data size, which would serialize the tokenizer-heavy expressions the
+    old shape ran as four concurrent subtrees. Gate values are identical:
+    quality/pred_lang come from the shared expression builders the
+    standalone operators use (textstats.quality_expr /
+    language_pred_expr), is_duplicate and split from the same operators
+    as before (both already column-preserving)."""
+    from ..sources import fan_out
+
+    enriched = fan_out(docs).withColumns(
+        {
+            "quality": textstats.quality_expr(F.col("text")),
+            "pred_lang": textstats.language_pred_expr(
+                F.array_distinct(text_fns.tokens(F.col("text")))
+            ),
+            # token budget for training_manifest — same expression the
+            # manifest would evaluate, computed here so it runs in the
+            # fanned-out stage instead of the post-window (AQE-coalesced,
+            # single-task at this size) aggregate stage
+            "n_tokens": F.size(text_fns.tokens(F.col("text"))).cast("long"),
+        }
+    )
+    gated = dedup.exact_dedup(enriched, "doc_id", "text").drop("content_hash")
+    return sampling.dataset_split(gated, "doc_id")
 
 
 def _corpus_keep():
@@ -753,8 +781,6 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribute? This is the number the mixture weights, token budgets, and
     epoch math consume. One pass over the shared gate plan plus a
     token-count projection — no extra scans."""
-    from ..functions.text import tokens
-
     docs = load_table(spark, sf_dir, "documents")
     kept = _corpus_gates(docs).where(
         (F.col("quality") >= 0.5) & (~F.col("is_duplicate"))
@@ -763,7 +789,9 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.groupBy("split", "pred_lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+            # n_tokens rides the gate relation (same size(tokens(text))
+            # expression, evaluated in the fanned-out gate stage — r14)
+            F.sum(F.col("n_tokens")).alias("n_tokens"),
         )
         .orderBy("split", "pred_lang")
     )
@@ -1850,7 +1878,13 @@ def audio_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("pcm-u8").alias("format"),
         ).alias("meta"),
     ).repartition(par)  # single-split local fixture; pre-split on a cluster
-    wins = audio_windows(media, win_ms=AUDIO_WIN_MS, hop_ms=AUDIO_HOP_MS)
+    # payload="schedule" (r14, guide §4.1): this aggregate reads only the
+    # schedule columns, so the kernel neither generates the fake-PCM
+    # samples (an md5 call per 16 bytes of audio) nor Arrow-ships the
+    # window payload it would throw away — identical schedule values.
+    wins = audio_windows(
+        media, win_ms=AUDIO_WIN_MS, hop_ms=AUDIO_HOP_MS, payload="schedule"
+    )
     return (
         wins.groupBy(F.col("media_id").alias("doc_id"))
         .agg(
@@ -1880,7 +1914,12 @@ def wav_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     media = multimodal.synthetic_wav_corpus(docs.repartition(par))
-    wins = multimodal.audio_windows(media, win_ms=AUDIO_WIN_MS, hop_ms=AUDIO_HOP_MS)
+    # payload="rms" (r14, guide §4.1): the aggregate reads schedule + RMS,
+    # never the window bytes — the decode and RMS arithmetic are unchanged,
+    # only the dominant byte payload is no longer Arrow-shipped
+    wins = multimodal.audio_windows(
+        media, win_ms=AUDIO_WIN_MS, hop_ms=AUDIO_HOP_MS, payload="rms"
+    )
     return (
         wins.groupBy(F.col("media_id").alias("doc_id"))
         .agg(

@@ -260,6 +260,46 @@ def test_audio_windows_schedule_and_content(spark):
         )
 
 
+def test_audio_windows_payload_modes_match_full(spark):
+    """r14: payload='rms' / payload='schedule' only drop columns — every
+    value they do emit equals the full kernel's, on BOTH lanes (fake-PCM
+    meta clips and real decoded WAV), so a consumer that reads fewer
+    columns computes the same declared result."""
+    from hybrid_vector_search_spark.multimodal import (
+        audio_windows,
+        synthetic_media,
+        synthetic_wav_corpus,
+    )
+
+    for media in (
+        synthetic_media(spark, 25, kind="audio"),
+        synthetic_wav_corpus(
+            spark.range(12).selectExpr(
+                "id AS doc_id", "cast(200 + id * 37 AS long) AS n_chars"
+            )
+        ),
+    ):
+        full = audio_windows(media).collect()
+        rms = audio_windows(media, payload="rms").collect()
+        sched = audio_windows(media, payload="schedule").collect()
+        key = lambda r: (r["media_id"], r["win_idx"])  # noqa: E731
+        f = {key(r): r for r in full}
+        assert sorted(f) == sorted(key(r) for r in rms) == sorted(
+            key(r) for r in sched
+        )
+        for r in rms:
+            fr = f[key(r)]
+            assert (r["start_ms"], r["n_samples"], r["rms_u8"]) == (
+                fr["start_ms"], fr["n_samples"], fr["rms_u8"]
+            )
+        for r in sched:
+            fr = f[key(r)]
+            assert (r["start_ms"], r["n_samples"]) == (
+                fr["start_ms"], fr["n_samples"]
+            )
+        assert "window" not in rms[0].asDict() and "rms_u8" not in sched[0].asDict()
+
+
 def test_audio_windows_partition_invariant(spark):
     from hybrid_vector_search_spark.multimodal import audio_windows, synthetic_media
 
